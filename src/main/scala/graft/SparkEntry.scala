@@ -1,13 +1,33 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the operator modules' query registries. Every SQL-expressible
+  * query has a DuckDB oracle in [[oracleSql]]; non-SQL-expressible ops
+  * (iterative graph algorithms, ML training, seeded randomness) are
+  * registered in [[queries]] only → driver records a rows-only check.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q01PriceHistogram2d(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    operators.Relational.oracles
+
+  /** Subset run by [[Bench]] per round (headline queries; heavyweight
+    * iterative/ML queries get their own wall-clock entries there). */
+  def headline: Seq[String] = Seq(
+    "q01_price_histogram_2d", "q03_multi_agg_stats", "q05_conditional_agg",
+    "q06_top_fraud_amounts", "q09_distinct_parts",
+    "q10_join_revenue_per_nation", "q11_left_join_coalesce",
+    "q12_hourly_events", "q14_grafana_mart"
+  ).filter(queries.contains)
 }
