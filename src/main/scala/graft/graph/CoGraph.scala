@@ -1,0 +1,180 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fraud co-occurrence graph over the `events` table — the reference's
+  * graph layer (SURVEY.md §2.10) re-expressed Spark-first.
+  *
+  * Reference semantics (`notebooks/4_graphx.ipynb:193-208`): entities
+  * ("users") are linked when both have a fraud signal in the same hour
+  * bucket. Mapping (SURVEY §7.1): entity id → `user_id`, fraud signal →
+  * `event_type = 'error'`, hour bucket → `date_trunc('hour', ts)`.
+  *
+  * The reference writes this as a theta self-join
+  * (`t1.Class=1 AND t2.Class=1 AND int(t1.Time/3600)=int(t2.Time/3600) AND
+  * t1.V1 != t2.V1`) and relies on Catalyst extracting the derived hour
+  * equi-key. We use the idiomatic rewrite (SURVEY §7.4): pre-filter,
+  * materialize the bucket column, dedup to (hour, user) BEFORE the join,
+  * equi-join on hour with a `=!=` residual. The pre-dedup is the scale
+  * move: the join input shrinks from |events| to |hour × active-user|,
+  * so the per-bucket quadratic blowup is bounded by distinct co-active
+  * users, not raw event volume. At 100 TB add a per-bucket cardinality cap
+  * (skew guard) before the join; AQE's skew-join split handles residual
+  * imbalance.
+  */
+object CoGraph {
+
+  /** Distinct (hour_epoch, user_id) pairs with a fraud signal. */
+  def activity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"))
+      .distinct()
+
+  /** G1/J1 — directed co-occurrence edge set (both orientations, like the
+    * reference's `V1 != V1` predicate), distinct.
+    */
+  def edges(s: SparkSession, dir: String): DataFrame = {
+    val a = activity(s, dir)
+    val b = a.withColumnRenamed("user_id", "dst_id")
+    a.join(b,
+        a("hour_epoch") === b("hour_epoch")
+          && a("user_id") =!= b("dst_id"))
+      .select(a("user_id").as("src"), col("dst_id").as("dst"))
+      .distinct()
+  }
+
+  /** g01 query — edge list, deterministically ordered. */
+  def q(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir).orderBy(col("src"), col("dst"))
+
+  /** Shared SQL fragment: the DuckDB mirror of [[edges]]. */
+  val edgesCte: String =
+    """activity AS (
+      |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |         user_id
+      |  FROM events WHERE event_type = 'error'),
+      |edges AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM activity a JOIN activity b
+      |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id)""".stripMargin
+
+  val qSql: String =
+    s"WITH $edgesCte SELECT src, dst FROM edges ORDER BY src, dst"
+
+  /** G2 — degrees (in+out over the directed edge set), GraphFrames
+    * semantics: vertices with zero edges are omitted
+    * (`4_graphx.ipynb:354-373`, output 472 of 275,663 nodes).
+    * Scale: union-all + groupBy — one shuffle keyed by id with map-side
+    * combine; no join.
+    */
+  def degrees(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("id"))
+  }
+
+  val degreesSql: String =
+    s"""WITH $edgesCte
+       |SELECT id, CAST(count(*) AS BIGINT) AS degree
+       |FROM (SELECT src AS id FROM edges
+       |      UNION ALL SELECT dst AS id FROM edges) u
+       |GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** G5/A9 — amount-weighted edges with per-source normalization
+    * (`4_graphx.ipynb:690-701`): edge amount = total fraud-event value the
+    * source spent in the hours shared with dst; weight = amount / source
+    * total (rows sum to 1 per src).
+    *
+    * Scale: aggregate-then-join — `sum_weights` is one row per src
+    * (bounded by vertex count), so the back-join broadcasts at any
+    * realistic vertex cardinality; the heavy side shuffles once on
+    * (src, dst).
+    */
+  def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val hourValue = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"), col("value"))
+      .groupBy(col("hour_epoch"), col("user_id"))
+      .agg(sum(col("value")).as("hour_value"))
+    val b = hourValue
+      .select(col("hour_epoch"), col("user_id").as("dst_id"))
+    val edgeAmount = hourValue
+      .join(b,
+        hourValue("hour_epoch") === b("hour_epoch")
+          && hourValue("user_id") =!= b("dst_id"))
+      .select(hourValue("user_id").as("src"), col("dst_id").as("dst"),
+        col("hour_value"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("hour_value")).as("amount"))
+    val totals = edgeAmount.groupBy(col("src"))
+      .agg(sum(col("amount")).as("total_out"))
+    edgeAmount.join(totals, "src")
+      .select(col("src"), col("dst"),
+        round(col("amount"), 2).as("amount"),
+        round(col("amount") / col("total_out"), 6).as("weight"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Unrounded (src, dst, weight) for PageRank iteration. */
+  def normalizedWeights(s: SparkSession, dir: String): DataFrame = {
+    val e = weightedEdgesRaw(s, dir)
+    val totals = e.groupBy(col("src")).agg(sum(col("amount")).as("total_out"))
+    e.join(totals, "src")
+      .select(col("src"), col("dst"),
+        (col("amount") / col("total_out")).as("weight"))
+  }
+
+  private def weightedEdgesRaw(s: SparkSession, dir: String): DataFrame = {
+    val hourValue = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"), col("value"))
+      .groupBy(col("hour_epoch"), col("user_id"))
+      .agg(sum(col("value")).as("hour_value"))
+    val b = hourValue
+      .select(col("hour_epoch"), col("user_id").as("dst_id"))
+    hourValue
+      .join(b,
+        hourValue("hour_epoch") === b("hour_epoch")
+          && hourValue("user_id") =!= b("dst_id"))
+      .select(hourValue("user_id").as("src"), col("dst_id").as("dst"),
+        col("hour_value"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("hour_value")).as("amount"))
+  }
+
+  /** SQL mirror of the weighted-edge pipeline (shared by PageRank oracle). */
+  val weightsCte: String =
+    """hour_value AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |         user_id, sum(value) AS hour_value
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1, 2),
+      |edge_amount AS (
+      |  SELECT a.user_id AS src, b.user_id AS dst, sum(a.hour_value) AS amount
+      |  FROM hour_value a JOIN hour_value b
+      |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id
+      |  GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT src, sum(amount) AS total_out FROM edge_amount GROUP BY 1),
+      |weights AS (
+      |  SELECT e.src, e.dst, e.amount, e.amount / t.total_out AS weight
+      |  FROM edge_amount e JOIN totals t ON e.src = t.src)""".stripMargin
+
+  val weightedEdgesSql: String =
+    s"""WITH $weightsCte
+       |SELECT src, dst, round(amount, 2) AS amount,
+       |       round(weight, 6) AS weight
+       |FROM weights ORDER BY src, dst""".stripMargin
+}

@@ -1,0 +1,30 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Query registry for the graph layer (SURVEY.md §2.10 G1–G7). */
+object GraphQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_cooccurrence_edges" -> (CoGraph.q _),
+    "g02_degrees" -> (CoGraph.degrees _),
+    "g03_connected_components" -> (Components.q _),
+    "g04_component_stats" -> (Components.componentStats _),
+    "g05_weighted_edges" -> (CoGraph.weightedEdges _),
+    "g06_pagerank_loop" -> (PageRankOps.q _),
+    "g07_top_pagerank" -> (PageRankOps.topQ _),
+    "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _)
+  )
+
+  /** g08 is GraphX staticPageRank — numerically different normalization,
+    * rows-only check by design.
+    */
+  val oracles: Map[String, String] = Map(
+    "g01_cooccurrence_edges" -> CoGraph.qSql,
+    "g02_degrees" -> CoGraph.degreesSql,
+    "g03_connected_components" -> Components.qSql,
+    "g04_component_stats" -> Components.componentStatsSql,
+    "g05_weighted_edges" -> CoGraph.weightedEdgesSql,
+    "g06_pagerank_loop" -> PageRankOps.qSql(),
+    "g07_top_pagerank" -> PageRankOps.topQSql()
+  )
+}

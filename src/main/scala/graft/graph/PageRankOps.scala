@@ -1,0 +1,130 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** G6/G7 — PageRank (reference `notebooks/4_graphx.ipynb:836-908`,
+  * SURVEY §2.10 G6).
+  *
+  * The reference hand-rolls PageRank as a driver-side loop of
+  * join→aggregate→left-join→project with amount-normalized edge weights:
+  * `PR_new = (1-α)·Σ(PR_src·w) + α/N`, α = 0.15, 5 iterations, dangling
+  * vertices kept at the α/N floor via left_outer + coalesce(0)
+  * (`4_graphx.ipynb:873-882`). That formulation is deterministic and
+  * oracle-checkable, so it is the primary implementation here;
+  * GraphX's `staticPageRank` is offered alongside ([[graphxPageRank]])
+  * but is NOT numerically identical (out-degree normalization, different
+  * dangling-mass handling — SURVEY §2.10).
+  *
+  * Scale: each iteration is one shuffle (contributions keyed by dst) +
+  * one broadcast-able left join against the vertex set. The weight table
+  * is cached once; per-iteration results are cached and the previous
+  * iteration unpersisted so memory stays O(|V|), and lineage is cut with
+  * `localCheckpoint` every [[CheckpointEvery]] iterations — without it
+  * the plan doubles per iteration and the optimizer chokes long before
+  * the cluster does (the reference hits the same issue and caches per
+  * iteration, SURVEY §3.4).
+  */
+object PageRankOps {
+  val Alpha = 0.15
+  val Iterations = 5
+  val CheckpointEvery = 4
+
+  /** The deterministic DataFrame loop. Returns (id, pagerank) unrounded. */
+  def pageRankLoop(s: SparkSession, dir: String,
+      iterations: Int = Iterations): DataFrame = {
+    val vertices = Components.vertices(s, dir).cache()
+    val n = vertices.count()
+    val w = CoGraph.normalizedWeights(s, dir).cache()
+    var pr = vertices.withColumn("pagerank", lit(1.0 / n))
+    var prev: DataFrame = null
+    for (i <- 1 to iterations) {
+      // `pr` derives from `w` after iteration 1, so qualify both sides
+      // explicitly — Spark's ambiguous-self-join check rejects the bare
+      // column references otherwise.
+      val contribs = pr.alias("p").join(w.alias("w"),
+          col("p.id") === col("w.src"))
+        .select(col("w.dst").as("id"),
+          (col("p.pagerank") * col("w.weight")).as("contrib"))
+        .groupBy(col("id"))
+        .agg(sum(col("contrib")).as("sum_contribution"))
+      val next = vertices.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
+            + lit(Alpha / n)).as("pagerank"))
+      pr = (if (i % CheckpointEvery == 0) next.localCheckpoint() else next)
+        .cache()
+      pr.count() // materialize so the unpersist below is safe
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = pr
+    }
+    pr
+  }
+
+  /** g06 query — PR scores rounded to 10 dp (float-drift-proof vs the
+    * unrolled DuckDB oracle), ordered by id.
+    */
+  def q(s: SparkSession, dir: String): DataFrame =
+    pageRankLoop(s, dir)
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+      .orderBy(col("id"))
+
+  /** g07 — rank analytics (`4_graphx.ipynb:1059-1104`): top-10 by PR. */
+  def topQ(s: SparkSession, dir: String): DataFrame =
+    pageRankLoop(s, dir)
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("id"))
+      .limit(10)
+
+  /** Unrolled DuckDB oracle: pr0..prN as chained CTEs over the weight CTE
+    * (DuckDB's recursive CTEs can't aggregate over the recursive
+    * reference, so the fixed iteration count is unrolled — it IS fixed in
+    * the reference too).
+    */
+  private def prCtes(iterations: Int): String = {
+    val n = "(SELECT count(*) FROM vertices)"
+    val levels = (1 to iterations).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |         0.85 * coalesce(c.contrib, 0) + 0.15 / $n AS pagerank
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT w.dst AS id, sum(p.pagerank * w.weight) AS contrib
+         |    FROM pr${k - 1} p JOIN weights w ON p.id = w.src
+         |    GROUP BY 1) c ON v.id = c.id)""".stripMargin
+    }
+    s"""${CoGraph.weightsCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |pr0 AS (SELECT id, 1.0 / $n AS pagerank FROM vertices),
+       |${levels.mkString(",\n")}""".stripMargin
+  }
+
+  def qSql(iterations: Int = Iterations): String =
+    s"""WITH ${prCtes(iterations)}
+       |SELECT id, round(pagerank, 10) AS pagerank
+       |FROM pr$iterations ORDER BY id""".stripMargin
+
+  def topQSql(iterations: Int = Iterations): String =
+    s"""WITH ${prCtes(iterations)}
+       |SELECT id, round(pagerank, 10) AS pagerank
+       |FROM pr$iterations ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
+
+  /** The idiomatic GraphX alternative (`staticPageRank`) — registered as a
+    * rows-only query (different normalization ⇒ no SQL oracle).
+    */
+  def graphxPageRank(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val edgeRdd = CoGraph.edges(s, dir)
+      .select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1.0) }
+    val vtxRdd = Components.vertices(s, dir)
+      .select(col("id")).as[Long].rdd.map(id => (id, 1.0))
+    val g = Graph(vtxRdd, edgeRdd)
+    g.staticPageRank(Iterations, Alpha).vertices
+      .toDF("id", "pagerank")
+      .orderBy(col("pagerank").desc, col("id"))
+      .limit(50)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic float arithmetic for oracle-checked outputs.
+  *
+  * The driver's correctness gate compares Spark results against DuckDB by
+  * EXACT value hash (SURVEY.md §5, §7.4 "float aggregation order"). Two
+  * independent hazards break naive float aggregates:
+  *
+  *   1. `sum(double)` depends on partition/visit order, so Spark and DuckDB
+  *      produce doubles differing in the last ulps.
+  *   2. Even on IDENTICAL input doubles, `round()` semantics differ: Spark
+  *      rounds the shortest-decimal repr HALF_UP (19.955d → 19.96) while
+  *      DuckDB rounds the binary value (19.95499999999999829… → 19.95).
+  *
+  * Fix for (1): aggregate through exact DECIMAL(28,4) — money columns in the
+  * testdata carry 2 decimal digits, so the cast is lossless and decimal
+  * summation is exact integer arithmetic, hence order-independent. Casting
+  * the exact decimal back to double is round-to-nearest in both engines →
+  * bit-identical doubles.
+  *
+  * Fix for (2): never call either engine's `round` on a double output.
+  * Both sides compute `floor(x * 10^k + 0.5) / 10^k` — given bit-identical
+  * inputs, identical IEEE-754 ops give bit-identical outputs.
+  *
+  * Every helper has a Scala (Column) and a SQL-fragment (DuckDB) form; the
+  * two MUST be kept op-for-op in sync — same multiply-before-divide order.
+  *
+  * Scale note: `DecimalType` aggregation is marginally slower than double
+  * (128-bit adds, no SIMD) but stays inside whole-stage codegen and keeps
+  * map-side partial aggregation; at 100 TB the cost is dwarfed by the scan.
+  * It is also the CORRECT choice for money at scale — a 1000-executor
+  * double-sum is nondeterministic run-to-run, which no audited pipeline
+  * tolerates.
+  */
+object Det {
+  /** Lossless carrier for 2-dp money doubles; 28-4=24 integer digits of
+    * headroom (sums to 1e24 — enough for 100 TB of line items).
+    */
+  val MoneyType = "decimal(28,4)"
+
+  /** Exact, order-independent sum of a 2-dp money double, as double. */
+  def dsum(c: Column): Column = sum(c.cast(MoneyType)).cast("double")
+
+  /** Exact sum kept in decimal (for multi-level re-aggregation). */
+  def dsumDec(c: Column): Column = sum(c.cast(MoneyType))
+
+  /** Deterministic round-half-up-for-positives at k decimal places. */
+  def r(x: Column, k: Int): Column = {
+    val p = lit(math.pow(10, k))
+    floor(x * p + lit(0.5)) / p
+  }
+
+  /** Deterministic average: exact decimal sum / count, in double. */
+  def davg(c: Column, k: Int): Column = r(dsum(c) / count(lit(1)), k)
+
+  /** Deterministic sample stddev from exact moments:
+    * sqrt((Σx² − (Σx)²/n) / (n−1)). Each x² is an IEEE double product
+    * (identical both engines), snapped to 8 dp decimal for exact summation.
+    */
+  def dstddev(c: Column, k: Int): Column = {
+    val n = count(lit(1)).cast("double")
+    val sx = dsum(c)
+    val sxx = sum((c * c).cast("decimal(38,8)")).cast("double")
+    r(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), k)
+  }
+
+  // ---- DuckDB SQL mirrors (op-for-op identical) ----
+
+  def sqlDsum(e: String): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(28,4))) AS DOUBLE)"
+
+  def sqlDsumDec(e: String): String =
+    s"sum(CAST(($e) AS DECIMAL(28,4)))"
+
+  def sqlR(e: String, k: Int): String = {
+    val p = s"1e$k"
+    s"floor(($e) * $p + 0.5) / $p"
+  }
+
+  def sqlDavg(e: String, k: Int): String =
+    sqlR(s"${sqlDsum(e)} / count(*)", k)
+
+  def sqlDstddev(e: String, k: Int): String = {
+    val sx = sqlDsum(e)
+    val sxx = s"CAST(sum(CAST((($e) * ($e)) AS DECIMAL(38,8))) AS DOUBLE)"
+    val n = "CAST(count(*) AS DOUBLE)"
+    sqlR(s"sqrt(($sxx - $sx * $sx / $n) / ($n - 1.0))", k)
+  }
+}
