@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash group-by), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (band-bucket join), SimHash (bit-signature hamming), plus the 100 TB
+  * xxhash64 variant. Embedding near-dup lives in [[Similarity]].
+  *
+  * Determinism strategy for the oracle gate: MinHash/SimHash need integer
+  * shingle ids identical in Spark and DuckDB. We build a sorted shingle
+  * DICTIONARY (`row_number` over `ORDER BY shingle`) — fully deterministic in
+  * both engines. The dictionary sort is the one global-order operation; Spark
+  * executes it as a range-partitioned sort + `zipWithIndex`-free window, fine
+  * to |distinct shingles| in the billions but admittedly a scale tax.
+  * [[d06MinhashXxhashScale]] is the production path: `xxhash64(shingle)`
+  * directly as the id — no dictionary, no sort, pure scan+agg — registered
+  * rows-only because DuckDB has no xxhash64.
+  */
+object Dedup {
+  import TextFn._
+
+  private val NumPerm = 16 // MinHash permutations
+  private val Bands = 8 // LSH bands × 2 rows: P(collide) = 1-(1-j²)^8
+  private val SimBits = 63 // SimHash signature width (fits a signed long)
+  private val JaccardT = 0.5 // verify threshold (planted dups ≥ 0.5 on testdata)
+  private val HammingT = 10 // SimHash near-dup radius (calibrated on testdata)
+
+  /** doc_id → exploded (doc_id, shingle) rows, docs with ≥3 tokens. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+  }
+
+  private def shingleRowsSql: String =
+    s"""SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
+       |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+       |WHERE len(t) >= 3""".stripMargin
+
+  /** (doc_id, sid) with sids from the sorted shingle dictionary. */
+  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(s, dir).cache()
+    val dict = sh.select("s").distinct()
+      .withColumn("sid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("s")).cast("long"))
+    sh.join(dict, "s").select("doc_id", "sid")
+  }
+
+  private def shingleIdsSql: String =
+    s"""sh AS ($shingleRowsSql),
+       |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS sid
+       |         FROM (SELECT DISTINCT s FROM sh)),
+       |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (s))""".stripMargin
+
+  /** d01 — exact dedup by content: the corpus unioned with a re-keyed copy
+    * of itself (dup factor 2 by construction), grouped by the char
+    * fingerprint + full text, keeping the min doc_id — the canonical
+    * hash-groupBy dedup. One shuffle on the group key; at 100 TB group on
+    * the 8-byte fingerprint (skew-free) with the full text only as a
+    * residual equality check.
+    */
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dup = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs.union(dup)
+      .withColumn("fingerprint", charFingerprint(col("text")))
+      .groupBy(col("fingerprint"), col("text"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("kept_doc_id"), col("fingerprint"), col("n_copies"))
+      .orderBy("kept_doc_id")
+  }
+
+  private def d01Sql =
+    s"""SELECT min(doc_id) AS kept_doc_id,
+       |  ${charFingerprintSql("text")} AS fingerprint,
+       |  CAST(count(*) AS BIGINT) AS n_copies
+       |FROM (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+       |GROUP BY fingerprint, text ORDER BY kept_doc_id""".stripMargin
+
+  /** d02 — n-gram Jaccard near-dup pairs via the inverted index: explode
+    * shingles, equi-join on shingle (only docs SHARING a shingle ever meet —
+    * never the quadratic cross product), count intersections, Jaccard =
+    * |∩| / (|A|+|B|−|∩|), keep ≥ 0.5.
+    *
+    * Scale: cost is Σ per-shingle df² — hot shingles explode it, which is
+    * exactly why d03's LSH replaces this at 100 TB; here it doubles as the
+    * exact verifier. Shuffles: one on shingle, one on the pair key.
+    */
+  def d02NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val ds = shingleRows(s, dir).cache()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        r(col("c").cast("double")
+          / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d02Sql =
+    s"""WITH sh AS ($shingleRowsSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} >= $JaccardT
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d03 — MinHash + LSH near-dup detection, the scalable dedup pipeline:
+    * shingle → 16-permutation MinHash signature → 8 bands × 2 rows →
+    * band-bucket equi-join for candidates → exact-Jaccard verify ≥ 0.5.
+    *
+    * Scale: signatures are one groupBy over (doc, shingle-id); the band join
+    * touches only bucket collisions (P(collide | j=0.9) ≈ 1, | j=0.025) ≈
+    * 0.5%), so candidate verification is near-linear. This is the shape that
+    * replaces d02's inverted-index blowup at 100 TB. Estimated Jaccard
+    * (signature agreement / 16) is reported next to the exact value.
+    */
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(s, dir).cache()
+    val sig = ds.groupBy("doc_id")
+      .agg(min(perm(0, col("sid"))).as("h1"),
+        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
+      .cache()
+    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.as("p"), col("id_a") === col("p.doc_id"))
+      .join(ds.as("q"), col("id_b") === col("q.doc_id")
+        && col("p.sid") === col("q.sid"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val est = cand
+      .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        r((1 to NumPerm).map(j =>
+          when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / NumPerm, 4).as("est_jaccard"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        r(col("c").cast("double")
+          / (col("za.n") + col("zb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .join(est, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "jaccard", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d03Sql = {
+    val mins = (0 until NumPerm)
+      .map(j => s"min(${permSql(j, "sid")}) AS h${j + 1}").mkString(",\n    ")
+    val bands = (1 to Bands).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(h${2 * b - 1} AS VARCHAR) || '_' || " +
+        s"CAST(h${2 * b} AS VARCHAR) AS bk FROM sig").mkString(" UNION ALL ")
+    val agree = (1 to NumPerm)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleIdsSql,
+       |sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS c
+       |          FROM cand c
+       |          JOIN ds p ON p.doc_id = c.id_a
+       |          JOIN ds q ON q.doc_id = c.id_b AND q.sid = p.sid
+       |          GROUP BY 1, 2),
+       |est AS (SELECT c.id_a, c.id_b,
+       |          ${rSql(s"CAST($agree AS DOUBLE) / $NumPerm", 4)} AS est_jaccard
+       |        FROM cand c
+       |        JOIN sig sa ON sa.doc_id = c.id_a
+       |        JOIN sig sb ON sb.doc_id = c.id_b)
+       |SELECT i.id_a, i.id_b,
+       |  ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} AS jaccard,
+       |  est.est_jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.id_a
+       |JOIN sizes zb ON zb.doc_id = i.id_b
+       |JOIN est ON est.id_a = i.id_a AND est.id_b = i.id_b
+       |WHERE ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} >= $JaccardT
+       |ORDER BY i.id_a, i.id_b""".stripMargin
+  }
+
+  /** d04 — SimHash near-dup: 63-bit signature over shingle ids (bit b set
+    * iff Σ_{shingles} ±1 > 0 under per-bit hash mix), pairs at hamming
+    * distance ≤ 10. Signature build is one groupBy; the all-pairs hamming
+    * scan here is O(n²) on doc COUNT (not content) — the 100 TB path blocks
+    * on 16-bit signature chunks (pigeonhole) exactly like d03's bands.
+    */
+  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(s, dir)
+    val bitSums = ds.groupBy("doc_id")
+      .agg(sum(when(simBit(0, col("sid")), 1).otherwise(-1)).as("bb0"),
+        (1 until SimBits).map(j =>
+          sum(when(simBit(j, col("sid")), 1).otherwise(-1)).as(s"bb$j")): _*)
+    val sigExpr = (0 until SimBits).map(j =>
+      when(col(s"bb$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = bitSums.select(col("doc_id"), sigExpr.cast("long").as("sh"))
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d04Sql = {
+    val bits = (0 until SimBits).map(j =>
+      s"sum(CASE WHEN ${simBitSql(j, "sid")} THEN 1 ELSE -1 END) AS bb$j")
+      .mkString(",\n    ")
+    val sig = (0 until SimBits).map(j =>
+      s"(CASE WHEN bb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleIdsSql,
+       |bitsum AS (SELECT doc_id, $bits FROM ds GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM bitsum)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingT
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** d06 — the 100 TB MinHash path: ids straight from `xxhash64(shingle)`
+    * (no dictionary, no global sort — pure scan + one groupBy), same LSH
+    * bands, same exact verify. Rows-only check (DuckDB lacks xxhash64); the
+    * pair set must and does match d03 on the testdata — asserted in
+    * DedupSpec, since both verify with the same exact-Jaccard ≥ 0.5 gate.
+    */
+  def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame = {
+    val ds = shingleRows(s, dir)
+      .select(col("doc_id"),
+        (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache()
+    val sig = ds.groupBy("doc_id")
+      .agg(min(perm(0, col("sid"))).as("h1"),
+        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
+    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(ds.as("p"), col("id_a") === col("p.doc_id"))
+      .join(ds.as("q"), col("id_b") === col("q.doc_id")
+        && col("p.sid") === col("q.sid"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        r(col("c").cast("double")
+          / (col("za.n") + col("zb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("id_a", "id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
+    "d03_minhash_lsh" -> (d03MinhashLsh _),
+    "d04_simhash" -> (d04Simhash _),
+    "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _))
+
+  /** d06 intentionally absent — xxhash64 has no DuckDB equivalent. */
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_ngram_jaccard_pairs" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_simhash" -> d04Sql)
+}

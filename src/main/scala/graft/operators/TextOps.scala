@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token statistics, heuristic language ID, quality
+  * scoring, document fingerprinting, corpus token frequencies.
+  *
+  * These extend the reference's relational surface (its scalar inventory is
+  * SURVEY.md §2.2; it has no text functions) with the operations an LLM-data
+  * pipeline needs. All are narrow per-row projections + bounded-cardinality
+  * aggregates: at 100 TB each is scan-bound — no shuffle except the final
+  * small group-bys, and every expression is a Catalyst built-in that stays
+  * inside whole-stage codegen (no UDFs).
+  */
+object TextOps {
+  import TextFn._
+
+  /** Small per-language stopword profiles for the n-gram/stopword heuristic
+    * language-ID (a Bloom-filter-free, join-free argmax — per-row array
+    * intersection against broadcast-literal sets).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "in"))
+
+  /** t01 — per-document token statistics: char length, whitespace token
+    * count, distinct-token count, mean token length, and a BPE-ish subword
+    * count (Σ ceil(len(tok)/4) — a deterministic proxy for a 4-chars-per-
+    * token BPE budget). Narrow-only; `limit` bounds the verify dump.
+    */
+  def t01TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("sum_token_len",
+        aggregate(transform(t, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x))
+      .withColumn("mean_token_len",
+        r(col("sum_token_len").cast("double") / col("n_tokens"), 4))
+      .withColumn("n_subwords",
+        aggregate(transform(t, x => ceil(length(x) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
+        "mean_token_len", "n_subwords")
+      .orderBy("doc_id")
+  }
+
+  private def t01Sql = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len($t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($t)) AS BIGINT) AS n_distinct_tokens,
+       |  ${rSql(s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($t, x -> CAST(length(x) AS BIGINT))), " +
+        s"(acc, x) -> acc + x) AS DOUBLE) / len($t)", 4)} AS mean_token_len,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
+       |    (acc, x) -> acc + x) AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** t02 — heuristic language ID: per-language stopword-hit ratio, argmax
+    * with deterministic tie-break (profile order), 'und' below 2% evidence.
+    * Per-row only — the profile sets are plan literals, so this runs at scan
+    * speed with zero shuffles at any scale.
+    */
+  def t02LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"), col("text"))
+      .withColumn("n_tokens", size(t).cast("long"))
+    val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        r(size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("double")
+          / col("n_tokens"), 4))
+    }
+    val best = langProfiles.map { case (l, _) => col(s"score_$l") }
+    val pred = langProfiles.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, _)) =>
+        when(col(s"score_$lang") >= lit(0.02)
+          && col(s"score_$lang") === greatest(best: _*), lang).otherwise(acc)
+    }
+    scored
+      .withColumn("predicted_lang", pred)
+      .select(Seq(col("doc_id"), col("declared_lang")) ++
+        langProfiles.map { case (l, _) => col(s"score_$l") } :+
+        col("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  private def t02Sql = {
+    val t = tokensSql("text")
+    val scores = langProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"${rSql(s"CAST(len(list_filter($t, x -> list_contains($set, x))) " +
+        s"AS DOUBLE) / len($t)", 4)} AS score_$lang"
+    }.mkString(",\n  ")
+    val best = langProfiles.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pred = langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang >= 0.02 AND score_$lang = $best THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""SELECT doc_id, declared_lang,
+       |  ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")},
+       |  $pred AS predicted_lang
+       |FROM (SELECT doc_id, lang AS declared_lang,
+       |  $scores
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** t03 — quality scoring: length/stopword/repetition signals composed into
+    * a 0..1 score and a keep/review/drop band (the standard pre-training
+    * data filter shape). Per-row; scan-bound at any scale.
+    */
+  def t03QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = langProfiles.head._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("distinct_ratio",
+        r(size(array_distinct(t)).cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        r(size(filter(t, x => x.isin(en.map(lit(_)): _*))).cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("len_score",
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1.0)
+          .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
+      .withColumn("quality_score",
+        r(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
+          + lit(0.2) * least(col("stopword_ratio") * lit(5.0), lit(1.0)), 4))
+      .withColumn("band",
+        when(col("quality_score") >= 0.6, "keep")
+          .when(col("quality_score") >= 0.3, "review").otherwise("drop"))
+      .select("doc_id", "n_chars", "n_tokens", "distinct_ratio",
+        "stopword_ratio", "quality_score", "band")
+      .orderBy("doc_id")
+  }
+
+  private def t03Sql = {
+    val t = tokensSql("text")
+    val en = langProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio,
+       |  quality_score,
+       |  CASE WHEN quality_score >= 0.6 THEN 'keep'
+       |       WHEN quality_score >= 0.3 THEN 'review'
+       |       ELSE 'drop' END AS band
+       |FROM (SELECT doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio,
+       |  ${rSql("0.4 * len_score + 0.4 * distinct_ratio + " +
+        "0.2 * least(stopword_ratio * 5.0, 1.0)", 4)} AS quality_score
+       |FROM (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len($t) AS BIGINT) AS n_tokens,
+       |  ${rSql(s"CAST(len(list_distinct($t)) AS DOUBLE) / len($t)", 4)} AS distinct_ratio,
+       |  ${rSql(s"CAST(len(list_filter($t, x -> list_contains($en, x))) " +
+        s"AS DOUBLE) / len($t)", 4)} AS stopword_ratio,
+       |  CASE WHEN len($t) BETWEEN 20 AND 1000 THEN 1.0
+       |       WHEN len($t) >= 5 THEN 0.5 ELSE 0.0 END AS len_score
+       |FROM documents)) ORDER BY doc_id""".stripMargin
+  }
+
+  /** t04 — document fingerprinting: char-level rolling hash (polynomial base
+    * 31 mod 1e9+7) — the exact-dedup key for content-addressed pipelines.
+    * Per-row fold; identical left-to-right in both engines ([[TextFn]]).
+    */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("fingerprint", charFingerprint(col("text")))
+      .withColumn("fp_bucket", col("fingerprint") % 256)
+      .select("doc_id", "fingerprint", "fp_bucket")
+      .orderBy("doc_id")
+
+  private def t04Sql =
+    s"""SELECT doc_id, ${charFingerprintSql("text")} AS fingerprint,
+       |  ${charFingerprintSql("text")} % 256 AS fp_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t05 — corpus token-frequency table: explode → count per token → share
+    * of corpus. The explode multiplies rows by tokens-per-doc, but partial
+    * aggregation collapses each map task to |vocab| rows before the single
+    * shuffle — the classic word-count shape that scales linearly.
+    */
+  def t05TokenFreq(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+    tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        r(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  private def t05Sql = {
+    val t = tokensSql("text")
+    s"""SELECT token, cnt, ${rSql("CAST(cnt AS DOUBLE) / sum(cnt) OVER ()", 6)} AS share
+       |FROM (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM (SELECT unnest($t) AS token FROM documents) GROUP BY 1)
+       |ORDER BY cnt DESC, token""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_lang_id" -> (t02LangId _),
+    "t03_quality_score" -> (t03QualityScore _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_token_freq" -> (t05TokenFreq _))
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" -> t01Sql,
+    "t02_lang_id" -> t02Sql,
+    "t03_quality_score" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+    "t05_token_freq" -> t05Sql)
+}
