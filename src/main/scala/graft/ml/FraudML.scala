@@ -1,0 +1,153 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ML operator surface of the reference (SURVEY.md §2.8 M1–M8), re-expressed
+  * on the testdata: `l_returnflag = 'R'` plays the fraud label, the lineitem
+  * numerics play the PCA features.
+  *
+  * Reference lineage: VectorAssembler + 80/20 seed-42 split
+  * (`notebooks/1_data_cleaning.ipynb:309-337`), GBTClassifier maxIter=10
+  * (`notebooks/3_ml_fraud.ipynb:103-110`), Binary/Multiclass evaluators
+  * (`3_ml_fraud.ipynb:159-177`), confusion matrix (`:185`), model
+  * save/overwrite (`:283-289`).
+  *
+  * The reference's golden metrics (ROC-AUC 0.9709 etc.) are properties of
+  * the Kaggle dataset; the synthetic testdata carries no class signal, so
+  * specs assert structural invariants (metric ranges, cell sums, save/load
+  * idempotence), not those values.
+  *
+  * Scale: MLlib GBT trains on the distributed Dataset directly — each
+  * iteration is a set of distributed aggregations over the feature columns;
+  * nothing here collects to the driver. `randomSplit` is per-partition
+  * Bernoulli: deterministic for a fixed (seed, partitioning) — which the
+  * fixed parquet layout + fixed session config provide — but re-partitioning
+  * shifts the split, so split-dependent outputs stay rows-only checks
+  * (SURVEY §7.4).
+  */
+object FraudML {
+  val Seed = 42L
+  val FeatureCols: Array[String] = Array(
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "ship_epoch")
+
+  /** Labeled, assembled feature frame (M1): label = 1.0 iff returnflag 'R'. */
+  def assemble(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .withColumn("ship_epoch",
+        unix_timestamp(col("l_shipdate")).cast("double"))
+      .withColumn("label",
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    new VectorAssembler()
+      .setInputCols(FeatureCols)
+      .setOutputCol("features")
+      .transform(base)
+      .select("l_orderkey", "l_linenumber", "features", "label")
+  }
+
+  /** M2: the reference's 80/20 seed-42 split. */
+  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val Array(train, test) = assemble(s, dir)
+      .randomSplit(Array(0.8, 0.2), seed = Seed)
+    (train, test)
+  }
+
+  /** One trained model + its test predictions per (session, dir) — the m*
+    * queries share a single training run, like the reference notebook keeps
+    * one `gbt_model` across evaluation cells.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, (GBTClassificationModel, DataFrame)]()
+
+  def trained(s: SparkSession, dir: String): (GBTClassificationModel, DataFrame) =
+    memo.computeIfAbsent(dir, _ => {
+      val (train, test) = split(s, dir)
+      val model = new GBTClassifier() // M3
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(10).setSeed(Seed)
+        .fit(train.cache())
+      (model, model.transform(test).cache()) // M4
+    })
+
+  /** m01 — assembled feature vectors bridged back to arrays (M1 + the
+    * reference's `vector_to_array` positional extraction, SURVEY §2.2 P14).
+    * Deterministic (no split/training involved) → full oracle check.
+    */
+  def m01FeatureVectors(s: SparkSession, dir: String): DataFrame =
+    assemble(s, dir)
+      .withColumn("f", vector_to_array(col("features")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("f").as("features"),
+        element_at(col("f"), 2).as("amount"), col("label"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(1000)
+
+  private val m01Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  [l_quantity, l_extendedprice, l_discount, l_tax,
+      |   CAST(epoch(l_shipdate) AS DOUBLE)] AS features,
+      |  l_extendedprice AS amount,
+      |  CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+
+  /** m02 — train/test split row counts per class (M2; split-dependent →
+    * rows-only check).
+    */
+  def m02SplitSizes(s: SparkSession, dir: String): DataFrame = {
+    val (train, test) = split(s, dir)
+    train.groupBy("label").agg(count(lit(1)).as("n_train"))
+      .join(test.groupBy("label").agg(count(lit(1)).as("n_test")), Seq("label"))
+      .orderBy("label")
+  }
+
+  /** m03 — confusion matrix (M7: `groupBy("label","prediction").count()`). */
+  def m03GbtConfusion(s: SparkSession, dir: String): DataFrame = {
+    val (_, pred) = trained(s, dir)
+    pred.groupBy("label", "prediction").agg(count(lit(1)).as("cnt"))
+      .orderBy("label", "prediction")
+  }
+
+  /** m04 — evaluator metrics as one row (M5 + M6). */
+  def m04GbtMetrics(s: SparkSession, dir: String): DataFrame = {
+    val (_, pred) = trained(s, dir)
+    val roc = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderROC").evaluate(pred)
+    val pr = new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      .setMetricName("areaUnderPR").evaluate(pred)
+    def multi(m: String) = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(pred)
+    import s.implicits._
+    Seq((roc, pr, multi("weightedPrecision"), multi("weightedRecall"),
+      multi("weightedFMeasure")))
+      .toDF("auc_roc", "auc_pr", "weighted_precision", "weighted_recall",
+        "weighted_f1")
+  }
+
+  /** M8 — persistence round-trip: save with overwrite, load, return the
+    * loaded model (spec asserts prediction equivalence).
+    */
+  def saveLoad(s: SparkSession, dir: String, path: String): GBTClassificationModel = {
+    val (model, _) = trained(s, dir)
+    model.write.overwrite().save(path)
+    GBTClassificationModel.load(path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_feature_vectors" -> (m01FeatureVectors _),
+    "m02_split_sizes" -> (m02SplitSizes _),
+    "m03_gbt_confusion" -> (m03GbtConfusion _),
+    "m04_gbt_metrics" -> (m04GbtMetrics _))
+
+  /** Only m01 is deterministic enough for a value oracle; m02–m04 depend on
+    * the partitioning-sensitive split/training (SURVEY §7.4) → rows-only.
+    */
+  val oracles: Map[String, String] = Map(
+    "m01_feature_vectors" -> m01Sql)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.FraudML
+
+/** Structural invariants of the ML surface (SURVEY.md §2.8). The reference's
+  * golden metrics are Kaggle-data properties; the synthetic testdata has no
+  * class signal, so we assert pipeline shape, metric ranges, and save/load
+  * idempotence instead (SURVEY §5.2 adapted).
+  */
+class FraudMLSpec extends AnyFunSuite with SparkTestSession {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("M1 assembler emits a dense numeric vector per row, label in {0,1}") {
+    val df = FraudML.assemble(spark, dir).cache()
+    assert(df.count() > 0)
+    val r = df.head()
+    assert(r.getAs[Vector]("features").size == FraudML.FeatureCols.length)
+    val labels = df.select("label").distinct().collect().map(_.getDouble(0)).toSet
+    assert(labels.subsetOf(Set(0.0, 1.0)))
+  }
+
+  test("M2 split partitions the corpus: train + test = all, ratio ~80/20") {
+    val all = FraudML.assemble(spark, dir).count()
+    val (train, test) = FraudML.split(spark, dir)
+    val (nTrain, nTest) = (train.count(), test.count())
+    assert(nTrain + nTest == all)
+    val ratio = nTrain.toDouble / all
+    assert(ratio > 0.7 && ratio < 0.9, s"split ratio $ratio")
+  }
+
+  test("M3-M7 GBT trains, predicts {0,1}, confusion cells sum to test size") {
+    val (model, pred) = FraudML.trained(spark, dir)
+    assert(model.getMaxIter == 10)
+    assert(model.trees.nonEmpty)
+    val preds = pred.select("prediction").distinct().collect()
+      .map(_.getDouble(0)).toSet
+    assert(preds.subsetOf(Set(0.0, 1.0)))
+    val confusion = FraudML.m03GbtConfusion(spark, dir)
+    assert(confusion.agg(sum("cnt")).head.getLong(0) == pred.count())
+    val m = FraudML.m04GbtMetrics(spark, dir).head()
+    for (i <- 0 until 5) {
+      val v = m.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"metric $i out of range: $v")
+    }
+  }
+
+  test("M8 save/load round-trip predicts identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
+    val loaded = FraudML.saveLoad(spark, dir, tmp)
+    val (model, _) = FraudML.trained(spark, dir)
+    val (_, test) = FraudML.split(spark, dir)
+    val a = model.transform(test).select("l_orderkey", "l_linenumber", "prediction")
+    val b = loaded.transform(test).select("l_orderkey", "l_linenumber", "prediction")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamPipeline
+import java.util.concurrent.{ConcurrentLinkedQueue => CLQ}
+import scala.jdk.CollectionConverters._
+
+/** Streaming semantics (SURVEY.md §2.9): JSON envelope parse, stateless
+  * derive, append sinks, foreachBatch line-protocol, watermarked windowed
+  * aggregation, and batch/stream parity of the derive stage.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def jsonEvent(id: Long, typ: String, value: String, ts: String) =
+    s"""{"event_id":$id,"user_id":${id % 7},"event_type":"$typ",""" +
+      s""""value":$value,"ts":"$ts"}"""
+
+  test("parse + derive: envelope JSON to typed derived columns (append)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(
+      jsonEvent(1, "error", "1.5", "2024-01-01T10:00:00Z"),
+      jsonEvent(2, "purchase", "2.25", "2024-01-01T10:30:00Z"),
+      jsonEvent(3, "click", "null", "2024-01-01T11:00:00Z"))
+    val derived = StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value"))))
+    val q = derived.writeStream.format("memory").queryName("derived_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("derived_t")
+      .select("event_id", "type_tag", "value_cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "fraud", 150L), (2L, "money", 225L),
+      (3L, "normal", 0L)))
+  }
+
+  test("derive stage is batch/stream agnostic: same output on a batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      jsonEvent(10, "error", "3.0", "2024-02-02T08:00:00Z")).toDF("value")
+    val out = StreamPipeline.derive(StreamPipeline.parse(batch))
+      .select("event_id", "type_tag", "value_cents").head()
+    assert((out.getLong(0), out.getString(1), out.getLong(2)) == (10L, "fraud", 300L))
+  }
+
+  test("foreachBatch emits partition-side InfluxDB line protocol") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(jsonEvent(5, "purchase", "9.99", "2024-01-01T12:00:00Z"))
+    val epochs = new CLQ[Long]()
+    val derived = StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value"))))
+    // The partition writer runs executor-side: its closure is serialized, so
+    // it must reference a STATIC sink, not a captured local (a captured queue
+    // would be a deserialized copy the driver never sees).
+    val w = StreamPipeline.foreachBatchSink(derived,
+      it => it.foreach(StreamingSpec.lines.add), epochs, Trigger.AvailableNow())
+    StreamPipeline.runDrain(w)
+    assert(epochs.size() >= 1)
+    val got = StreamingSpec.lines.asScala.toList
+    assert(got.exists(_.startsWith("transactions,type_tag=money event_id=5i,value=9.99 ")))
+  }
+
+  test("watermarked hourly window counts aggregate by event time") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    ms.addData(
+      jsonEvent(1, "error", "1.0", "2024-01-01T10:05:00Z"),
+      jsonEvent(2, "error", "2.0", "2024-01-01T10:55:00Z"),
+      jsonEvent(3, "click", "4.0", "2024-01-01T11:05:00Z"))
+    val agg = StreamPipeline.windowedCounts(StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value")))))
+    val q = agg.writeStream.format("memory").queryName("win_t")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_t")
+      .select(col("window.start").cast("string"), col("type_tag"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "fraud", 2L)))
+    assert(rows.contains(("2024-01-01 11:00:00", "normal", 1L)))
+  }
+
+  test("file source drains a JSON directory through the same pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in")
+    java.nio.file.Files.writeString(dir.resolve("part1.json"),
+      jsonEvent(21, "error", "5.5", "2024-03-03T03:00:00Z") + "\n" +
+        jsonEvent(22, "click", "0.5", "2024-03-03T03:10:00Z") + "\n")
+    val derived = StreamPipeline.derive(StreamPipeline.parse(
+      StreamPipeline.fileSource(spark, dir.toString)))
+    val q = derived.writeStream.format("memory").queryName("file_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("file_t").count() == 2)
+    assert(spark.table("file_t").filter(col("type_tag") === "fraud").count() == 1)
+  }
+
+  test("stream scoring with the saved GBT model flags by threshold") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gbt_stream").toString
+    graft.ml.FraudML.saveLoad(spark, Sf, tmp)
+    val batch = Seq(
+      jsonEvent(31, "purchase", "100.0", "2024-04-04T04:00:00Z"),
+      jsonEvent(32, "click", "1.0", "2024-04-04T05:00:00Z")).toDF("value")
+    val scored = StreamPipeline.scoreStream(spark,
+      StreamPipeline.derive(StreamPipeline.parse(batch)), tmp, 0.85)
+    val rows = scored.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+}
+
+/** Executor-visible static sink for the foreachPartition writer. */
+object StreamingSpec {
+  val lines = new CLQ[String]()
+}
