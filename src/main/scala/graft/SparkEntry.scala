@@ -17,14 +17,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ graph.GraphQueries.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
-      operators.Similarity.queries ++ ml.FraudML.queries
+      operators.Similarity.queries ++ ml.FraudML.queries ++
+      sinks.MartPipeline.queries ++ sources.Ingest.queries ++
+      operators.Multimodal.queries ++ operators.WindowOps.queries ++
+      operators.JsonOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ graph.GraphQueries.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
-      operators.Similarity.oracles ++ ml.FraudML.oracles
+      operators.Similarity.oracles ++ ml.FraudML.oracles ++
+      sinks.MartPipeline.oracles ++ sources.Ingest.oracles ++
+      operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
+      operators.JsonOps.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; heavyweight
     * iterative/ML queries get their own wall-clock entries there). */

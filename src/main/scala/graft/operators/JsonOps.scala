@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Semi-structured (JSON string column) operators — the batch counterpart of
+  * the streaming envelope parse (SURVEY.md §2.2 P8): `from_json` with an
+  * explicit schema over `events.props`, then relational ops on the extracted
+  * fields. Schema-on-read stays a narrow projection — the parse is
+  * codegen'd, no shuffle until the final bounded aggregate.
+  */
+object JsonOps {
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** j01 — parse + extract + bucket + aggregate: distribution of the
+    * extracted `k` field in deciles, null-parse rows counted separately.
+    */
+  def j01JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+      .withColumn("k_bucket",
+        when(col("k").isNull, lit(-1L)).otherwise(col("k") - pmod(col("k"), lit(10L))))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("k_bucket")
+
+  private val j01Sql =
+    """SELECT CASE WHEN k IS NULL THEN -1
+      |            ELSE k - (k % 10) END AS k_bucket,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_id,
+      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j01_json_extract" -> (j01JsonExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "j01_json_extract" -> j01Sql)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic window functions — the reference imports `Window` but never uses
+  * it (SURVEY.md §2.5); these extend the surface with the ranking /
+  * time-series shapes a training-data pipeline needs (top-k per group,
+  * lag deltas, running totals).
+  *
+  * Scale: each window shuffles once on its partition key; `row_number`
+  * top-k per group is rank-then-filter — unlike global `orderBy().limit()`
+  * it parallelizes over groups, which is the 100 TB way to take per-key
+  * top-k. Partition keys here are low-skew (orderstatus, event_type); for
+  * skewed keys pre-aggregate or salt before ranking.
+  */
+object WindowOps {
+
+  /** w01 — top-3 orders by price per order status: `row_number` over a
+    * (status, price desc) window, tie-broken on the unique key.
+    */
+  def w01TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_orderstatus", "rk")
+  }
+
+  private val w01Sql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |FROM orders QUALIFY rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin
+
+  /** w02 — day-over-day event-count deltas per event type: `lag` over a
+    * (type, day) window — the change-detection shape for pipeline
+    * monitoring. Day counts first (bounded groups), then the window runs
+    * on the SMALL aggregate, not the raw stream.
+    */
+  def w02LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy("event_type", "day_epoch")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day_epoch")
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("delta", col("n") - coalesce(col("prev_n"), col("n")))
+      .orderBy("event_type", "day_epoch")
+  }
+
+  private val w02Sql =
+    """SELECT event_type, day_epoch, n,
+      |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY day_epoch) AS prev_n,
+      |  n - coalesce(lag(n, 1) OVER (PARTITION BY event_type
+      |    ORDER BY day_epoch), n) AS delta
+      |FROM (SELECT event_type,
+      |        CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM events GROUP BY 1, 2)
+      |ORDER BY event_type, day_epoch""".stripMargin
+
+  /** w03 — running revenue total per nation over order days: `sum` over an
+    * unbounded-preceding window on the daily aggregate (cumulative curves).
+    */
+  def w03RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("o_orderdate"))))
+      .groupBy("o_orderstatus", "day_epoch")
+      .agg(Det.dsumDec(col("o_totalprice")).as("rev"))
+    val w = Window.partitionBy("o_orderstatus").orderBy("day_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_rev", sum(col("rev")).over(w).cast("double"))
+      .select(col("o_orderstatus"), col("day_epoch"),
+        col("rev").cast("double").as("rev"), col("cum_rev"))
+      .orderBy("o_orderstatus", "day_epoch")
+      .limit(500)
+  }
+
+  private val w03Sql = {
+    import Det.{sqlDsumDec}
+    s"""SELECT o_orderstatus, day_epoch, CAST(rev AS DOUBLE) AS rev,
+       |  CAST(sum(rev) OVER (PARTITION BY o_orderstatus ORDER BY day_epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+       |FROM (SELECT o_orderstatus,
+       |        CAST(epoch(date_trunc('day', o_orderdate)) AS BIGINT) AS day_epoch,
+       |        ${sqlDsumDec("o_totalprice")} AS rev
+       |      FROM orders GROUP BY 1, 2)
+       |ORDER BY o_orderstatus, day_epoch LIMIT 500""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_top_per_group" -> (w01TopPerGroup _),
+    "w02_lag_delta" -> (w02LagDelta _),
+    "w03_running_total" -> (w03RunningTotal _))
+
+  val oracles: Map[String, String] = Map(
+    "w01_top_per_group" -> w01Sql,
+    "w02_lag_delta" -> w02Sql,
+    "w03_running_total" -> w03Sql)
+}

@@ -1,0 +1,198 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Det
+
+/** The reference's six-table JDBC mart pipeline (SURVEY.md §2.11,
+  * `streaming/setup_postgres.ps1:416-591`) re-expressed over the testdata:
+  * five aggregate tables + a two-level Grafana mart built by reading the
+  * hourly table BACK from the sink and re-aggregating — the round-trip is
+  * the point (the reference stages through Postgres; the zero-egress
+  * environment stages through Parquet behind the same [[TableSink]]
+  * interface, with the JDBC options preserved in [[JdbcSink]]).
+  *
+  * Scale: every table is a bounded-cardinality aggregate (classes, hours,
+  * bins) — map-side partial aggregation collapses each task before the
+  * exchange, so the pipeline is scan-bound; the mart level re-aggregates
+  * only |hours| rows. `fraud_details` is the one row-level table and is
+  * `limit(500)`-bounded like the reference's.
+  */
+trait TableSink {
+  def write(df: DataFrame, table: String, mode: String): Unit
+  def read(s: SparkSession, table: String): DataFrame
+}
+
+/** Local stand-in staging store (zero-egress environments). */
+final class ParquetSink(dir: String) extends TableSink {
+  def write(df: DataFrame, table: String, mode: String): Unit =
+    df.write.mode(mode).parquet(s"$dir/$table")
+  def read(s: SparkSession, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table")
+}
+
+/** The reference's JDBC sink shape (`setup_postgres.ps1:510-517`,
+  * `spark_to_postgres.py:26-34`): batchsize 10000, overwrite semantics.
+  * `truncate` is deliberately NOT set: the reference's `global_stats` write
+  * failed on a truncate schema mismatch (`setup_postgres.ps1:163`), so plain
+  * overwrite is the correct mode. Compiles against the built-in JDBC
+  * source; unusable in this environment (no database), exercised via
+  * [[ParquetSink]].
+  */
+final class JdbcSink(url: String, user: String, password: String)
+    extends TableSink {
+  private def opts(df: DataFrame, table: String) =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("batchsize", 10000)
+  def write(df: DataFrame, table: String, mode: String): Unit =
+    opts(df, table).mode(mode).save()
+  def read(s: SparkSession, table: String): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .load()
+}
+
+object MartPipeline {
+
+  /** Table 1 — class_distribution (`setup_postgres.ps1:416-424`). */
+  def classDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("class"))
+      .agg(count(lit(1)).as("cnt"),
+        Det.davg(col("l_extendedprice"), 2).as("avg_amount"))
+      .orderBy("class")
+
+  /** Table 2 — hourly_transactions (`setup_postgres.ps1:429-437`): hour
+    * bucket + 4 aggregates, ordered, top-100.
+    */
+  def hourlyTransactions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+      .withColumn("hour_epoch", unix_timestamp(date_trunc("hour", col("ts"))))
+      .groupBy("hour_epoch")
+      .agg(count(lit(1)).as("n_tx"),
+        sum(when(col("event_type") === "error", 1).otherwise(0))
+          .cast("long").as("n_fraud"),
+        Det.r(Det.dsum(col("value")), 2).as("sum_value"),
+        Det.davg(col("value"), 2).as("avg_value"))
+      .orderBy("hour_epoch")
+      .limit(100)
+
+  /** Table 3 — amount_analysis (`setup_postgres.ps1:446-460`): CASE bins ×
+    * class.
+    */
+  def amountAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val bin = when(col("l_extendedprice") < 10000, "<10k")
+      .when(col("l_extendedprice") < 50000, "10k-50k")
+      .when(col("l_extendedprice") < 90000, "50k-90k")
+      .otherwise("90k+")
+    Tables.lineitem(s, dir)
+      .withColumn("amount_range", bin)
+      .groupBy(col("amount_range"), col("l_returnflag").as("class"))
+      .agg(count(lit(1)).as("cnt"),
+        Det.r(Det.dsum(col("l_extendedprice")), 2).as("sum_amount"))
+      .orderBy("amount_range", "class")
+  }
+
+  /** Table 4 — fraud_details (`setup_postgres.ps1:468-480`): row-level
+    * fraud slice with a generated surrogate id, bounded to 500. The id is
+    * `monotonically_increasing_id` like the reference's — nondeterministic
+    * across partitionings, hence excluded from any oracle (SURVEY §2.2 P9).
+    */
+  def fraudDetails(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(500)
+      .withColumn("fraud_id", monotonically_increasing_id())
+      .select("fraud_id", "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity")
+
+  /** Table 5 — global_stats (`setup_postgres.ps1:485-492`): one-row global
+    * aggregate with conditional fraud counters.
+    */
+  def globalStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("total_tx"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .cast("long").as("fraud_tx"),
+        Det.davg(col("l_extendedprice"), 2).as("avg_amount"))
+      .withColumn("fraud_pct",
+        when(col("total_tx") > 0,
+          Det.r(col("fraud_tx") * lit(100.0) / col("total_tx"), 4))
+          .otherwise(0.0))
+
+  /** Level 2 — grafana_dashboard (`setup_postgres.ps1:554-591`): the hourly
+    * table read back from the SINK and re-aggregated per day with
+    * conditional sums and the guarded percentage division.
+    */
+  def grafanaDashboard(hourlyFromSink: DataFrame): DataFrame =
+    hourlyFromSink
+      .withColumn("day_epoch", (col("hour_epoch") - pmod(col("hour_epoch"), lit(86400L))))
+      .groupBy("day_epoch")
+      .agg(sum(col("n_tx")).cast("long").as("total_tx"),
+        sum(col("n_fraud")).cast("long").as("total_fraud"),
+        Det.r(Det.dsum(col("sum_value")), 2).as("total_value"),
+        count(lit(1)).as("active_hours"))
+      .withColumn("fraud_pct",
+        when(col("total_tx") > 0,
+          Det.r(col("total_fraud") * lit(100.0) / col("total_tx"), 4))
+          .otherwise(0.0))
+      .orderBy("day_epoch")
+
+  /** Full pipeline: write the five level-1 tables, read hourly back through
+    * the sink, write + return the mart (the reference's end-to-end flow).
+    */
+  def run(s: SparkSession, dir: String, sink: TableSink): DataFrame = {
+    sink.write(classDistribution(s, dir), "class_distribution", "overwrite")
+    sink.write(hourlyTransactions(s, dir), "hourly_transactions", "overwrite")
+    sink.write(amountAnalysis(s, dir), "amount_analysis", "overwrite")
+    sink.write(fraudDetails(s, dir), "fraud_details", "overwrite")
+    sink.write(globalStats(s, dir), "global_stats", "overwrite")
+    val mart = grafanaDashboard(sink.read(s, "hourly_transactions"))
+    sink.write(mart, "grafana_dashboard", "overwrite")
+    sink.read(s, "grafana_dashboard")
+  }
+
+  /** p01 — the pipeline as a registered query: stage through a temp-dir
+    * ParquetSink and return the mart. Parquet round-trips are value-exact,
+    * so the two-level result is fully oracle-checkable.
+    */
+  def p01MartPipeline(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mart").toString
+    run(s, dir, new ParquetSink(tmp)).orderBy("day_epoch")
+  }
+
+  private val p01Sql = {
+    val hourly =
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |       CAST(count(*) AS BIGINT) AS n_tx,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_fraud,
+        |       %s AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour_epoch LIMIT 100"""
+        .stripMargin.format(Det.sqlR(Det.sqlDsum("value"), 2))
+    s"""SELECT day_epoch,
+       |  CAST(sum(n_tx) AS BIGINT) AS total_tx,
+       |  CAST(sum(n_fraud) AS BIGINT) AS total_fraud,
+       |  ${Det.sqlR(Det.sqlDsum("sum_value"), 2)} AS total_value,
+       |  CAST(count(*) AS BIGINT) AS active_hours,
+       |  CASE WHEN sum(n_tx) > 0
+       |       THEN ${Det.sqlR("CAST(sum(n_fraud) AS BIGINT) * 100.0 / sum(n_tx)", 4)}
+       |       ELSE 0.0 END AS fraud_pct
+       |FROM (SELECT hour_epoch - (hour_epoch % 86400) AS day_epoch, n_tx,
+       |             n_fraud, sum_value
+       |      FROM ($hourly))
+       |GROUP BY day_epoch ORDER BY day_epoch""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_mart_pipeline" -> (p01MartPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "p01_mart_pipeline" -> p01Sql)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{MartPipeline, ParquetSink}
+import graft.sources.Ingest
+
+/** Mart pipeline (SURVEY.md §2.11) and source/sink surface (§2.1). */
+class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
+
+  test("mart pipeline writes six tables and the mart reconciles with level 1") {
+    val tmp = java.nio.file.Files.createTempDirectory("mart_spec").toString
+    val sink = new ParquetSink(tmp)
+    val mart = MartPipeline.run(spark, Sf, sink).cache()
+    for (t <- Seq("class_distribution", "hourly_transactions",
+        "amount_analysis", "fraud_details", "global_stats",
+        "grafana_dashboard"))
+      assert(sink.read(spark, t).count() > 0, s"table $t empty")
+    // mart totals must equal the hourly table re-aggregated
+    val hourly = sink.read(spark, "hourly_transactions")
+    assert(mart.agg(sum("total_tx")).head.getLong(0)
+      == hourly.agg(sum("n_tx")).head.getLong(0))
+    assert(mart.agg(sum("active_hours")).head.getLong(0) == hourly.count())
+    // guarded percentage stays in [0, 100]
+    val pcts = mart.select("fraud_pct").collect().map(_.getDouble(0))
+    assert(pcts.forall(p => p >= 0.0 && p <= 100.0))
+  }
+
+  test("CSV round-trip: coalesce(1) header export re-reads identically") {
+    val df = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber").limit(100)
+    val tmp = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/out"
+    Ingest.writeCsvSingle(df, tmp)
+    val files = new java.io.File(tmp).listFiles.filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "coalesce(1) must produce a single csv")
+    val inferred = Ingest.readCsvInfer(spark, tmp)
+    assert(inferred.count() == 100)
+    assert(inferred.schema("l_orderkey").dataType == IntegerType
+      || inferred.schema("l_orderkey").dataType == LongType)
+    assert(inferred.schema("l_extendedprice").dataType == DoubleType)
+    val explicitSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType)))
+    val explicitDf = Ingest.readCsv(spark, tmp, explicitSchema)
+    assert(explicitDf.agg(sum("l_extendedprice")).head.getDouble(0)
+      == df.agg(sum("l_extendedprice")).head.getDouble(0))
+  }
+
+  test("synthetic generator: seeded shape, bounded values, type partition") {
+    val df = Ingest.syntheticTransactions(spark, 1000).cache()
+    assert(df.count() == 1000)
+    val amounts = df.agg(min("amount"), max("amount")).head()
+    assert(amounts.getDouble(0) >= 0.0 && amounts.getDouble(1) <= 1000.0)
+    val types = df.select("transaction_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(types == Set("purchase", "transfer", "withdrawal"))
+    assert(df.filter(col("is_fraud") =!= (col("fraud_probability") > 0.85)).count() == 0)
+  }
+}
