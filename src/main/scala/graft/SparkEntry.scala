@@ -32,12 +32,18 @@ object SparkEntry {
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
       operators.JsonOps.oracles
 
-  /** Subset run by [[Bench]] per round (headline queries; heavyweight
-    * iterative/ML queries get their own wall-clock entries there). */
+  /** Subset run by [[Bench]] per round (headline queries; the relational
+    * core, the iterative PageRank loop — baseline 22.5 s in the reference —
+    * and one representative of each training-data pipeline family). */
   def headline: Seq[String] = Seq(
     "q01_price_histogram_2d", "q03_multi_agg_stats", "q05_conditional_agg",
     "q06_top_fraud_amounts", "q09_distinct_parts",
     "q10_join_revenue_per_nation", "q11_left_join_coalesce",
-    "q12_hourly_events", "q14_grafana_mart"
+    "q12_hourly_events", "q13_global_event_stats", "q14_grafana_mart",
+    "g06_pagerank_loop",
+    "t04_fingerprint", "t05_token_freq",
+    "d03_minhash_lsh", "d06_minhash_xxhash_scale",
+    "v01_cosine_topk", "d05_embedding_neardup",
+    "w01_top_per_group", "w03_running_total", "j01_json_extract"
   ).filter(queries.contains)
 }

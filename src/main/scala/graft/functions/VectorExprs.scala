@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path (SURVEY.md §7.3's
+  * "custom Expression only where built-ins can't express it"): a float-array
+  * dot product in double precision.
+  *
+  * Why custom: the composable spelling —
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0d, (acc, x) -> acc+x)` — is
+  * interpreted per ELEMENT (a Catalyst lambda call per product and per add).
+  * On an all-pairs near-dup scan that is ~10^8 lambda invocations
+  * (measured: 30 s for 2M pairs × 64 dims at sf0.1). This expression
+  * whole-stage-codegens to a tight Java loop over the underlying arrays —
+  * same 2M pairs in under a second — and keeps the EXACT same left-to-right
+  * double accumulation order, so results are bit-identical to the HOF
+  * spelling and to the DuckDB oracle's `list_reduce` mirror.
+  *
+  * Both `eval` (interpreted) and `doGenCode` (codegen) paths are
+  * implemented; Spark falls back to `eval` automatically when codegen is
+  * disabled or the tree is too deep.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      // float → double widening is exact; accumulate strictly left-to-right
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column-level API (the library call sites use this directly). */
+  def vecDot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  private val info = new ExpressionInfo(
+    classOf[VecDot].getName, null, "vec_dot",
+    "_FUNC_(a, b) - double-precision dot product of two float arrays " +
+      "(strict left-to-right accumulation).", "")
+
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => VecDot(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"vec_dot expects 2 arguments, got ${exprs.length}")
+  }
+
+  /** SQL-surface registration for one session: `SELECT vec_dot(a, b)`. */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot"), info, builder)
+}
+
+/** Config-injected variant (`spark.sql.extensions=graft.functions
+  * .GraftExtensions`) — the idiomatic deployment on a shared cluster, so
+  * every session gets `vec_dot` without imperative setup.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot"),
+      { exprs: Seq[Expression] => VecDot(exprs(0), exprs(1)) }))
+}

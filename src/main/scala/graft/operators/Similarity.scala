@@ -26,10 +26,14 @@ object Similarity {
   private val NQueries = 10 // vec_id < 10 are the query vectors
   private val LshBits = 4 // hyperplane sign bits → 16 buckets
 
-  /** Sequential-fold dot product of two float arrays, in double. */
+  /** Sequential-fold dot product of two float arrays, in double — the
+    * codegen'd [[graft.functions.VecDot]] expression (bit-identical to the
+    * composable HOF spelling `aggregate(zip_with(...))` and to the DuckDB
+    * `list_reduce` mirror, ~50× faster on the all-pairs scan: the HOF path
+    * interprets one lambda per element).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

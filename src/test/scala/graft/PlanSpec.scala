@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, Similarity}
+import graft.functions.VectorFunctions
+
+/** Physical-plan shape assertions (SURVEY.md §7.4): the queries must not
+  * just return the right rows — they must produce the plans that survive a
+  * 100× scale-up. Each test pins a property `.explain` shows today so a
+  * regression (lost pushdown, join degradation, codegen fallback) fails CI
+  * instead of surfacing as a 100 TB incident.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan(Relational.q06TopFraudAmounts(spark, Sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val p = plan(Relational.q07RangeFilter(spark, Sf))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)")
+      || p.contains("GreaterThanOrEqual(l_quantity,10"), p)
+    // column pruning: the scan reads only the 4 projected columns
+    val scans = Relational.q07RangeFilter(spark, Sf)
+      .queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag")))
+  }
+
+  test("small-dimension join broadcasts (nation side)") {
+    assert(plan(Relational.q10JoinRevenuePerNation(spark, Sf))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("co-occurrence edge build never degrades to a nested-loop join") {
+    assert(!plan(graph.CoGraph.q(spark, Sf))
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("aggregation is partial before the exchange (map-side combine)") {
+    val p = plan(Relational.q01PriceHistogram2d(spark, Sf))
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("vec_dot stays inside whole-stage codegen (no fallback)") {
+    val df = Similarity.v01CosineTopk(spark, Sf)
+    assert(plan(df).contains("vec_dot"))
+    // execute with interpreted fallback DISABLED: if VecDot.doGenCode
+    // emitted uncompilable Java, this throws instead of silently degrading
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.count() > 0)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("vec_dot is bit-identical to the composable HOF fold") {
+    val e = Tables.embeddings(spark, Sf).limit(200)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("a2"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val paired = e.select(col("vec_id"), col("embedding"),
+      reverse(col("embedding")).as("a2"))
+    val diff = paired
+      .select(VectorFunctions.vecDot(col("embedding"), col("a2")).as("fast"),
+        hof.as("slow"))
+      .filter(col("fast") =!= col("slow")) // EXACT equality, not tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot registers as a SQL function via extension/registry") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>), " +
+        "CAST(array(3.0, 4.0) AS array<float>)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}
