@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Similarity.queries ++ ml.FraudML.queries ++
       sinks.MartPipeline.queries ++ sources.Ingest.queries ++
       operators.Multimodal.queries ++ operators.WindowOps.queries ++
-      operators.JsonOps.queries
+      operators.JsonOps.queries ++ operators.SkewOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +30,7 @@ object SparkEntry {
       operators.Similarity.oracles ++ ml.FraudML.oracles ++
       sinks.MartPipeline.oracles ++ sources.Ingest.oracles ++
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
-      operators.JsonOps.oracles
+      operators.JsonOps.oracles ++ operators.SkewOps.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —

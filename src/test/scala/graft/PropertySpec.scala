@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextFn
+import graft.streaming.StreamPipeline
+
+/** Property-based tests (SURVEY.md §5.3, ScalaCheck generators with
+  * deterministic seeded sampling — the scalatest/scalacheck bridge artifact
+  * is not in the offline cache, so sampling is driven directly): algebraic
+  * invariants of the deterministic primitives plus distributed-result
+  * properties of the graph layer on the smallest testdata.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestSession {
+
+  /** n deterministic samples of a generator (seeds 0..n-1). */
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("perm hashes stay in [0, P) for any positive id") {
+    for {
+      id <- samples(Gen.choose(1L, 10000000L))
+      j <- 0 until 32
+    } {
+      val v = (TextFn.A(j) * id + TextFn.B(j)) % TextFn.P
+      assert(v >= 0 && v < TextFn.P)
+    }
+  }
+
+  test("round-half-up matches the closed form for bounded doubles") {
+    val xs = samples(Gen.choose(-1000000.0, 1000000.0), 25)
+    val ks = samples(Gen.choose(0, 6), 25)
+    import spark.implicits._
+    xs.zip(ks).foreach { case (x, k) =>
+      val p = math.pow(10, k)
+      val expect = math.floor(x * p + 0.5) / p
+      val got = spark.range(1)
+        .select(graft.operators.Det.r(lit(x), k).as("r")).head().getDouble(0)
+      assert(got == expect, s"r($x, $k)")
+    }
+  }
+
+  test("line protocol is parseable and field-faithful") {
+    for {
+      id <- samples(Gen.choose(0L, 1000000L), 30)
+      tag <- Seq("fraud", "money", "normal")
+    } {
+      val v = id * 0.25 + 0.1
+      val line = StreamPipeline.lineProtocol("m", tag, id, v, 1700000000000000L)
+      assert(line.startsWith(s"m,type_tag=$tag "))
+      val fields = line.split(' ')(1).split(',')
+      assert(fields.contains(s"event_id=${id}i"))
+      assert(fields.contains(s"value=$v"))
+      assert(line.endsWith((1700000000000000L * 1000L).toString))
+    }
+  }
+
+  test("PageRank scores respect the alpha/N floor and unit mass bound") {
+    import graft.graph.PageRankOps
+    val pr = PageRankOps.pageRankLoop(spark, Sf).cache()
+    val n = pr.count()
+    val mn = pr.agg(min("pagerank")).head.getDouble(0)
+    val total = pr.agg(sum("pagerank")).head.getDouble(0)
+    // every vertex keeps at least the teleport mass alpha/N
+    assert(mn >= PageRankOps.Alpha / n - 1e-12)
+    // amount-normalized out-weights sum to <= 1 per src, so mass can only
+    // shrink (dangling loss): total stays within (0, 1]
+    assert(total > 0.0 && total <= 1.0 + 1e-9, s"total PR mass $total")
+  }
+
+  test("degree table of the symmetric edge set is even-summed") {
+    val e = graph.CoGraph.edges(spark, Sf).cache()
+    val deg = graph.CoGraph.degrees(spark, Sf)
+    val degSum = deg.agg(sum("degree")).head.getLong(0)
+    assert(degSum == 2 * e.count())
+    val asym = e.select(col("dst").as("src"), col("src").as("dst"))
+      .except(e).count()
+    assert(asym == 0)
+  }
+
+  test("char fingerprint is stable, bounded, and order-sensitive") {
+    import spark.implicits._
+    val strs = samples(Gen.alphaNumStr, 60).filter(_.length > 1).distinct.take(20)
+    val df = (strs ++ strs.map(_.reverse)).toDF("text")
+      .select(col("text"), TextFn.charFingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fps.values.foreach(f => assert(f >= 0 && f < TextFn.FpMod))
+    strs.filter(s => s != s.reverse).foreach { s =>
+      assert(fps(s) != fps(s.reverse), s"fingerprint insensitive for $s")
+    }
+  }
+
+  test("MinHash signature agreement estimates Jaccard within LSH tolerance") {
+    // identical shingle sets => identical signatures; disjoint => (almost
+    // surely) different on every permutation
+    import spark.implicits._
+    val a = (1L to 50L).toDF("sid")
+    val sigOf: Seq[Long] => Seq[Long] = ids =>
+      (0 until 16).map(j => ids.map(id =>
+        (TextFn.A(j) * id + TextFn.B(j)) % TextFn.P).min)
+    val s1 = sigOf(1L to 50L)
+    val s2 = sigOf(1L to 50L)
+    val s3 = sigOf(1000L to 1050L)
+    assert(s1 == s2)
+    assert(s1.zip(s3).count { case (x, y) => x == y } <= 2)
+  }
+}
