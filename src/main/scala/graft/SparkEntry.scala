@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Relational.queries ++ graph.GraphQueries.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ ml.FraudML.queries ++
-      sinks.MartPipeline.queries ++ sources.Ingest.queries ++
+      sinks.MartPipeline.queries ++ sinks.Bucketing.queries ++
+      sources.Ingest.queries ++
       operators.Multimodal.queries ++ operators.WindowOps.queries ++
       operators.JsonOps.queries ++ operators.SkewOps.queries
 
@@ -28,7 +29,8 @@ object SparkEntry {
     operators.Relational.oracles ++ graph.GraphQueries.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ ml.FraudML.oracles ++
-      sinks.MartPipeline.oracles ++ sources.Ingest.oracles ++
+      sinks.MartPipeline.oracles ++ sinks.Bucketing.oracles ++
+      sources.Ingest.oracles ++
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
       operators.JsonOps.oracles ++ operators.SkewOps.oracles
 
