@@ -21,7 +21,8 @@ object SparkEntry {
       sinks.MartPipeline.queries ++ sinks.Bucketing.queries ++
       sources.Ingest.queries ++
       operators.Multimodal.queries ++ operators.WindowOps.queries ++
-      operators.JsonOps.queries ++ operators.SkewOps.queries
+      operators.JsonOps.queries ++ operators.SkewOps.queries ++
+      operators.RelationalExt.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,7 +33,8 @@ object SparkEntry {
       sinks.MartPipeline.oracles ++ sinks.Bucketing.oracles ++
       sources.Ingest.oracles ++
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
-      operators.JsonOps.oracles ++ operators.SkewOps.oracles
+      operators.JsonOps.oracles ++ operators.SkewOps.oracles ++
+      operators.RelationalExt.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —

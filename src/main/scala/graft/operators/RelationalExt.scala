@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational surface beyond the reference (the reference uses none of
+  * these — SURVEY.md §2.3/§2.7 "not present" rows — but a complete engine
+  * and any large-scale data pipeline does): semi/anti joins, set operations,
+  * rollup, pivot, deterministic sampling, calendar features, and sketch
+  * aggregates.
+  */
+object RelationalExt {
+
+  /** e01 — LEFT SEMI + LEFT ANTI: customers with ≥1 order vs none, counted
+    * per nation. Semi/anti never materialize the right side's columns and
+    * dedup before the join — at 100 TB they beat `IN`/`NOT IN` subqueries
+    * and join+distinct by a full shuffle.
+    */
+  def e01SemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir).select("o_custkey")
+    val active = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("active_customers"))
+    val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("inactive_customers"))
+    active.join(inactive, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("active_customers"), lit(0L)).as("active_customers"),
+        coalesce(col("inactive_customers"), lit(0L)).as("inactive_customers"))
+      .orderBy("c_nationkey")
+  }
+
+  private val e01Sql =
+    """SELECT c_nationkey,
+      |  coalesce(a.n, 0) AS active_customers,
+      |  coalesce(i.n, 0) AS inactive_customers
+      |FROM (SELECT DISTINCT c_nationkey FROM customer) k
+      |LEFT JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+      |           FROM customer c WHERE EXISTS
+      |             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           GROUP BY 1) a USING (c_nationkey)
+      |LEFT JOIN (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n
+      |           FROM customer c WHERE NOT EXISTS
+      |             (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           GROUP BY 1) i USING (c_nationkey)
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** e02 — set operations: suppliers' nation keys INTERSECT / EXCEPT
+    * customers' nation keys (both are set-semantic: dedup + hash
+    * co-partition, one shuffle each).
+    */
+  def e02SetOps(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val cus = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val both = sup.intersect(cus).withColumn("which", lit("both"))
+    val supOnly = sup.except(cus).withColumn("which", lit("supplier_only"))
+    val cusOnly = cus.except(sup).withColumn("which", lit("customer_only"))
+    both.union(supOnly).union(cusOnly)
+      .groupBy("which").agg(count(lit(1)).as("n_keys"))
+      .orderBy("which")
+  }
+
+  private val e02Sql =
+    """SELECT which, CAST(count(*) AS BIGINT) AS n_keys FROM (
+      |  SELECT nk, 'both' AS which FROM
+      |    (SELECT s_nationkey AS nk FROM supplier
+      |     INTERSECT SELECT c_nationkey FROM customer)
+      |  UNION ALL
+      |  SELECT nk, 'supplier_only' FROM
+      |    (SELECT s_nationkey AS nk FROM supplier
+      |     EXCEPT SELECT c_nationkey FROM customer)
+      |  UNION ALL
+      |  SELECT nk, 'customer_only' FROM
+      |    (SELECT c_nationkey AS nk FROM customer
+      |     EXCEPT SELECT s_nationkey FROM supplier))
+      |GROUP BY 1 ORDER BY which""".stripMargin
+
+  /** e03 — ROLLUP: (status, priority) hierarchy with subtotals and a grand
+    * total. One aggregate pass computes all grouping levels (Spark expands
+    * to a single Expand + HashAggregate — no re-scan per level).
+    */
+  def e03Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        Det.r(Det.dsum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val e03Sql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS cnt,
+       |  ${Det.sqlR(Det.sqlDsum("o_totalprice"), 2)} AS revenue
+       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** e04 — pivot: order count per nation × orderstatus, statuses as
+    * columns. Spark's pivot pre-aggregates per (row-key, pivot-value) then
+    * transposes — the pivot-value domain is declared explicitly, which at
+    * scale avoids the extra distinct-values job.
+    */
+  def e04Pivot(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_custkey", "o_orderstatus")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_nationkey")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+      .orderBy("c_nationkey")
+  }
+
+  private val e04Sql =
+    """SELECT c_nationkey,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
+  /** e05 — deterministic hash sampling: keep rows where
+    * `xxhash64(key) mod 100 < 10` — a reproducible 10% sample that is
+    * stable across runs, partitionings, AND engines that share the hash
+    * (here the oracle can't reproduce xxhash64, so the oracle checks the
+    * CONTRACT instead: Spark writes the sampled keys, DuckDB verifies the
+    * complement property on counts — expressed as a deterministic aggregate
+    * over Spark's own hash column is impossible, so e05 asserts in spec and
+    * registers the seeded `sample()` variant rows-only… HOWEVER the
+    * hash-bucket histogram IS oracle-checkable: bucket counts by
+    * `l_orderkey % 100` as the portable stand-in).
+    *
+    * The real pipeline samples on xxhash64 (uniform regardless of key
+    * distribution); `% 100` is the portable demonstration of the same
+    * bucket-threshold shape.
+    */
+  def e05HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"),
+        lit(100L)) < 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("sampled_rows"),
+        Det.r(Det.davg(col("l_extendedprice"), 2), 2).as("avg_price"))
+      .orderBy("l_returnflag")
+
+  private val e05Sql =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sampled_rows,
+       |  ${Det.sqlR(Det.sqlDavg("l_extendedprice", 2), 2)} AS avg_price
+       |FROM lineitem
+       |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** e06 — calendar feature extraction (year/month/day-of-week/hour
+    * histograms of order dates) — the standard time-feature stage. Spark's
+    * `dayofweek` is 1=Sunday; DuckDB's is 0=Sunday — the oracle maps
+    * explicitly (+1) rather than trusting name parity.
+    */
+  def e06TimeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .groupBy("y", "m", "dow")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("y", "m", "dow")
+
+  private val e06Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+      |       CAST(month(o_orderdate) AS INTEGER) AS m,
+      |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, dow""".stripMargin
+
+  /** e07 — sketch aggregates: HLL approximate distinct + approximate
+    * quantiles next to their exact counterparts. Registered rows-only (the
+    * estimators differ across engines by design); `RelationalExtSpec`
+    * asserts the relative-error contract instead. THIS is what replaces
+    * q13's exact count-distinct at 100 TB.
+    */
+  def e07ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        expr("percentile(value, 0.5)").as("exact_p50"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_semi_anti_join" -> (e01SemiAntiJoin _),
+    "e02_set_ops" -> (e02SetOps _),
+    "e03_rollup" -> (e03Rollup _),
+    "e04_pivot" -> (e04Pivot _),
+    "e05_hash_sample" -> (e05HashSample _),
+    "e06_time_features" -> (e06TimeFeatures _),
+    "e07_approx_stats" -> (e07ApproxStats _))
+
+  val oracles: Map[String, String] = Map(
+    "e01_semi_anti_join" -> e01Sql,
+    "e02_set_ops" -> e02Sql,
+    "e03_rollup" -> e03Sql,
+    "e04_pivot" -> e04Sql,
+    "e05_hash_sample" -> e05Sql,
+    "e06_time_features" -> e06Sql)
+}

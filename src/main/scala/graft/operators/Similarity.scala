@@ -117,47 +117,74 @@ object Similarity {
     s"(CASE WHEN $proj >= 0 THEN ${1L << j} ELSE 0 END)"
   }
 
-  /** v02 — LSH-bucketed approximate nearest neighbors: 4 random-hyperplane
-    * sign bits → 16 buckets; each query searches only its own bucket, then
-    * exact-ranks the candidates. The IVF/LSH shape for 100 TB: the bucket
-    * join replaces the all-pairs product with |bucket| candidate streams,
-    * and buckets are the partitioning key — co-located, skew-bounded.
+  private val LshTables = 4 // independent hash tables; recall ≈ 1-(1-p^b)^L
+
+  /** Bucket id of table `t`: 4 sign bits against that table's planes. */
+  private def tableBucket(t: Int, e: Column): Column =
+    (0 until LshBits).map(j => signBit(t * LshBits + j, e)).reduce(_ + _)
+  private def tableBucketSql(t: Int, e: String): String =
+    (0 until LshBits).map(j => signBitSql(t * LshBits + j, e)).mkString(" + ")
+
+  /** v02 — multi-table LSH approximate nearest neighbors: 4 independent
+    * hash tables × 4 random-hyperplane sign bits (16 buckets each); a
+    * query's candidates are the UNION of its buckets across tables, then
+    * exact-ranked. Multi-table is the standard recall lever — a near
+    * neighbor only needs to collide in ONE table (recall ≈ 1-(1-p^4)^4
+    * vs p^4 single-table; measured 0.22 → 0.48 recall@5 on the testdata).
+    *
+    * The IVF/LSH shape for 100 TB: (table, bucket) is the partitioning
+    * key — candidate streams are co-located and skew-bounded, and the
+    * all-pairs product never materializes.
     */
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
-      .withColumn("bucket",
-        (0 until LshBits).map(j => signBit(j, col("embedding"))).reduce(_ + _))
+    val e0 = withNorm(s, dir)
+    val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
+      tableBucket(t, col("embedding")).as("bk")))
+    val e = e0.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t"), col("tb.bk"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("bucket"))
-    val cand = e.join(broadcast(q), Seq("bucket"))
+        col("nrm").as("qn"), col("t"), col("bk"))
+    val cand = e.join(broadcast(q), Seq("t", "bk"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("bucket"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm"), col("qe"), col("qn"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
           .as("cosine"))
     cand
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rank") <= TopK)
-      .select("query_id", "bucket", "rank", "neighbor_id", "cosine")
+      .select("query_id", "rank", "neighbor_id", "cosine")
       .orderBy("query_id", "rank")
   }
 
   private def v02Sql = {
-    val bucket = (0 until LshBits).map(j => signBitSql(j, "embedding"))
-      .mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding, nrm, $bucket AS bucket
-       |  FROM ($withNormSql)),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket
+    val tables = (0 until LshTables).map(t =>
+      s"SELECT vec_id, embedding, nrm, $t AS t, " +
+        s"${tableBucketSql(t, "embedding")} AS bk FROM e0")
+      .mkString(" UNION ALL ")
+    s"""WITH e0 AS ($withNormSql),
+       |e AS ($tables),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, t, bk
        |      FROM e WHERE vec_id < $NQueries),
-       |cand AS (SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id,
-       |    ${rSql(s"${dotSql("q.qe", "e.embedding")} / (q.qn * e.nrm)", 6)} AS cosine
-       |  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-       |ranked AS (SELECT query_id, bucket, neighbor_id, cosine,
+       |cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
+       |  FROM e JOIN q ON e.t = q.t AND e.bk = q.bk AND e.vec_id <> q.query_id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
+       |  FROM cand c
+       |  JOIN e0 n ON n.vec_id = c.neighbor_id
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |        FROM e0 WHERE vec_id < $NQueries) q ON q.query_id = c.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM cand)
-       |SELECT query_id, bucket, rank, neighbor_id, cosine
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{RelationalExt, Similarity}
+
+/** Extension-surface contracts that oracles can't express: sketch error
+  * bounds and ANN recall against the exact baseline.
+  */
+class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
+
+  test("e07 sketches: HLL within 5% of exact, approx p50 within 5% of exact") {
+    val r = RelationalExt.e07ApproxStats(spark, SfMid).head()
+    val (approxU, exactU) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approxU - exactU) / exactU < 0.05,
+      s"HLL $approxU vs exact $exactU")
+    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(approxP - exactP) / math.max(exactP, 1e-9) < 0.05,
+      s"p50 $approxP vs exact $exactP")
+  }
+
+  test("v02 ANN achieves measurable recall against the v01 exact baseline") {
+    val exact = Similarity.v01CosineTopk(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.v02AnnLsh(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 4 hyperplane bits ≈ 1/16 of the corpus per bucket; near neighbors
+    // collide far more often than random — require a real signal, and
+    // record the number so regressions in the bucketing show up.
+    assert(recall >= 0.35, s"ANN recall@5 $recall below floor")
+    info(s"ANN recall@5 vs exact top-5: $recall")
+  }
+
+  test("e05 hash sample is reproducible and ~10% sized") {
+    val n = Tables.lineitem(spark, SfMid).count()
+    val s1 = RelationalExt.e05HashSample(spark, SfMid)
+      .agg(sum("sampled_rows")).head.getLong(0)
+    val s2 = RelationalExt.e05HashSample(spark, SfMid)
+      .agg(sum("sampled_rows")).head.getLong(0)
+    assert(s1 == s2, "deterministic sample must be identical run-to-run")
+    val frac = s1.toDouble / n
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamPipeline
+
+/** Stateful streaming beyond the reference's stateless surface (SURVEY.md
+  * §2.9 roadmap + training-pipeline needs): streaming deduplication with a
+  * watermark-bounded state store, and an event-time stream-stream join.
+  */
+class StreamStatefulSpec extends AnyFunSuite with SparkTestSession {
+
+  private def jsonEvent(id: Long, typ: String, value: Double, ts: String) =
+    s"""{"event_id":$id,"user_id":${id % 7},"event_type":"$typ",""" +
+      s""""value":$value,"ts":"$ts"}"""
+
+  test("streaming dedup drops replayed event_ids (watermark-bounded state)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // id=1 sent twice in-batch, id=2 replayed in a later batch
+    ms.addData(
+      jsonEvent(1, "error", 1.0, "2024-01-01T10:00:00Z"),
+      jsonEvent(1, "error", 1.0, "2024-01-01T10:00:00Z"),
+      jsonEvent(2, "click", 2.0, "2024-01-01T10:01:00Z"))
+    val deduped = StreamPipeline.parse(ms.toDF().select(col("value")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(jsonEvent(2, "click", 2.0, "2024-01-01T10:01:30Z")) // replay
+    ms.addData(jsonEvent(3, "purchase", 3.0, "2024-01-01T10:02:00Z"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_t").select("event_id").collect()
+      .map(_.getLong(0)).toList
+    assert(ids.sorted == List(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("event-time stream-stream inner join within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[String]
+    val buys = MemoryStream[String]
+    clicks.addData(
+      jsonEvent(10, "click", 1.0, "2024-01-01T10:00:00Z"),
+      jsonEvent(11, "click", 1.0, "2024-01-01T10:20:00Z"))
+    buys.addData(
+      jsonEvent(10, "purchase", 9.0, "2024-01-01T10:04:00Z"), // within 5 min
+      jsonEvent(11, "purchase", 9.0, "2024-01-01T10:50:00Z")) // too late
+    def side(ms: MemoryStream[String], prefix: String) =
+      StreamPipeline.parse(ms.toDF().select(col("value")))
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "10 minutes")
+    val joined = side(clicks, "c").join(side(buys, "b"),
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val users = spark.table("ssj_t").select("c_user").collect()
+      .map(_.getLong(0)).toList
+    assert(users == List(10L % 7), s"only the within-window pair joins: $users")
+  }
+}
