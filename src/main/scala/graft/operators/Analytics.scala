@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-join analytical queries in the TPC-H shape — the workload class
+  * the engine must sustain at 100 TB (the reference's analytics are all
+  * single-table + one dim join; these exercise 3–5-table join trees with
+  * selective date/flag predicates).
+  *
+  * Plan goals (asserted in PlanSpec where stable): every filter reaches its
+  * scan, small dims broadcast, the fact-fact join (orders ⋈ lineitem)
+  * shuffles once on the shared key, aggregation is partial before the final
+  * exchange, top-k is TakeOrderedAndProject.
+  */
+object Analytics {
+
+  /** a01 — shipping-priority (TPC-H Q3 shape): revenue of undelivered
+    * orders per (orderkey, orderdate) for one segment, top-10.
+    */
+  def a01ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"))
+      .agg(Det.r(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val a01Sql = {
+    // l_extendedprice * (1 - l_discount) is a product of 2-dp and 2-dp-ish
+    // doubles — not exactly representable; Det carries it at DECIMAL(28,4)
+    // after the double multiply, which both engines compute identically.
+    val rev = Det.sqlR(Det.sqlDsum("l_extendedprice * (1 - l_discount)"), 2)
+    s"""SELECT l_orderkey,
+       |  CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+       |  $rev AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+  }
+
+  /** a02 — local-supplier volume (TPC-H Q5 shape): revenue where customer
+    * and supplier share a nation, per nation, one region + date year.
+    * Five-table tree: region→nation broadcast down; the lineitem ⋈ orders
+    * fact join dominates and shuffles on orderkey; supplier and customer
+    * joins hash on their keys with the nation equality as the final
+    * residual.
+    */
+  def a02LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val rn = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(c, o("o_custkey") === c("c_custkey")
+        && sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(rn), c("c_nationkey") === rn("n_nationkey"))
+      .groupBy("n_name")
+      .agg(Det.r(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val a02Sql = {
+    val rev = Det.sqlR(Det.sqlDsum("l_extendedprice * (1 - l_discount)"), 2)
+    s"""SELECT n_name, $rev AS revenue, CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+  }
+
+  /** a03 — TPC-H Q1 shape done properly (the reference's per-class stats
+    * are its 2-column cousin): full pricing-summary aggregate battery per
+    * (returnflag, linestatus) with derived measures.
+    */
+  def a03PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.r(Det.dsum(col("l_quantity")), 2).as("sum_qty"),
+        Det.r(Det.dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Det.r(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        Det.davg(col("l_quantity"), 2).as("avg_qty"),
+        Det.davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val a03Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.sqlR(Det.sqlDsum("l_quantity"), 2)} AS sum_qty,
+       |  ${Det.sqlR(Det.sqlDsum("l_extendedprice"), 2)} AS sum_base_price,
+       |  ${Det.sqlR(Det.sqlDsum("l_extendedprice * (1 - l_discount)"), 2)} AS sum_disc_price,
+       |  ${Det.sqlDavg("l_quantity", 2)} AS avg_qty,
+       |  ${Det.sqlDavg("l_discount", 4)} AS avg_disc,
+       |  CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_shipping_priority" -> (a01ShippingPriority _),
+    "a02_local_supplier_volume" -> (a02LocalSupplierVolume _),
+    "a03_pricing_summary" -> (a03PricingSummary _))
+
+  val oracles: Map[String, String] = Map(
+    "a01_shipping_priority" -> a01Sql,
+    "a02_local_supplier_volume" -> a02Sql,
+    "a03_pricing_summary" -> a03Sql)
+}
