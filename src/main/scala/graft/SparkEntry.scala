@@ -48,6 +48,7 @@ object SparkEntry {
     "t04_fingerprint", "t05_token_freq",
     "d03_minhash_lsh", "d06_minhash_xxhash_scale",
     "v01_cosine_topk", "d05_embedding_neardup",
-    "w01_top_per_group", "w03_running_total", "j01_json_extract"
+    "w01_top_per_group", "w03_running_total", "j01_json_extract",
+    "a02_local_supplier_volume", "a03_pricing_summary", "e03_rollup"
   ).filter(queries.contains)
 }

@@ -37,7 +37,11 @@ object PageRankOps {
       iterations: Int = Iterations): DataFrame = {
     val vertices = Components.vertices(s, dir).cache()
     val n = vertices.count()
-    val w = CoGraph.normalizedWeights(s, dir).cache()
+    // hash-partition the (static) weight table on the join key ONCE: the
+    // cached partitioning satisfies the join's distribution requirement in
+    // every iteration, so only the rank side shuffles per step.
+    val w = CoGraph.normalizedWeights(s, dir)
+      .repartition(col("src")).cache()
     var pr = vertices.withColumn("pagerank", lit(1.0 / n))
     var prev: DataFrame = null
     for (i <- 1 to iterations) {

@@ -59,7 +59,8 @@ object Multimodal {
     * payload bytes. Frame sampling: one "frame" per 256-byte block.
     */
   def decodeStub(r: MediaRow): MediaFeatures = {
-    val bytes = r.payload
+    // a null payload (e.g. null source text) decodes as empty media, not NPE
+    val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
     val n = bytes.length
     var sum = 0L
     var mx = 0

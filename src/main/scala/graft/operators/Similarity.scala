@@ -41,16 +41,22 @@ object Similarity {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       s"(acc, x) -> acc + x)"
 
-  /** vec_id, embedding, norm — norms computed once, reused by every pair. */
+  /** vec_id, embedding, norm — norms computed once, reused by every pair.
+    * Zero-norm and null embeddings are excluded HERE: cosine is undefined
+    * for them, and under Spark 4's default ANSI mode the division would
+    * throw DIVIDE_BY_ZERO mid-scan (caught by EdgeCaseSpec).
+    */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
 
   private val withNormSql =
     s"""SELECT vec_id, embedding,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
-       |FROM embeddings""".stripMargin
+       |FROM embeddings
+       |WHERE sqrt(${dotSql("embedding", "embedding")}) > 0""".stripMargin
 
   /** v01 — brute-force cosine top-k: for each query vector (vec_id <
     * NQueries), the TopK nearest neighbors by cosine, ranked per query with

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Pathological-input robustness: null text, empty text, single-token docs,
+  * unicode, null embeddings, and empty tables must flow through every
+  * training-data operator without exceptions — at 100 TB every pathology
+  * exists somewhere in the corpus.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("edge_data").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(0L, null, "en", "s0", 0L), // null text
+      Row(1L, "", "en", "s0", 0L), // empty text
+      Row(2L, "one", "en", "s1", 3L), // single token (no shingles)
+      Row(3L, "two tokens", "en", "s1", 10L), // below shingle width
+      Row(4L, "a b c d e f g h", "en", "s2", 15L), // normal
+      Row(5L, "a b c d e f g h", "fr", "s2", 15L), // exact duplicate text
+      Row(6L, "héllo wörld ünïcode tokens here", "de", "s3", 31L),
+      Row(7L, "  leading and trailing  spaces  ", "es", "s3", 32L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embs = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      Row(1L, Seq(1.0f, 0.0f, 0.0f), 0), // identical → cosine 1
+      Row(2L, null, 1), // null embedding
+      Row(3L, Seq(0.0f, 0.0f, 0.0f), 1), // zero vector (norm 0)
+      Row(4L, Seq(-1.0f, 0.5f, 0.25f), 2))
+    spark.createDataFrame(spark.sparkContext.parallelize(embs, 2), embSchema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("text ops survive null/empty/unicode text") {
+    assert(TextOps.t01TokenStats(spark, dir).count() == 8)
+    assert(TextOps.t02LangId(spark, dir).count() == 8)
+    assert(TextOps.t03QualityScore(spark, dir).count() == 8)
+    val fp = TextOps.t04Fingerprint(spark, dir).collect()
+    assert(fp.length == 8)
+    // null text → null fingerprint; empty text → fold zero
+    assert(fp.find(_.getLong(0) == 0L).exists(_.isNullAt(1)))
+    assert(fp.find(_.getLong(0) == 1L).exists(_.getLong(1) == 0L))
+    assert(TextOps.t05TokenFreq(spark, dir).count() > 0)
+  }
+
+  test("dedup ops: sub-shingle docs drop out, exact dup collapses") {
+    // docs 4 and 5 share identical text → one fingerprint group of size 4
+    // in d01's doubled corpus
+    val d01 = Dedup.d01ExactDedup(spark, dir)
+    val copies = d01.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(copies(4L) == 4L, s"dup text must collapse: $copies")
+    // shingle-based ops must not throw on docs 0–3 (no shingles possible)
+    assert(Dedup.d02NgramJaccardPairs(spark, dir).collect()
+      .exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L))
+    val d03 = Dedup.d03MinhashLsh(spark, dir).collect()
+    assert(d03.exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L
+      && r.getDouble(2) == 1.0), "identical docs must LSH-collide at j=1")
+    assert(Dedup.d04Simhash(spark, dir).collect()
+      .exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L
+        && r.getLong(2) == 0L), "identical docs at hamming 0")
+    assert(Dedup.d06MinhashXxhashScale(spark, dir).collect()
+      .exists(r => r.getLong(0) == 4L && r.getLong(1) == 5L))
+  }
+
+  test("similarity ops: null and zero vectors never pair, identical pair at 1.0") {
+    val nd = Similarity.d05EmbeddingNeardup(spark, dir).collect()
+    assert(nd.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L
+      && r.getDouble(2) == 1.0))
+    // null embedding (2) and zero vector (3, NaN cosine) must not surface
+    assert(!nd.exists(r => r.getLong(0) >= 2L && r.getLong(1) <= 3L))
+    val topk = Similarity.v01CosineTopk(spark, dir)
+    assert(topk.filter(col("cosine").isNull || isnan(col("cosine"))).count() == 0)
+    Similarity.v02AnnLsh(spark, dir).count() // must not throw
+  }
+
+  test("multimodal ops survive null payloads") {
+    assert(Multimodal.mm01MediaMeta(spark, dir).count() == 8)
+    val feats = Multimodal.mm02MediaFeatures(spark, dir)
+    assert(feats.count() == 8)
+    // null text → null payload → stub decode must not NPE; byte_len 0 path
+    assert(feats.filter(col("byte_len") === 0).count() >= 1)
+  }
+
+  test("empty tables flow through without exceptions") {
+    val d = java.nio.file.Files.createTempDirectory("edge_empty").toString
+    Tables.documents(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Tables.embeddings(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(TextOps.t01TokenStats(spark, d).count() == 0)
+    assert(Dedup.d03MinhashLsh(spark, d).count() == 0)
+    assert(Similarity.v01CosineTopk(spark, d).count() == 0)
+    assert(Multimodal.mm02MediaFeatures(spark, d).count() == 0)
+  }
+}
