@@ -22,7 +22,8 @@ object SparkEntry {
       sources.Ingest.queries ++
       operators.Multimodal.queries ++ operators.WindowOps.queries ++
       operators.JsonOps.queries ++ operators.SkewOps.queries ++
-      operators.RelationalExt.queries ++ operators.Analytics.queries
+      operators.RelationalExt.queries ++ operators.Analytics.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,7 +35,8 @@ object SparkEntry {
       sources.Ingest.oracles ++
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
       operators.JsonOps.oracles ++ operators.SkewOps.oracles ++
-      operators.RelationalExt.oracles ++ operators.Analytics.oracles
+      operators.RelationalExt.oracles ++ operators.Analytics.oracles ++
+      operators.Corpus.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The composed training-corpus pipeline — the flagship "what this engine is
+  * for" job: documents → quality filter → near-duplicate removal → token
+  * accounting, each stage one of the library's operators chained in ONE
+  * declarative plan (Catalyst sees the whole pipeline: the quality filter
+  * prunes before shingling, column pruning reaches the scan, and the
+  * near-dup join only ever runs over quality survivors).
+  *
+  * Scale: stage order is the big lever — quality filtering is a narrow
+  * per-row op that typically drops 20–60% of a web corpus BEFORE the
+  * expensive near-dedup shuffle; dedup runs on the survivors only. At
+  * 100 TB swap the d02 inverted-index pair stage for the d03/d06 LSH
+  * stage (same interface, bounded candidates).
+  */
+object Corpus {
+  import TextFn._
+
+  private val JaccardT = 0.5
+
+  /** c01 — the pipeline: (1) quality-score each doc (t03 logic), drop the
+    * 'drop' band; (2) word-3-gram Jaccard near-dup pairs among survivors
+    * (d02 logic), drop the HIGHER doc_id of each pair (keep-first policy);
+    * (3) emit the kept corpus with per-doc token counts + quality, ordered.
+    */
+  def c01TrainingCorpus(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("distinct_ratio",
+        r(size(array_distinct(t)).cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        r(size(filter(t, x => x.isin(en.map(lit(_)): _*))).cast("double")
+          / col("n_tokens"), 4))
+      .withColumn("len_score",
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1.0)
+          .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
+      .withColumn("quality_score",
+        r(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
+          + lit(0.2) * least(col("stopword_ratio") * lit(5.0), lit(1.0)), 4))
+      .filter(col("quality_score") >= 0.3) // drop the 'drop' band
+      .cache()
+    val sh = scored
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+      .cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dropIds = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(r(col("c").cast("double")
+        / (col("sa.n") + col("sb.n") - col("c")), 4) >= JaccardT)
+      .select(col("id_b").as("doc_id")).distinct() // keep-first: drop higher id
+    scored.join(dropIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val c01Sql = {
+    val t = tokensSql("text")
+    val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, n_tokens, quality_score FROM (
+       |    SELECT doc_id, text, n_tokens,
+       |      ${rSql("0.4 * len_score + 0.4 * distinct_ratio + " +
+        "0.2 * least(stopword_ratio * 5.0, 1.0)", 4)} AS quality_score
+       |    FROM (SELECT doc_id, text,
+       |      CAST(len($t) AS BIGINT) AS n_tokens,
+       |      ${rSql(s"CAST(len(list_distinct($t)) AS DOUBLE) / len($t)", 4)} AS distinct_ratio,
+       |      ${rSql(s"CAST(len(list_filter($t, x -> list_contains($en, x))) " +
+        s"AS DOUBLE) / len($t)", 4)} AS stopword_ratio,
+       |      CASE WHEN len($t) BETWEEN 20 AND 1000 THEN 1.0
+       |           WHEN len($t) >= 5 THEN 0.5 ELSE 0.0 END AS len_score
+       |    FROM documents))
+       |  WHERE quality_score >= 0.3),
+       |sh AS (SELECT doc_id, unnest(${shingles3Sql("tt")}) AS s
+       |       FROM (SELECT doc_id, ${tokensSql("text")} AS tt FROM scored)
+       |       WHERE len(tt) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |drops AS (SELECT DISTINCT id_b AS doc_id
+       |          FROM pairs
+       |          JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} >= $JaccardT)
+       |SELECT doc_id, n_tokens, quality_score
+       |FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** c02 — corpus accounting after the pipeline: documents kept, tokens
+    * kept, mean quality — the budget numbers a data curator reads.
+    */
+  def c02CorpusBudget(s: SparkSession, dir: String): DataFrame =
+    c01TrainingCorpus(s, dir)
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_tokens")).cast("long").as("tokens_kept"),
+        // exact decimal carrier: scores are 4-dp, so the cast is a stable
+        // snap and the sum is order-free (Det §notes)
+        r(Det.dsum(col("quality_score")) / count(lit(1)), 4).as("mean_quality"))
+
+  private val c02Sql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS docs_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       |  ${Det.sqlR(s"${Det.sqlDsum("quality_score")} / count(*)", 4)} AS mean_quality
+       |FROM ($c01Sql)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_training_corpus" -> (c01TrainingCorpus _),
+    "c02_corpus_budget" -> (c02CorpusBudget _))
+
+  val oracles: Map[String, String] = Map(
+    "c01_training_corpus" -> c01Sql,
+    "c02_corpus_budget" -> c02Sql)
+}
