@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CorpusStream
+
+/** Streaming training-corpus pipeline: quality gate, fingerprint dedup
+  * within the watermark, and mapGroupsWithState running profiles that
+  * accumulate ACROSS micro-batches.
+  */
+class CorpusStreamSpec extends AnyFunSuite with SparkTestSession {
+
+  private def doc(id: Long, text: String, source: String, ts: String) =
+    s"""{"doc_id":$id,"text":"$text","source":"$source","ts":"$ts"}"""
+
+  test("quality gate + fingerprint dedup + cross-batch stateful profiles") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val profiles = CorpusStream.pipeline(ms.toDF().select(col("value")))
+    val q = profiles.toDF().writeStream.format("memory").queryName("prof_t")
+      .outputMode(CorpusStream.ProfileOutputMode).start()
+
+    // batch 1: one good doc, one duplicate of it, one too-short doc
+    ms.addData(
+      doc(1, "alpha beta gamma delta epsilon", "crawl", "2024-01-01T10:00:00Z"),
+      doc(2, "alpha beta gamma delta epsilon", "crawl", "2024-01-01T10:00:30Z"),
+      doc(3, "tiny", "crawl", "2024-01-01T10:01:00Z"))
+    q.processAllAvailable()
+    val after1 = spark.table("prof_t")
+      .orderBy(col("docs").desc).collect()
+    assert(after1.exists(r => r.getString(0) == "crawl" && r.getLong(1) == 1L),
+      s"dup + short doc must be gated: ${after1.mkString(",")}")
+
+    // batch 2: a new doc for the same source and one for a new source —
+    // the crawl profile must ACCUMULATE (state survives the batch boundary)
+    ms.addData(
+      doc(4, "zeta eta theta iota kappa lambda", "crawl", "2024-01-01T10:02:00Z"),
+      doc(5, "mu nu xi omicron pi rho sigma", "books", "2024-01-01T10:02:30Z"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("prof_t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val crawlFinal = rows.filter(_._1 == "crawl").maxBy(_._2)
+    assert(crawlFinal._2 == 2L, s"crawl profile must reach 2 docs: ${rows.mkString(",")}")
+    assert(crawlFinal._3 == 11L, s"token total 5+6: $crawlFinal")
+    assert(rows.exists(r => r._1 == "books" && r._2 == 1L))
+  }
+}
