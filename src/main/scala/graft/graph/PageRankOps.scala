@@ -35,7 +35,11 @@ object PageRankOps {
   /** The deterministic DataFrame loop. Returns (id, pagerank) unrounded. */
   def pageRankLoop(s: SparkSession, dir: String,
       iterations: Int = Iterations): DataFrame = {
-    val vertices = Components.vertices(s, dir).cache()
+    // hash-partition the (static) vertex set on the join key once, like the
+    // weight table below — each iteration's dangling left-join then reuses
+    // the cached distribution instead of re-shuffling vertices.
+    val vertices = Components.vertices(s, dir)
+      .repartition(col("id")).cache()
     val n = vertices.count()
     // hash-partition the (static) weight table on the join key ONCE: the
     // cached partitioning satisfies the join's distribution requirement in
