@@ -139,6 +139,27 @@ object FraudML {
     GBTClassificationModel.load(path)
   }
 
+  /** The idiomatic deployment form the reference stops short of: ONE
+    * `spark.ml` Pipeline (assembler + classifier) fit and persisted as a
+    * unit, so serving loads a single artifact that accepts RAW columns —
+    * no out-of-band agreement about feature order between train and serve
+    * (the exact bug class the reference's positional `getItem(29)` invites).
+    */
+  def fitPipeline(s: SparkSession, dir: String, path: String): org.apache.spark.ml.PipelineModel = {
+    import org.apache.spark.ml.Pipeline
+    val base = Tables.lineitem(s, dir)
+      .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")).cast("double"))
+      .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val Array(train, _) = base.randomSplit(Array(0.8, 0.2), seed = Seed)
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(FeatureCols).setOutputCol("features"),
+      new GBTClassifier().setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(5).setSeed(Seed)))
+    val model = pipe.fit(train)
+    model.write.overwrite().save(path)
+    org.apache.spark.ml.PipelineModel.load(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_feature_vectors" -> (m01FeatureVectors _),
     "m02_split_sizes" -> (m02SplitSizes _),

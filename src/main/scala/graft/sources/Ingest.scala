@@ -36,6 +36,36 @@ object Ingest {
   def writeParquetCoalesced(df: DataFrame, path: String, files: Int = 5): Unit =
     df.coalesce(files).write.mode("overwrite").parquet(path)
 
+  /** Partition-pruned layout — the 100 TB default for time-keyed tables:
+    * `partitionBy` on a low-cardinality derived key (one directory per
+    * value) turns time-range predicates into PartitionFilters, so a query
+    * over one day touches one directory instead of the whole table. Keep
+    * partition cardinality in the thousands, not millions (small-files
+    * death), and cap file size with maxRecordsPerFile rather than
+    * coalesce.
+    */
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy(key)
+      .parquet(path)
+
+  /** Small-file compaction — the maintenance job every partitioned 100 TB
+    * table needs: rewrite a directory to ~`targetFileMB` files computed from
+    * the actual data size (many tiny files → namenode pressure + per-task
+    * overhead; compaction restores scan efficiency). Rewrites to a new path:
+    * at scale, compact-then-swap, never in place.
+    */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+      targetFileMB: Int = 128): Long = {
+    val df = s.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1L,
+      (bytes / (targetFileMB.toLong * 1024 * 1024)).toLong).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+    files.toLong
+  }
+
   /** S12 — seeded synthetic transaction generator (the reference's
     * `spark.range(0,50)` + `rand()` frame, `spark_to_postgres.py:11-21`).
     * `rand(seed)`/`randn(seed)` are deterministic per (seed, partition

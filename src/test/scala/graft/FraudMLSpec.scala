@@ -47,6 +47,19 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("PipelineModel persists assembler+classifier as one raw-column artifact") {
+    val tmp = java.nio.file.Files.createTempDirectory("gbt_pipe").toString
+    val loaded = FraudML.fitPipeline(spark, dir, tmp)
+    assert(loaded.stages.length == 2)
+    // the loaded pipeline scores RAW rows - no manual assembly at serve time
+    val raw = Tables.lineitem(spark, dir)
+      .withColumn("ship_epoch", unix_timestamp(col("l_shipdate")).cast("double"))
+      .limit(50)
+    val scored = loaded.transform(raw)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.count() == 50)
+  }
+
   test("M8 save/load round-trip predicts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
     val loaded = FraudML.saveLoad(spark, dir, tmp)

@@ -38,6 +38,21 @@ class LifecycleSpec extends AnyFunSuite with SparkTestSession {
     assert(epochs.size() >= 1)
   }
 
+  test("DataFrame degrees equal GraphX degrees for every connected vertex") {
+    val session = spark
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    import session.implicits._
+    val dfDeg = graph.CoGraph.degrees(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeRdd = graph.CoGraph.edges(spark, Sf)
+      .select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val gxDeg = Graph.fromEdges(edgeRdd, ()).degrees.collect()
+      .map { case (id, d) => id -> d.toLong }.toMap
+    assert(dfDeg == gxDeg,
+      s"sizes df=${dfDeg.size} gx=${gxDeg.size}")
+  }
+
   test("GraphX staticPageRank ranks the same hubs as the reference loop") {
     import graft.graph.PageRankOps
     val loopTop = PageRankOps.topQ(spark, Sf).collect().map(_.getLong(0)).toSet

@@ -48,6 +48,40 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
       == df.agg(sum("l_extendedprice")).head.getDouble(0))
   }
 
+  test("partitionBy layout prunes partitions at read time") {
+    val tmp = java.nio.file.Files.createTempDirectory("part_spec").toString + "/ev"
+    val df = Tables.events(spark, Sf)
+      .withColumn("day", to_date(col("ts")))
+    Ingest.writePartitioned(df, tmp, "day")
+    val days = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("day=")).map(_.getName)
+    assert(days.length > 1, "multiple day directories expected")
+    val oneDay = days.sorted.head.stripPrefix("day=")
+    val q = spark.read.parquet(tmp).filter(col("day") === lit(oneDay))
+    q.count()
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("day"), scan.take(500))
+    // pruned read touches exactly the one directory's rows
+    val expected = df.filter(col("day") === lit(oneDay)).count()
+    assert(q.count() == expected)
+  }
+
+  test("compaction rewrites a fragmented table into the computed file count") {
+    val base = java.nio.file.Files.createTempDirectory("compact_spec").toString
+    // fragment: 64 tiny files
+    Tables.lineitem(spark, Sf).repartition(64)
+      .write.mode("overwrite").parquet(s"$base/frag")
+    val fragFiles = new java.io.File(s"$base/frag").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 64)
+    Ingest.compact(spark, s"$base/frag", s"$base/compact")
+    val outFiles = new java.io.File(s"$base/compact").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles < 8, s"compacted to $outFiles files")
+    assert(spark.read.parquet(s"$base/compact").count() ==
+      Tables.lineitem(spark, Sf).count())
+  }
+
   test("synthetic generator: seeded shape, bounded values, type partition") {
     val df = Ingest.syntheticTransactions(spark, 1000).cache()
     assert(df.count() == 1000)
