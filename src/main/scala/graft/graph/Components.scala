@@ -87,4 +87,73 @@ object Components {
        |       count(*) BETWEEN 5 AND 50 AS is_medium
        |FROM cc GROUP BY 1
        |ORDER BY component_size DESC, component""".stripMargin
+
+  private val ccCte: String =
+    s"""${CoGraph.edgesCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |reach(id, x) AS (
+       |  SELECT id, id FROM vertices
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src),
+       |cc AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)""".stripMargin
+
+  /** g09 — component fraud purity (reference `4_graphx.ipynb:520-577`,
+    * SURVEY §2.10 G4): fraction of a component's members that carry the
+    * fraud signal, for multi-member components, largest/purest first. The
+    * reference's headline finding (its max component is 100% fraud) is this
+    * exact query.
+    */
+  def componentPurity(s: SparkSession, dir: String): DataFrame = {
+    val fraudUsers = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("id")).distinct()
+      .withColumn("is_fraud", lit(1L))
+    connectedComponents(s, dir)
+      .join(fraudUsers, Seq("id"), "left_outer")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("component_size"),
+        sum(coalesce(col("is_fraud"), lit(0L))).as("n_fraud"),
+        graft.operators.Det.r(
+          sum(coalesce(col("is_fraud"), lit(0L))).cast("double")
+            / count(lit(1)), 4).as("purity"))
+      .filter(col("component_size") >= 2)
+      .orderBy(col("component_size").desc, col("purity").desc, col("component"))
+  }
+
+  val componentPuritySql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |fraud AS (SELECT DISTINCT user_id AS id, 1 AS is_fraud
+       |          FROM events WHERE event_type = 'error')
+       |SELECT component, CAST(count(*) AS BIGINT) AS component_size,
+       |       CAST(sum(coalesce(is_fraud, 0)) AS BIGINT) AS n_fraud,
+       |       ${graft.operators.Det.sqlR(
+          "CAST(sum(coalesce(is_fraud, 0)) AS DOUBLE) / count(*)", 4)} AS purity
+       |FROM cc LEFT JOIN fraud USING (id)
+       |GROUP BY component
+       |HAVING count(*) >= 2
+       |ORDER BY component_size DESC, purity DESC, component""".stripMargin
+
+  /** g10 — isolation summary (G4's isolated-vertex count, one row):
+    * singleton components vs connected vertices vs components.
+    */
+  def isolationSummary(s: SparkSession, dir: String): DataFrame = {
+    val sizes = connectedComponents(s, dir)
+      .groupBy("component").agg(count(lit(1)).as("n"))
+    sizes.agg(
+      count(lit(1)).as("n_components"),
+      sum(when(col("n") === 1, 1).otherwise(0)).cast("long")
+        .as("n_isolated"),
+      sum(when(col("n") > 1, col("n")).otherwise(0)).cast("long")
+        .as("n_connected_vertices"),
+      max(col("n")).as("max_component_size"))
+  }
+
+  val isolationSummarySql: String =
+    s"""WITH RECURSIVE $ccCte,
+       |sizes AS (SELECT component, count(*) AS n FROM cc GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_components,
+       |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated,
+       |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_connected_vertices,
+       |       max(n) AS max_component_size
+       |FROM sizes""".stripMargin
 }

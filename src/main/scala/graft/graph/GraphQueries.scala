@@ -12,7 +12,10 @@ object GraphQueries {
     "g05_weighted_edges" -> (CoGraph.weightedEdges _),
     "g06_pagerank_loop" -> (PageRankOps.q _),
     "g07_top_pagerank" -> (PageRankOps.topQ _),
-    "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _)
+    "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _),
+    "g09_component_purity" -> (Components.componentPurity _),
+    "g10_isolation_summary" -> (Components.isolationSummary _),
+    "g11_mules" -> (PageRankOps.mules _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -25,6 +28,9 @@ object GraphQueries {
     "g04_component_stats" -> Components.componentStatsSql,
     "g05_weighted_edges" -> CoGraph.weightedEdgesSql,
     "g06_pagerank_loop" -> PageRankOps.qSql(),
-    "g07_top_pagerank" -> PageRankOps.topQSql()
+    "g07_top_pagerank" -> PageRankOps.topQSql(),
+    "g09_component_purity" -> Components.componentPuritySql,
+    "g10_isolation_summary" -> Components.isolationSummarySql,
+    "g11_mules" -> PageRankOps.mulesSql()
   )
 }

@@ -118,6 +118,30 @@ object PageRankOps {
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
 
+  /** g11 — "mules" (reference `4_graphx.ipynb:1059-1104`, SURVEY §2.10
+    * G7): entities WITHOUT the fraud signal ranked by PageRank — high
+    * centrality in the fraud co-occurrence graph without being flagged is
+    * the money-mule heuristic. Top-10, deterministic tie-break.
+    */
+  def mules(s: SparkSession, dir: String): DataFrame = {
+    val fraudUsers = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("id")).distinct()
+    pageRankLoop(s, dir)
+      .join(fraudUsers, Seq("id"), "left_anti")
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("id"))
+      .limit(10)
+  }
+
+  def mulesSql(iterations: Int = Iterations): String =
+    s"""WITH ${prCtes(iterations)}
+       |SELECT id, round(pagerank, 10) AS pagerank
+       |FROM pr$iterations
+       |WHERE id NOT IN (SELECT DISTINCT user_id FROM events
+       |                 WHERE event_type = 'error')
+       |ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
+
   /** The idiomatic GraphX alternative (`staticPageRank`) — registered as a
     * rows-only query (different normalization ⇒ no SQL oracle).
     */
