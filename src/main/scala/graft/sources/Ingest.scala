@@ -28,6 +28,19 @@ object Ingest {
   def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.option("header", true).schema(schema).csv(path)
 
+  /** Real-world ingest: PERMISSIVE mode with corrupt rows captured in a
+    * quarantine column instead of failing the job (at 100 TB there is
+    * ALWAYS a malformed row; FAILFAST is for contract tests, not
+    * production loads). The schema must carry the corrupt column.
+    */
+  def readCsvPermissive(s: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    s.read.option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** S4 — bounded result export: single CSV file with header. */
   def writeCsvSingle(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(path)
