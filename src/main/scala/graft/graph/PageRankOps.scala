@@ -62,9 +62,10 @@ object PageRankOps {
         .select(col("id"),
           (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
             + lit(Alpha / n)).as("pagerank"))
-      pr = (if (i % CheckpointEvery == 0) next.localCheckpoint() else next)
-        .cache()
-      pr.count() // materialize so the unpersist below is safe
+      // eager localCheckpoint = materialize + truncate lineage in ONE job
+      // (vs cache + count + periodic checkpoint: fewer jobs per iteration,
+      // same O(|V|) memory — old checkpoint blocks are GC'd with the RDD)
+      pr = next.localCheckpoint(true)
       if (prev != null) prev.unpersist(blocking = false)
       prev = pr
     }

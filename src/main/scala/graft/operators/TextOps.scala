@@ -49,8 +49,11 @@ object TextOps {
       .withColumn("n_subwords",
         aggregate(transform(t, x => ceil(length(x) / lit(4.0)).cast("long")),
           lit(0L), (acc, x) => acc + x))
+      .withColumn("n_regex_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long"))
       .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
-        "mean_token_len", "n_subwords")
+        "mean_token_len", "n_subwords", "n_regex_tokens")
       .orderBy("doc_id")
   }
 
@@ -65,20 +68,35 @@ object TextOps {
         s"(acc, x) -> acc + x) AS DOUBLE) / len($t)", 4)} AS mean_token_len,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform($t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))),
-       |    (acc, x) -> acc + x) AS n_subwords
+       |    (acc, x) -> acc + x) AS n_subwords,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** t02 — heuristic language ID: per-language stopword-hit ratio, argmax
-    * with deterministic tie-break (profile order), 'und' below 2% evidence.
+  /** English-typical character bigrams for the n-gram half of the
+    * language-ID heuristic.
+    */
+  private val enBigrams = Seq("th", "he", "in", "er", "an", "re", "on", "at")
+
+  /** t02 — heuristic language ID, two signals per the standard recipe:
+    * per-language stopword-hit ratios (word level) AND a character-bigram
+    * profile score (n-gram level), argmax over the stopword scores with
+    * deterministic tie-break (profile order), 'und' below 2% evidence.
     * Per-row only — the profile sets are plan literals, so this runs at scan
     * speed with zero shuffles at any scale.
     */
   def t02LangId(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), length(col("text")) - 1),
+      i => col("text").substr(i, lit(2)))
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang").as("declared_lang"), col("text"))
       .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("ngram_en",
+        when(length(col("text")) >= 2,
+          r(size(filter(bigrams, b => b.isin(enBigrams.map(lit(_)): _*)))
+            .cast("double") / (length(col("text")) - 1), 4))
+          .otherwise(0.0))
     val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
         r(size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("double")
@@ -92,7 +110,7 @@ object TextOps {
     }
     scored
       .withColumn("predicted_lang", pred)
-      .select(Seq(col("doc_id"), col("declared_lang")) ++
+      .select(Seq(col("doc_id"), col("declared_lang"), col("ngram_en")) ++
         langProfiles.map { case (l, _) => col(s"score_$l") } :+
         col("predicted_lang"): _*)
       .orderBy("doc_id")
@@ -110,10 +128,16 @@ object TextOps {
     val pred = langProfiles.map { case (lang, _) =>
       s"WHEN score_$lang >= 0.02 AND score_$lang = $best THEN '$lang'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
-    s"""SELECT doc_id, declared_lang,
+    val bg = enBigrams.map(b => s"'$b'").mkString("[", ", ", "]")
+    val ngram = s"CASE WHEN length(text) >= 2 THEN ${rSql(
+        s"CAST(len(list_filter(list_transform(range(1, length(text)), " +
+          s"i -> substr(text, i, 2)), b -> list_contains($bg, b))) AS DOUBLE)" +
+          s" / (length(text) - 1)", 4)} ELSE 0.0 END"
+    s"""SELECT doc_id, declared_lang, ngram_en,
        |  ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")},
        |  $pred AS predicted_lang
        |FROM (SELECT doc_id, lang AS declared_lang,
+       |  $ngram AS ngram_en,
        |  $scores
        |FROM documents) ORDER BY doc_id""".stripMargin
   }
