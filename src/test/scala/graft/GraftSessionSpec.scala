@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-first workflow over the whole surface: plain `spark.sql` against
+  * the registered views and custom functions.
+  */
+class GraftSessionSpec extends AnyFunSuite with SparkTestSession {
+
+  test("spark.sql drives relational, custom-function, and similarity SQL") {
+    GraftSession.init(spark, Sf)
+    // the reference's analytics shape in SQL
+    val agg = spark.sql(
+      """SELECT l_returnflag, count(*) AS n, round(avg(l_extendedprice), 2) AS a
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(agg.length == 3)
+    // custom typed aggregate in SQL
+    val wm = spark.sql(
+      """SELECT weighted_mean(l_extendedprice, l_quantity) FROM lineitem""")
+      .head().getDouble(0)
+    assert(wm > 0)
+    // native vector expression over the extension table, pure SQL
+    val sim = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |  vec_dot(a.embedding, b.embedding) /
+        |    (sqrt(vec_dot(a.embedding, a.embedding)) *
+        |     sqrt(vec_dot(b.embedding, b.embedding))) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC LIMIT 5""".stripMargin).collect()
+    assert(sim.length == 5)
+    assert(sim.forall(r => r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0))
+    // events view carries the normalized timestamp
+    assert(spark.sql("SELECT count(DISTINCT date_trunc('hour', ts)) FROM events")
+      .head().getLong(0) > 0)
+  }
+}
