@@ -35,6 +35,11 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
+        // drop operator-internal InMemoryRelations between runs: without
+        // this, run 2 of a caching query (d03, g06, ...) measures a
+        // cache hit while non-caching queries measure real recompute —
+        // incomparable numbers. JIT/page-cache warmth is what min() keeps.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {

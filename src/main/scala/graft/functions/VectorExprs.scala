@@ -87,7 +87,7 @@ object VectorFunctions {
     "_FUNC_(a, b) - double-precision dot product of two float arrays " +
       "(strict left-to-right accumulation).", "")
 
-  private val builder: Seq[Expression] => Expression = {
+  private[functions] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => VecDot(a, b)
     case exprs => throw new IllegalArgumentException(
       s"vec_dot expects 2 arguments, got ${exprs.length}")
@@ -107,5 +107,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot"),
-      { exprs: Seq[Expression] => VecDot(exprs(0), exprs(1)) }))
+      VectorFunctions.builder)) // arity-checked, shared with the registry path
 }

@@ -47,7 +47,6 @@ object PageRankOps {
     val w = CoGraph.normalizedWeights(s, dir)
       .repartition(col("src")).cache()
     var pr = vertices.withColumn("pagerank", lit(1.0 / n))
-    var prev: DataFrame = null
     for (i <- 1 to iterations) {
       // `pr` derives from `w` after iteration 1, so qualify both sides
       // explicitly — Spark's ambiguous-self-join check rejects the bare
@@ -63,11 +62,13 @@ object PageRankOps {
           (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
             + lit(Alpha / n)).as("pagerank"))
       // eager localCheckpoint = materialize + truncate lineage in ONE job
-      // (vs cache + count + periodic checkpoint: fewer jobs per iteration,
-      // same O(|V|) memory — old checkpoint blocks are GC'd with the RDD)
+      // (vs cache + count + periodic checkpoint: fewer jobs per iteration).
+      // Past iterations' checkpoint blocks are NOT in the CacheManager
+      // (unpersist would be a no-op); the ContextCleaner frees them when
+      // the superseded RDDs are GC'd — so memory is bounded by GC cadence,
+      // not strictly O(|V|). For loops of hundreds of iterations, fall back
+      // to cache + count + explicit unpersist.
       pr = next.localCheckpoint(true)
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = pr
     }
     pr
   }

@@ -65,7 +65,10 @@ object FraudML {
     new java.util.concurrent.ConcurrentHashMap[String, (GBTClassificationModel, DataFrame)]()
 
   def trained(s: SparkSession, dir: String): (GBTClassificationModel, DataFrame) =
-    memo.computeIfAbsent(dir, _ => {
+    // key includes the session: a memoized DataFrame is bound to its
+    // SparkContext — handing it to a later session would throw on a
+    // stopped context instead of retraining
+    memo.computeIfAbsent(System.identityHashCode(s).toString + "|" + dir, _ => {
       val (train, test) = split(s, dir)
       val model = new GBTClassifier() // M3
         .setLabelCol("label").setFeaturesCol("features")

@@ -22,28 +22,16 @@ object Corpus {
 
   private val JaccardT = 0.5
 
-  /** c01 — the pipeline: (1) quality-score each doc (t03 logic), drop the
-    * 'drop' band; (2) word-3-gram Jaccard near-dup pairs among survivors
-    * (d02 logic), drop the HIGHER doc_id of each pair (keep-first policy);
-    * (3) emit the kept corpus with per-doc token counts + quality, ordered.
+  /** c01 — the pipeline: (1) quality-score each doc (the SHARED
+    * [[TextOps.qualitySignals]] expressions — one definition for the table
+    * and the pipeline), drop the 'drop' band; (2) word-3-gram Jaccard
+    * near-dup pairs among survivors (d02 logic), drop the HIGHER doc_id of
+    * each pair (keep-first policy); (3) emit the kept corpus with per-doc
+    * token counts + quality, ordered.
     */
   def c01TrainingCorpus(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-    val scored = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("distinct_ratio",
-        r(size(array_distinct(t)).cast("double") / col("n_tokens"), 4))
-      .withColumn("stopword_ratio",
-        r(size(filter(t, x => x.isin(en.map(lit(_)): _*))).cast("double")
-          / col("n_tokens"), 4))
-      .withColumn("len_score",
-        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1.0)
-          .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
-      .withColumn("quality_score",
-        r(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
-          + lit(0.2) * least(col("stopword_ratio") * lit(5.0), lit(1.0)), 4))
+    val scored = TextOps.qualitySignals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .filter(col("quality_score") >= 0.3) // drop the 'drop' band
       .cache()
     val sh = scored
@@ -68,22 +56,9 @@ object Corpus {
   }
 
   private val c01Sql = {
-    val t = tokensSql("text")
-    val en = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-      .map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH scored AS (
-       |  SELECT doc_id, text, n_tokens, quality_score FROM (
-       |    SELECT doc_id, text, n_tokens,
-       |      ${rSql("0.4 * len_score + 0.4 * distinct_ratio + " +
-        "0.2 * least(stopword_ratio * 5.0, 1.0)", 4)} AS quality_score
-       |    FROM (SELECT doc_id, text,
-       |      CAST(len($t) AS BIGINT) AS n_tokens,
-       |      ${rSql(s"CAST(len(list_distinct($t)) AS DOUBLE) / len($t)", 4)} AS distinct_ratio,
-       |      ${rSql(s"CAST(len(list_filter($t, x -> list_contains($en, x))) " +
-        s"AS DOUBLE) / len($t)", 4)} AS stopword_ratio,
-       |      CASE WHEN len($t) BETWEEN 20 AND 1000 THEN 1.0
-       |           WHEN len($t) >= 5 THEN 0.5 ELSE 0.0 END AS len_score
-       |    FROM documents))
+       |  SELECT doc_id, text, n_tokens, quality_score
+       |  FROM (${TextOps.qualitySignalsSql})
        |  WHERE quality_score >= 0.3),
        |sh AS (SELECT doc_id, unnest(${shingles3Sql("tt")}) AS s
        |       FROM (SELECT doc_id, ${tokensSql("text")} AS tt FROM scored)

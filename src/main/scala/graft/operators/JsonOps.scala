@@ -22,8 +22,10 @@ object JsonOps {
     Tables.events(s, dir)
       .select(col("event_id"),
         from_json(col("props"), propsSchema).getField("k").as("k"))
+      // `%` (remainder), NOT pmod: DuckDB's % is remainder-signed, so for a
+      // negative k the two would bucket differently under pmod
       .withColumn("k_bucket",
-        when(col("k").isNull, lit(-1L)).otherwise(col("k") - pmod(col("k"), lit(10L))))
+        when(col("k").isNull, lit(-1L)).otherwise(col("k") - col("k") % lit(10L)))
       .groupBy("k_bucket")
       .agg(count(lit(1)).as("cnt"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))

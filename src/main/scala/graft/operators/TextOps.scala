@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -23,11 +23,60 @@ object TextOps {
     * language-ID (a Bloom-filter-free, join-free argmax — per-row array
     * intersection against broadcast-literal sets).
     */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "en"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "in"))
+
+  /** Guarded ratio: NULL for zero-token docs — matching DuckDB, whose
+    * division by zero yields NULL while Spark's yields NaN.
+    */
+  private def ratio(num: Column, den: Column, k: Int): Column =
+    when(den > 0, r(num.cast("double") / den, k)).otherwise(lit(null))
+
+  /** The quality signals shared by t03 and the Corpus pipeline — ONE
+    * definition on each engine so the batch pipeline, the quality table,
+    * and their oracles can never drift. Zero-token docs get NULL ratios
+    * (and therefore a NULL score → the 'drop' band) on both engines.
+    */
+  def qualitySignals(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val en = langProfiles.head._2
+    df
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("distinct_ratio",
+        ratio(size(array_distinct(t)), col("n_tokens"), 4))
+      .withColumn("stopword_ratio",
+        ratio(size(filter(t, x => x.isin(en.map(lit(_)): _*))),
+          col("n_tokens"), 4))
+      .withColumn("len_score",
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1.0)
+          .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
+      .withColumn("quality_score",
+        r(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
+          + lit(0.2) * least(col("stopword_ratio") * lit(5.0), lit(1.0)), 4))
+  }
+
+  /** SQL mirror of [[qualitySignals]]: projects doc_id, text + the signal
+    * columns from `documents`.
+    */
+  def qualitySignalsSql: String = {
+    val t = tokensSql("text")
+    val en = langProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, text, n_tokens, distinct_ratio, stopword_ratio,
+       |  len_score,
+       |  ${rSql("0.4 * len_score + 0.4 * distinct_ratio + " +
+        "0.2 * least(stopword_ratio * 5.0, 1.0)", 4)} AS quality_score
+       |FROM (SELECT doc_id, text,
+       |  CAST(len($t) AS BIGINT) AS n_tokens,
+       |  ${rSql(s"CAST(len(list_distinct($t)) AS DOUBLE) / len($t)", 4)} AS distinct_ratio,
+       |  ${rSql(s"CAST(len(list_filter($t, x -> list_contains($en, x))) " +
+        s"AS DOUBLE) / len($t)", 4)} AS stopword_ratio,
+       |  CASE WHEN len($t) BETWEEN 20 AND 1000 THEN 1.0
+       |       WHEN len($t) >= 5 THEN 0.5 ELSE 0.0 END AS len_score
+       |FROM documents)""".stripMargin
+  }
 
   /** t01 — per-document token statistics: char length, whitespace token
     * count, distinct-token count, mean token length, and a BPE-ish subword
@@ -45,7 +94,9 @@ object TextOps {
         aggregate(transform(t, x => length(x).cast("long")), lit(0L),
           (acc, x) => acc + x))
       .withColumn("mean_token_len",
-        r(col("sum_token_len").cast("double") / col("n_tokens"), 4))
+        when(col("n_tokens") > 0,
+          r(col("sum_token_len").cast("double") / col("n_tokens"), 4))
+          .otherwise(lit(null))) // NULL like DuckDB's x/0, not NaN
       .withColumn("n_subwords",
         aggregate(transform(t, x => ceil(length(x) / lit(4.0)).cast("long")),
           lit(0L), (acc, x) => acc + x))
@@ -99,8 +150,9 @@ object TextOps {
           .otherwise(0.0))
     val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
-        r(size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("double")
-          / col("n_tokens"), 4))
+        when(col("n_tokens") > 0,
+          r(size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("double")
+            / col("n_tokens"), 4)).otherwise(lit(null)))
     }
     val best = langProfiles.map { case (l, _) => col(s"score_$l") }
     val pred = langProfiles.reverse.foldLeft(lit("und")) {
@@ -144,55 +196,27 @@ object TextOps {
 
   /** t03 — quality scoring: length/stopword/repetition signals composed into
     * a 0..1 score and a keep/review/drop band (the standard pre-training
-    * data filter shape). Per-row; scan-bound at any scale.
+    * data filter shape). Per-row; scan-bound at any scale. The signal
+    * expressions are [[qualitySignals]] — shared verbatim with the Corpus
+    * pipeline.
     */
-  def t03QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val en = langProfiles.head._2
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
+  def t03QualityScore(s: SparkSession, dir: String): DataFrame =
+    qualitySignals(Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("distinct_ratio",
-        r(size(array_distinct(t)).cast("double") / col("n_tokens"), 4))
-      .withColumn("stopword_ratio",
-        r(size(filter(t, x => x.isin(en.map(lit(_)): _*))).cast("double")
-          / col("n_tokens"), 4))
-      .withColumn("len_score",
-        when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 1.0)
-          .when(col("n_tokens") >= 5, 0.5).otherwise(0.0))
-      .withColumn("quality_score",
-        r(lit(0.4) * col("len_score") + lit(0.4) * col("distinct_ratio")
-          + lit(0.2) * least(col("stopword_ratio") * lit(5.0), lit(1.0)), 4))
       .withColumn("band",
         when(col("quality_score") >= 0.6, "keep")
           .when(col("quality_score") >= 0.3, "review").otherwise("drop"))
       .select("doc_id", "n_chars", "n_tokens", "distinct_ratio",
         "stopword_ratio", "quality_score", "band")
       .orderBy("doc_id")
-  }
 
-  private def t03Sql = {
-    val t = tokensSql("text")
-    val en = langProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""SELECT doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio,
-       |  quality_score,
+  private def t03Sql =
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, n_tokens,
+       |  distinct_ratio, stopword_ratio, quality_score,
        |  CASE WHEN quality_score >= 0.6 THEN 'keep'
        |       WHEN quality_score >= 0.3 THEN 'review'
        |       ELSE 'drop' END AS band
-       |FROM (SELECT doc_id, n_chars, n_tokens, distinct_ratio, stopword_ratio,
-       |  ${rSql("0.4 * len_score + 0.4 * distinct_ratio + " +
-        "0.2 * least(stopword_ratio * 5.0, 1.0)", 4)} AS quality_score
-       |FROM (SELECT doc_id,
-       |  CAST(length(text) AS BIGINT) AS n_chars,
-       |  CAST(len($t) AS BIGINT) AS n_tokens,
-       |  ${rSql(s"CAST(len(list_distinct($t)) AS DOUBLE) / len($t)", 4)} AS distinct_ratio,
-       |  ${rSql(s"CAST(len(list_filter($t, x -> list_contains($en, x))) " +
-        s"AS DOUBLE) / len($t)", 4)} AS stopword_ratio,
-       |  CASE WHEN len($t) BETWEEN 20 AND 1000 THEN 1.0
-       |       WHEN len($t) >= 5 THEN 0.5 ELSE 0.0 END AS len_score
-       |FROM documents)) ORDER BY doc_id""".stripMargin
-  }
+       |FROM ($qualitySignalsSql) ORDER BY doc_id""".stripMargin
 
   /** t04 — document fingerprinting: char-level rolling hash (polynomial base
     * 31 mod 1e9+7) — the exact-dedup key for content-addressed pipelines.

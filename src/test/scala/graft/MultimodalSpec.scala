@@ -10,12 +10,20 @@ import graft.operators.Multimodal
 class MultimodalSpec extends AnyFunSuite with SparkTestSession {
 
   test("media table: binary payload with typed metadata, pruned meta view") {
+    // pruning check FIRST, before anything caches the media table (a cached
+    // InMemoryRelation would replace the parquet scan as the plan leaf):
+    // the meta view must read only the source columns it derives from
+    // (doc_id, text) — never lang/source/n_chars
+    spark.catalog.clearCache()
+    val meta = Multimodal.mm01MediaMeta(spark, Sf)
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec is itself a leaf
+    // node and would hide the file scan
+    val scanCols = meta.queryExecution.sparkPlan.collectLeaves()
+      .flatMap(_.schema.fieldNames).toSet
+    assert(scanCols.subsetOf(Set("doc_id", "text")), scanCols.toString)
     val mt = Multimodal.mediaTable(spark, Sf).cache()
     assert(mt.schema("payload").dataType.typeName == "binary")
     assert(mt.select("media_type").distinct().count() == 3)
-    val meta = Multimodal.mm01MediaMeta(spark, Sf)
-    // metadata view must not read the payload column (column pruning)
-    val scanned = meta.queryExecution.executedPlan.toString()
     assert(meta.count() == mt.count())
   }
 
