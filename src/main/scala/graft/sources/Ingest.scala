@@ -101,8 +101,22 @@ object Ingest {
   def x01Synthetic(s: SparkSession, dir: String): DataFrame =
     syntheticTransactions(s, 1000)
 
+  /** x02 — stratified class rebalancing via `sampleBy`: keep every "fraud"
+    * row ('R') but downsample the majority classes to ~20% — the standard
+    * imbalanced-training-set move. Per-partition Bernoulli per stratum: no
+    * shuffle, seeded, but partitioning-sensitive → rows-only check; the
+    * fraction contract is asserted in SinksSourcesSpec.
+    */
+  def x02StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.lineitem(s, dir)
+      .stat.sampleBy("l_returnflag",
+        Map("R" -> 1.0, "A" -> 0.2, "N" -> 0.2), seed = 42L)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("sampled_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x01_synthetic_transactions" -> (x01Synthetic _))
+    "x01_synthetic_transactions" -> (x01Synthetic _),
+    "x02_stratified_sample" -> (x02StratifiedSample _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -28,8 +28,9 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)")
       || p.contains("GreaterThanOrEqual(l_quantity,10"), p)
     // column pruning: the scan reads only the 4 projected columns
+    // (sparkPlan: the AQE wrapper is itself a leaf and would hide the scan)
     val scans = Relational.q07RangeFilter(spark, Sf)
-      .queryExecution.executedPlan.collectLeaves()
+      .queryExecution.sparkPlan.collectLeaves()
     assert(scans.exists(_.schema.fieldNames.toSet ==
       Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag")))

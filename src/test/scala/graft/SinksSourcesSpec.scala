@@ -82,6 +82,33 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
       Tables.lineitem(spark, Sf).count())
   }
 
+  test("stratified sample keeps all fraud, downsamples majority ~20%") {
+    val byClass = Tables.lineitem(spark, Sf)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Ingest.x02StratifiedSample(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("R") == byClass("R"), "fraction 1.0 keeps every fraud row")
+    for (c <- Seq("A", "N")) {
+      val frac = sampled(c).toDouble / byClass(c)
+      assert(frac > 0.1 && frac < 0.3, s"$c sampled at $frac")
+    }
+  }
+
+  test("unionByName aligns evolved schemas by NAME, missing columns null") {
+    val v1 = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_extendedprice").limit(5)
+    val v2 = Tables.lineitem(spark, Sf)
+      .select(col("l_extendedprice"), col("l_orderkey"), // reordered
+        col("l_quantity")) // new column in schema v2
+      .limit(5)
+    val merged = v1.unionByName(v2, allowMissingColumns = true)
+    assert(merged.count() == 10)
+    // positional union would have mangled orderkey/price; by-name must not
+    assert(merged.filter(col("l_extendedprice") < 100).count() == 0)
+    assert(merged.filter(col("l_quantity").isNull).count() == 5)
+  }
+
   test("synthetic generator: seeded shape, bounded values, type partition") {
     val df = Ingest.syntheticTransactions(spark, 1000).cache()
     assert(df.count() == 1000)
