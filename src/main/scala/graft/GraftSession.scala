@@ -9,17 +9,12 @@ import org.apache.spark.sql.SparkSession
   * extension surface (embeddings similarity in plain SQL).
   */
 object GraftSession {
-  val TableNames: Seq[String] = Seq("region", "nation", "customer",
-    "supplier", "part", "orders", "lineitem", "events", "documents",
-    "embeddings")
-
   def init(s: SparkSession, dir: String): Unit = {
-    TableNames.foreach { t =>
-      val df = t match {
-        case "events" => Tables.events(s, dir)
-        case other => s.read.parquet(s"$dir/$other.parquet")
-      }
-      df.createOrReplaceTempView(t)
+    // route through Tables.byName: the loaders own any load-time
+    // normalization (events' nanos ts), so SQL views and the DataFrame
+    // API always see the same data
+    Tables.byName.foreach { case (name, load) =>
+      load(s, dir).createOrReplaceTempView(name)
     }
     functions.VectorFunctions.register(s)
     functions.WeightedMeanAgg.register(s)

@@ -48,4 +48,16 @@ object Tables {
     t("documents")(s, dir)
   def embeddings(s: SparkSession, dir: String): DataFrame =
     t("embeddings")(s, dir)
+
+  /** Name → loader dispatch — the ONE place that knows which tables need
+    * load-time normalization (events' nanos timestamp); view registration
+    * and ad-hoc tooling route through this so they can never drift from
+    * the typed accessors.
+    */
+  val byName: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "region" -> (region _), "nation" -> (nation _),
+    "customer" -> (customer _), "supplier" -> (supplier _),
+    "part" -> (part _), "orders" -> (orders _),
+    "lineitem" -> (lineitem _), "events" -> (events _),
+    "documents" -> (documents _), "embeddings" -> (embeddings _))
 }

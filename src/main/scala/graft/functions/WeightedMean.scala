@@ -19,10 +19,15 @@ case class WMBuf(num: Double, den: Long)
   * fine for analytics columns; for money-grade output use the decimal
   * carriers in [[graft.operators.Det]] instead.
   */
-class WeightedMeanAgg extends Aggregator[(Double, Long), WMBuf, Double] {
+class WeightedMeanAgg
+    extends Aggregator[(java.lang.Double, java.lang.Long), WMBuf, Double] {
   def zero: WMBuf = WMBuf(0.0, 0L)
-  def reduce(b: WMBuf, a: (Double, Long)): WMBuf =
-    WMBuf(b.num + a._1 * a._2, b.den + a._2)
+  // boxed input + null skip: SQL aggregates ignore NULL rows (a primitive
+  // (Double, Long) input type would instead CRASH the job on the first
+  // null — 'Null value appeared in non-nullable field')
+  def reduce(b: WMBuf, a: (java.lang.Double, java.lang.Long)): WMBuf =
+    if (a._1 == null || a._2 == null) b
+    else WMBuf(b.num + a._1 * a._2, b.den + a._2)
   def merge(x: WMBuf, y: WMBuf): WMBuf = WMBuf(x.num + y.num, x.den + y.den)
   def finish(b: WMBuf): Double = if (b.den == 0) 0.0 else b.num / b.den
   def bufferEncoder: Encoder[WMBuf] = Encoders.product[WMBuf]
@@ -33,5 +38,6 @@ object WeightedMeanAgg {
   /** Register as the SQL function `weighted_mean(value, weight)`. */
   def register(s: org.apache.spark.sql.SparkSession): Unit =
     s.udf.register("weighted_mean",
-      org.apache.spark.sql.functions.udaf(new WeightedMeanAgg))
+      org.apache.spark.sql.functions.udaf(new WeightedMeanAgg,
+        Encoders.tuple(Encoders.DOUBLE, Encoders.LONG)))
 }

@@ -50,18 +50,22 @@ object Components {
   def q(s: SparkSession, dir: String): DataFrame =
     connectedComponents(s, dir).orderBy(col("id"))
 
-  /** DuckDB mirror: min-id reachability closure via recursive CTE (the
-    * edge set is symmetric, so one-directional reachability suffices).
+  /** Shared DuckDB fragment: min-id reachability closure via recursive CTE
+    * (the edge set is symmetric, so one-directional reachability
+    * suffices) — the ONE copy all g03/g04/g09/g10 oracles build on.
     */
-  val qSql: String =
-    s"""WITH RECURSIVE ${CoGraph.edgesCte},
+  private val ccCte: String =
+    s"""${CoGraph.edgesCte},
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |reach(id, x) AS (
        |  SELECT id, id FROM vertices
        |  UNION
-       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src)
-       |SELECT id, min(x) AS component FROM reach
-       |GROUP BY 1 ORDER BY id""".stripMargin
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src),
+       |cc AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)""".stripMargin
+
+  val qSql: String =
+    s"""WITH RECURSIVE $ccCte
+       |SELECT id, component FROM cc ORDER BY id""".stripMargin
 
   /** g04 — component analytics (`4_graphx.ipynb:520-577`): size per
     * component (groupBy-count on the CC output joined back), medium-size
@@ -76,26 +80,11 @@ object Components {
       .orderBy(col("component_size").desc, col("component"))
 
   val componentStatsSql: String =
-    s"""WITH RECURSIVE ${CoGraph.edgesCte},
-       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
-       |reach(id, x) AS (
-       |  SELECT id, id FROM vertices
-       |  UNION
-       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src),
-       |cc AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)
+    s"""WITH RECURSIVE $ccCte
        |SELECT component, CAST(count(*) AS BIGINT) AS component_size,
        |       count(*) BETWEEN 5 AND 50 AS is_medium
        |FROM cc GROUP BY 1
        |ORDER BY component_size DESC, component""".stripMargin
-
-  private val ccCte: String =
-    s"""${CoGraph.edgesCte},
-       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
-       |reach(id, x) AS (
-       |  SELECT id, id FROM vertices
-       |  UNION
-       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.x = e.src),
-       |cc AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)""".stripMargin
 
   /** g09 — component fraud purity (reference `4_graphx.ipynb:520-577`,
     * SURVEY §2.10 G4): fraction of a component's members that carry the

@@ -19,18 +19,19 @@ import graft.Tables
   * dangling-mass handling — SURVEY §2.10).
   *
   * Scale: each iteration is one shuffle (contributions keyed by dst) +
-  * one broadcast-able left join against the vertex set. The weight table
-  * is cached once; per-iteration results are cached and the previous
-  * iteration unpersisted so memory stays O(|V|), and lineage is cut with
-  * `localCheckpoint` every [[CheckpointEvery]] iterations — without it
-  * the plan doubles per iteration and the optimizer chokes long before
-  * the cluster does (the reference hits the same issue and caches per
-  * iteration, SURVEY §3.4).
+  * one join against the statically-partitioned vertex/weight caches. Each
+  * iteration ends in an EAGER `localCheckpoint`: materialize + truncate
+  * lineage in one job (without lineage cuts the plan doubles per iteration
+  * and the optimizer chokes long before the cluster does — the reference
+  * hits the same issue and caches per iteration, SURVEY §3.4). Superseded
+  * checkpoint blocks are freed by the ContextCleaner as the old RDDs are
+  * GC'd, so memory is bounded by GC cadence; a loop of hundreds of
+  * iterations (or one needing executor-loss recovery, which local
+  * checkpoints forgo) should use reliable `checkpoint()` instead.
   */
 object PageRankOps {
   val Alpha = 0.15
   val Iterations = 5
-  val CheckpointEvery = 4
 
   /** The deterministic DataFrame loop. Returns (id, pagerank) unrounded. */
   def pageRankLoop(s: SparkSession, dir: String,
@@ -61,14 +62,7 @@ object PageRankOps {
         .select(col("id"),
           (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
             + lit(Alpha / n)).as("pagerank"))
-      // eager localCheckpoint = materialize + truncate lineage in ONE job
-      // (vs cache + count + periodic checkpoint: fewer jobs per iteration).
-      // Past iterations' checkpoint blocks are NOT in the CacheManager
-      // (unpersist would be a no-op); the ContextCleaner frees them when
-      // the superseded RDDs are GC'd — so memory is bounded by GC cadence,
-      // not strictly O(|V|). For loops of hundreds of iterations, fall back
-      // to cache + count + explicit unpersist.
-      pr = next.localCheckpoint(true)
+      pr = next.localCheckpoint(true) // see object doc for the memory story
     }
     pr
   }
@@ -120,28 +114,45 @@ object PageRankOps {
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
 
-  /** g11 — "mules" (reference `4_graphx.ipynb:1059-1104`, SURVEY §2.10
-    * G7): entities WITHOUT the fraud signal ranked by PageRank — high
-    * centrality in the fraud co-occurrence graph without being flagged is
-    * the money-mule heuristic. Top-10, deterministic tie-break.
+  /** "Confirmed fraud" threshold: error-event count at/above this marks a
+    * confirmed offender; below it (but in the graph) is mule territory.
+    */
+  val ConfirmedErrT = 13
+
+  /** g11 — "mules" (reference `4_graphx.ipynb:1059-1104`, SURVEY §2.10 G7):
+    * entities connected to the fraud graph but BELOW the confirmed-offender
+    * threshold, ranked by PageRank — high centrality without heavy direct
+    * activity is the money-mule heuristic. (Exclusion must use a DIFFERENT
+    * signal than edge construction: excluding every error-event user — the
+    * graph's entire vertex support — would leave only the α/N floor and an
+    * id sort. The threshold split keeps the centrality ranking meaningful.)
     */
   def mules(s: SparkSession, dir: String): DataFrame = {
-    val fraudUsers = graft.Tables.events(s, dir)
+    val confirmed = graft.Tables.events(s, dir)
       .filter(col("event_type") === "error")
-      .select(col("user_id").as("id")).distinct()
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= ConfirmedErrT)
+      .select("id")
     pageRankLoop(s, dir)
-      .join(fraudUsers, Seq("id"), "left_anti")
+      .filter(col("pagerank") > lit(0.1501 / vertexCount(s, dir))) // in-graph only
+      .join(confirmed, Seq("id"), "left_anti")
       .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
       .orderBy(col("pagerank").desc, col("id"))
       .limit(10)
   }
 
+  private def vertexCount(s: SparkSession, dir: String): Long =
+    Components.vertices(s, dir).count()
+
   def mulesSql(iterations: Int = Iterations): String =
     s"""WITH ${prCtes(iterations)}
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations
-       |WHERE id NOT IN (SELECT DISTINCT user_id FROM events
-       |                 WHERE event_type = 'error')
+       |WHERE pagerank > 0.1501 / (SELECT count(*) FROM vertices)
+       |  AND id NOT IN (SELECT user_id FROM events
+       |                 WHERE event_type = 'error'
+       |                 GROUP BY 1 HAVING count(*) >= $ConfirmedErrT)
        |ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
 
   /** The idiomatic GraphX alternative (`staticPageRank`) — registered as a

@@ -61,14 +61,18 @@ object FraudML {
     * queries share a single training run, like the reference notebook keeps
     * one `gbt_model` across evaluation cells.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, (GBTClassificationModel, DataFrame)]()
+  // Weak-keyed by SESSION (reference identity): a memoized DataFrame is
+  // bound to its SparkContext — handing it to a later session would throw
+  // on a stopped context instead of retraining. The weak key also lets a
+  // dead session's models be collected instead of pinned forever.
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (GBTClassificationModel, DataFrame)]]())
 
   def trained(s: SparkSession, dir: String): (GBTClassificationModel, DataFrame) =
-    // key includes the session: a memoized DataFrame is bound to its
-    // SparkContext — handing it to a later session would throw on a
-    // stopped context instead of retraining
-    memo.computeIfAbsent(System.identityHashCode(s).toString + "|" + dir, _ => {
+    memo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => {
       val (train, test) = split(s, dir)
       val model = new GBTClassifier() // M3
         .setLabelCol("label").setFeaturesCol("features")

@@ -32,6 +32,13 @@ object Ingest {
     * quarantine column instead of failing the job (at 100 TB there is
     * ALWAYS a malformed row; FAILFAST is for contract tests, not
     * production loads). The schema must carry the corrupt column.
+    *
+    * Returned CACHED: Spark disallows queries over raw CSV/JSON that
+    * reference only the internal corrupt-record column, so the quarantine
+    * filter this helper exists for (`filter($"_corrupt_record".isNotNull)`)
+    * throws AnalysisException on the uncached frame. The quarantine flow
+    * reads the data twice (good rows + bad rows) anyway, so the cache pays
+    * for itself; callers should `unpersist()` when done.
     */
   def readCsvPermissive(s: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -40,6 +47,7 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .csv(path)
+      .cache()
 
   /** S4 — bounded result export: single CSV file with header. */
   def writeCsvSingle(df: DataFrame, path: String): Unit =

@@ -63,7 +63,12 @@ object StreamDemo {
           s"""{"event_id":$i,"user_id":${i % 7},"event_type":"$typ",""" +
             s""""value":${rnd.nextInt(10000) / 100.0},""" +
             s""""ts":"2024-01-01T10:00:00Z"}"""
-        Files.writeString(dir.resolve(f"evt_$i%06d.json"), json + "\n")
+        // ATOMIC placement: the file source may list mid-write — write to
+        // a dot-temp (ignored by the source) and rename into place
+        val tmp = dir.resolve(f".evt_$i%06d.json.tmp")
+        Files.writeString(tmp, json + "\n")
+        Files.move(tmp, dir.resolve(f"evt_$i%06d.json"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         i += 1
         Thread.sleep(100 + rnd.nextInt(900))
       } catch { case _: InterruptedException => () }

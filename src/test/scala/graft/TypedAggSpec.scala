@@ -11,7 +11,10 @@ class TypedAggSpec extends AnyFunSuite with SparkTestSession {
 
   test("WeightedMeanAgg: typed column, SQL function, matches expression form") {
     import spark.implicits._
-    val ds = Seq((2.0, 1L), (4.0, 3L), (0.0, 0L)).toDS()
+    import org.apache.spark.sql.Encoders
+    val ds = spark.createDataset(Seq[(java.lang.Double, java.lang.Long)](
+      (2.0, 1L), (4.0, 3L), (0.0, 0L), (null, 5L)))( // null row is SKIPPED
+      Encoders.tuple(Encoders.DOUBLE, Encoders.LONG))
     val typed = ds.select(new WeightedMeanAgg().toColumn).head()
     assert(math.abs(typed - 14.0 / 4) < 1e-12)
     WeightedMeanAgg.register(spark)
