@@ -39,12 +39,16 @@ object CoGraph {
     * reference's `V1 != V1` predicate), distinct.
     */
   def edges(s: SparkSession, dir: String): DataFrame = {
-    val a = activity(s, dir)
-    val b = a.withColumnRenamed("user_id", "dst_id")
-    a.join(b,
-        a("hour_epoch") === b("hour_epoch")
-          && a("user_id") =!= b("dst_id"))
-      .select(a("user_id").as("src"), col("dst_id").as("dst"))
+    // Explicit string aliases, not plan-derived column refs (`a(...) ===
+    // b(...)` where b derives from a): the latter trips Spark's
+    // "trivially true equals predicate" self-join ambiguity and survives
+    // only by the resolver's rescue heuristic — one optimizer change away
+    // from a per-hour cross product.
+    val act = activity(s, dir)
+    act.as("a").join(act.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
       .distinct()
   }
 
@@ -99,23 +103,7 @@ object CoGraph {
     * (src, dst).
     */
   def weightedEdges(s: SparkSession, dir: String): DataFrame = {
-    val hourValue = Tables.events(s, dir)
-      .filter(col("event_type") === "error")
-      .select(
-        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
-        col("user_id"), col("value"))
-      .groupBy(col("hour_epoch"), col("user_id"))
-      .agg(sum(col("value")).as("hour_value"))
-    val b = hourValue
-      .select(col("hour_epoch"), col("user_id").as("dst_id"))
-    val edgeAmount = hourValue
-      .join(b,
-        hourValue("hour_epoch") === b("hour_epoch")
-          && hourValue("user_id") =!= b("dst_id"))
-      .select(hourValue("user_id").as("src"), col("dst_id").as("dst"),
-        col("hour_value"))
-      .groupBy(col("src"), col("dst"))
-      .agg(sum(col("hour_value")).as("amount"))
+    val edgeAmount = weightedEdgesRaw(s, dir)
     val totals = edgeAmount.groupBy(col("src"))
       .agg(sum(col("amount")).as("total_out"))
     edgeAmount.join(totals, "src")
@@ -134,6 +122,10 @@ object CoGraph {
         (col("amount") / col("total_out")).as("weight"))
   }
 
+  /** (src, dst, amount) — the per-edge fraud value before normalization.
+    * Same alias discipline as [[edges]]; the summed `hour_value` is the
+    * SOURCE side's (`sum(a.hour_value)` in the oracle mirror below).
+    */
   private def weightedEdgesRaw(s: SparkSession, dir: String): DataFrame = {
     val hourValue = Tables.events(s, dir)
       .filter(col("event_type") === "error")
@@ -142,14 +134,11 @@ object CoGraph {
         col("user_id"), col("value"))
       .groupBy(col("hour_epoch"), col("user_id"))
       .agg(sum(col("value")).as("hour_value"))
-    val b = hourValue
-      .select(col("hour_epoch"), col("user_id").as("dst_id"))
-    hourValue
-      .join(b,
-        hourValue("hour_epoch") === b("hour_epoch")
-          && hourValue("user_id") =!= b("dst_id"))
-      .select(hourValue("user_id").as("src"), col("dst_id").as("dst"),
-        col("hour_value"))
+    hourValue.as("a").join(hourValue.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"),
+        col("a.hour_value").as("hour_value"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("hour_value")).as("amount"))
   }

@@ -134,22 +134,26 @@ object PageRankOps {
       .agg(count(lit(1)).as("n_err"))
       .filter(col("n_err") >= ConfirmedErrT)
       .select("id")
+    // In-graph membership is STRUCTURAL — a semi-join against the edge
+    // set's distinct sources (the directed edge set carries both
+    // orientations, so src ∪ dst = src) — not an epsilon over the α/N
+    // PageRank floor, which would silently break the moment α, N, or
+    // iteration count changes.
+    val inGraph = CoGraph.normalizedWeights(s, dir)
+      .select(col("src").as("id")).distinct()
     pageRankLoop(s, dir)
-      .filter(col("pagerank") > lit(0.1501 / vertexCount(s, dir))) // in-graph only
+      .join(inGraph, Seq("id"), "left_semi")
       .join(confirmed, Seq("id"), "left_anti")
       .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
       .orderBy(col("pagerank").desc, col("id"))
       .limit(10)
   }
 
-  private def vertexCount(s: SparkSession, dir: String): Long =
-    Components.vertices(s, dir).count()
-
   def mulesSql(iterations: Int = Iterations): String =
     s"""WITH ${prCtes(iterations)}
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations
-       |WHERE pagerank > 0.1501 / (SELECT count(*) FROM vertices)
+       |WHERE id IN (SELECT DISTINCT src FROM edge_amount)
        |  AND id NOT IN (SELECT user_id FROM events
        |                 WHERE event_type = 'error'
        |                 GROUP BY 1 HAVING count(*) >= $ConfirmedErrT)

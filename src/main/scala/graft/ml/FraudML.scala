@@ -81,23 +81,35 @@ object FraudML {
       (model, model.transform(test).cache()) // M4
     })
 
-  /** m01 — assembled feature vectors bridged back to arrays (M1 + the
-    * reference's `vector_to_array` positional extraction, SURVEY §2.2 P14).
-    * Deterministic (no split/training involved) → full oracle check.
+  /** m01 — assembled feature vectors bridged back through `vector_to_array`
+    * and positionally extracted to one scalar column per feature (M1 + the
+    * reference's positional extraction, SURVEY §2.2 P14 —
+    * `2_sql_analysis.ipynb:150-156` does exactly this with `getItem`).
+    * Deterministic (no split/training involved) → full oracle check; the
+    * output is all scalars so any downstream hash/sort canonicalization
+    * works on it (an `array<double>` column is not hashable row-wise).
     */
   def m01FeatureVectors(s: SparkSession, dir: String): DataFrame =
     assemble(s, dir)
       .withColumn("f", vector_to_array(col("features")))
-      .select(col("l_orderkey"), col("l_linenumber"), col("f").as("features"),
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("f"), 1).as("f_quantity"),
+        element_at(col("f"), 2).as("f_price"),
+        element_at(col("f"), 3).as("f_discount"),
+        element_at(col("f"), 4).as("f_tax"),
+        element_at(col("f"), 5).as("f_ship_epoch"),
         element_at(col("f"), 2).as("amount"), col("label"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(1000)
 
   private val m01Sql =
     """SELECT l_orderkey, l_linenumber,
-      |  [l_quantity, l_extendedprice, l_discount, l_tax,
-      |   CAST(epoch(l_shipdate) AS DOUBLE)] AS features,
-      |  l_extendedprice AS amount,
+      |  CAST(l_quantity AS DOUBLE) AS f_quantity,
+      |  CAST(l_extendedprice AS DOUBLE) AS f_price,
+      |  CAST(l_discount AS DOUBLE) AS f_discount,
+      |  CAST(l_tax AS DOUBLE) AS f_tax,
+      |  CAST(epoch(l_shipdate) AS DOUBLE) AS f_ship_epoch,
+      |  CAST(l_extendedprice AS DOUBLE) AS amount,
       |  CAST(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS label
       |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""".stripMargin
 

@@ -222,13 +222,12 @@ object Dedup {
        |ORDER BY i.id_a, i.id_b""".stripMargin
   }
 
-  /** d04 — SimHash near-dup: 63-bit signature over shingle ids (bit b set
-    * iff Σ_{shingles} ±1 > 0 under per-bit hash mix), pairs at hamming
-    * distance ≤ 10. Signature build is one groupBy; the all-pairs hamming
-    * scan here is O(n²) on doc COUNT (not content) — the 100 TB path blocks
-    * on 16-bit signature chunks (pigeonhole) exactly like d03's bands.
+  /** (doc_id, sh) — the 63-bit SimHash signature: bit b set iff
+    * Σ_{shingles} ±1 > 0 under the per-bit hash mix. One groupBy over the
+    * shingle rows; shared by the all-pairs [[d04Simhash]] verifier and the
+    * banded [[d04bSimhashBanded]] scale path.
     */
-  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(s, dir)
     val bitSums = ds.groupBy("doc_id")
       .agg(sum(when(simBit(0, col("sid")), 1).otherwise(-1)).as("bb0"),
@@ -236,7 +235,30 @@ object Dedup {
           sum(when(simBit(j, col("sid")), 1).otherwise(-1)).as(s"bb$j")): _*)
     val sigExpr = (0 until SimBits).map(j =>
       when(col(s"bb$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val sig = bitSums.select(col("doc_id"), sigExpr.cast("long").as("sh"))
+    bitSums.select(col("doc_id"), sigExpr.cast("long").as("sh"))
+  }
+
+  /** Shared SQL CTEs ending in `sig(doc_id, sh)` — mirror of
+    * [[simhashSigs]].
+    */
+  private def simhashSigSql = {
+    val bits = (0 until SimBits).map(j =>
+      s"sum(CASE WHEN ${simBitSql(j, "sid")} THEN 1 ELSE -1 END) AS bb$j")
+      .mkString(",\n    ")
+    val sig = (0 until SimBits).map(j =>
+      s"(CASE WHEN bb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""$shingleIdsSql,
+       |bitsum AS (SELECT doc_id, $bits FROM ds GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM bitsum)""".stripMargin
+  }
+
+  /** d04 — SimHash near-dup: pairs at hamming distance ≤ 10. The all-pairs
+    * hamming scan here is O(n²) on doc COUNT (not content) — it is the
+    * small-scale exactness oracle; [[d04bSimhashBanded]] is the 100 TB
+    * path (same relationship as d02 ↔ d03).
+    */
+  def d04Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigs(s, dir)
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
@@ -244,20 +266,55 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def d04Sql = {
-    val bits = (0 until SimBits).map(j =>
-      s"sum(CASE WHEN ${simBitSql(j, "sid")} THEN 1 ELSE -1 END) AS bb$j")
-      .mkString(",\n    ")
-    val sig = (0 until SimBits).map(j =>
-      s"(CASE WHEN bb$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""WITH $shingleIdsSql,
-       |bitsum AS (SELECT doc_id, $bits FROM ds GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM bitsum)
+  /** All-pairs SimHash SQL at hamming radius `t` — the oracle for BOTH d04
+    * (t = [[HammingT]]) and the banded d04b (t = [[BandRadius]]): d04b's
+    * banding is LOSSLESS at its radius, so the straightforward all-pairs
+    * SQL must produce the identical pair set — the oracle row proves it.
+    */
+  private def d04SqlAt(t: Int) =
+    s"""WITH $simhashSigSql
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingT
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $t
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val SimBands = 4 // 16-bit chunks of the 63-bit signature
+  /** Banded-candidate radius. MUST stay < [[SimBands]]: a pair differing in
+    * ≤ 3 bits cannot differ in all 4 disjoint chunks (pigeonhole), so at
+    * least one chunk matches exactly and the band join finds every pair —
+    * no false negatives. This is the Manku et al. WWW'07 near-dup config
+    * (64-bit simhash, k = 3, 4 blocks).
+    */
+  private val BandRadius = 3
+
+  /** d04b — the 100 TB SimHash path: block on the 4 disjoint 16-bit chunks
+    * of the signature, equi-join on (chunk index, chunk value) for
+    * candidates — only docs agreeing EXACTLY on some chunk ever meet, never
+    * the quadratic cross product — then verify true hamming ≤ 3.
+    *
+    * Scale: the band join is an equi-shuffle keyed by 2^16 values per band
+    * (× 4 bands); candidate count is bounded by per-bucket df², the same
+    * contract as d03's LSH bands. The radius/band trade-off is pigeonhole-
+    * rigid (radius < bands); a larger radius needs more, narrower chunks.
+    */
+  def d04bSimhashBanded(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhashSigs(s, dir).cache()
+    val bandCols = (0 until SimBands).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bk")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cand.join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= BandRadius)
+      .orderBy("id_a", "id_b")
   }
 
   /** d06 — the 100 TB MinHash path: ids straight from `xxhash64(shingle)`
@@ -302,12 +359,17 @@ object Dedup {
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
+    "d04b_simhash_banded" -> (d04bSimhashBanded _),
     "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _))
 
-  /** d06 intentionally absent — xxhash64 has no DuckDB equivalent. */
+  /** d06 intentionally absent — xxhash64 has no DuckDB equivalent.
+    * d04b's oracle is deliberately the ALL-PAIRS SQL at its radius: equal
+    * results prove the banding drops nothing (see [[d04SqlAt]]).
+    */
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
-    "d04_simhash" -> d04Sql)
+    "d04_simhash" -> d04SqlAt(HammingT),
+    "d04b_simhash_banded" -> d04SqlAt(BandRadius))
 }

@@ -143,13 +143,7 @@ object Similarity {
     * all-pairs product never materializes.
     */
   def v02AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e0 = withNorm(s, dir)
-    val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
-      tableBucket(t, col("embedding")).as("bk")))
-    val e = e0.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array(buckets: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.t"), col("tb.bk"))
+    val e = bucketed(s, dir)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("t"), col("bk"))
@@ -195,9 +189,8 @@ object Similarity {
   }
 
   /** d05 — embedding-cosine near-duplicate pairs: all pairs ≥ threshold.
-    * Brute-force half-matrix here (n² on vector COUNT); at 100 TB bucket by
-    * v02's hyperplane signature first and verify only within buckets (near-
-    * dups at cosine ≥ 0.9 collide with probability ≥ (1−θ/π)^bits).
+    * Brute-force half-matrix (n² on vector COUNT) — the small-scale
+    * exactness oracle; [[d05bEmbeddingNeardupLsh]] is the 100 TB path.
     */
   def d05EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
@@ -217,13 +210,80 @@ object Similarity {
        |WHERE ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} >= $NearDupT
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The exploded (vec_id, embedding, nrm, t, bk) frame — every vector in
+    * its [[LshTables]] hyperplane buckets. Shared by v02 (query-side ANN)
+    * and d05b (all-pairs-within-bucket near-dup).
+    */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val e0 = withNorm(s, dir)
+    val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
+      tableBucket(t, col("embedding")).as("bk")))
+    e0.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(buckets: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bk").as("bk"))
+  }
+
+  private val bucketedSql: String = {
+    val tables = (0 until LshTables).map(t =>
+      s"SELECT vec_id, embedding, nrm, $t AS t, " +
+        s"${tableBucketSql(t, "embedding")} AS bk FROM e0")
+      .mkString(" UNION ALL ")
+    s"""e0 AS ($withNormSql),
+       |eb AS ($tables)""".stripMargin
+  }
+
+  /** d05b — the 100 TB embedding near-dup: d05's verify confined to v02's
+    * (table, bucket) groups. Candidates come from an equi-join on (t, bk) —
+    * two vectors only meet if some hash table buckets them together — then
+    * the exact rounded cosine ≥ threshold filter. Deterministic hyperplanes
+    * ⇒ fully oracle-checkable; recall vs the exact d05 is spec-pinned
+    * (a near-dup pair collides in ≥ 1 of 4 tables w.p. 1−(1−p^4)^4,
+    * p = 1−θ/π).
+    *
+    * Scale: the shuffle is keyed by (t, bk) — skew-bounded, cross product
+    * never materializes; within-bucket pair count is the df² contract of
+    * every LSH family here (d03 bands, d04b chunks).
+    */
+  def d05bEmbeddingNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val eb = bucketed(s, dir)
+    val cand = eb.as("a").join(eb.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val e0 = withNorm(s, dir)
+    cand.join(e0.as("x"), col("id_a") === col("x.vec_id"))
+      .join(e0.as("y"), col("id_b") === col("y.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        r(dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d05bSql =
+    s"""WITH $bucketedSql,
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM eb a JOIN eb b
+       |           ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} AS cosine
+       |FROM cand c
+       |JOIN e0 x ON x.vec_id = c.id_a
+       |JOIN e0 y ON y.vec_id = c.id_b
+       |WHERE ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} >= $NearDupT
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
-    "d05_embedding_neardup" -> (d05EmbeddingNeardup _))
+    "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
+    "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,
-    "d05_embedding_neardup" -> d05Sql)
+    "d05_embedding_neardup" -> d05Sql,
+    "d05b_embedding_neardup_lsh" -> d05bSql)
 }

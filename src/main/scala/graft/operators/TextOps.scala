@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -239,13 +238,21 @@ object TextOps {
     * of corpus. The explode multiplies rows by tokens-per-doc, but partial
     * aggregation collapses each map task to |vocab| rows before the single
     * shuffle — the classic word-count shape that scales linearly.
+    *
+    * The corpus total is a scalar aggregate broadcast-cross-joined back —
+    * NOT `sum over ()`: an empty-frame window would funnel the entire vocab
+    * through ONE partition to compute the same number (a single-task
+    * bottleneck at 100 TB vocab sizes; the broadcast of a 1-row total is
+    * free at any scale).
     */
   def t05TokenFreq(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+    val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
-    tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("share",
-        r(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", r(col("cnt").cast("double") / col("total"), 6))
+      .drop("total")
       .orderBy(col("cnt").desc, col("token"))
   }
 

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import java.util.concurrent.ConcurrentLinkedQueue
 
@@ -69,6 +69,53 @@ object StreamPipeline {
       .groupBy(window(col("ts"), "1 hour"), col("type_tag"))
       .agg(count(lit(1)).as("n"),
         sum(col("value_filled")).as("sum_value"))
+
+  /** S5 — the REAL Kafka reader (reference `kafka_to_influxdb.py:69-75`,
+    * `spark_streaming.py:26-30`): `subscribe` + `startingOffsets=latest`,
+    * with `maxOffsetsPerTrigger` bounding each micro-batch. Returns the
+    * configured reader; [[kafkaSource]] adds the `.load()` +
+    * `CAST(value AS STRING)` so the envelope is identical to
+    * [[fileSource]]'s — downstream [[parse]]/[[derive]] don't know which
+    * source fed them.
+    *
+    * The spark-sql-kafka connector jar must be on the CLUSTER classpath
+    * (`--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark
+    * version>`); this zero-egress container carries no connector, so specs
+    * assert construction/config here and `.load()` fails with "Failed to
+    * find data source: kafka" — an environment gap, not a code gap.
+    */
+  def kafkaReader(s: SparkSession, brokers: String, topic: String,
+      maxOffsetsPerTrigger: Long = 10000L): DataStreamReader =
+    s.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+
+  /** Kafka envelope → the same `value: string` column every other source
+    * yields (`kafka_to_influxdb.py:80`).
+    */
+  def kafkaSource(s: SparkSession, brokers: String, topic: String): DataFrame =
+    kafkaReader(s, brokers, topic).load()
+      .select(col("value").cast("string").as("value"))
+
+  /** Kafka SINK: rows JSON-serialized into `value`, exactly-once via the
+    * checkpoint dir. The write side of the reference's pipeline, which it
+    * configures (`streaming_config.yaml`) but never wires.
+    */
+  def kafkaSink(derived: DataFrame, brokers: String, topic: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    derived
+      .select(to_json(struct(derived.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
 
   /** File source standing in for Kafka (S5): a directory of JSON lines with
     * the envelope shape; `maxFilesPerTrigger` plays `maxOffsetsPerTrigger`.

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Contracts for the 100 TB scale variants of the all-pairs dedup
+  * operators: the banded SimHash (d04b) and the LSH-bucketed embedding
+  * near-dup (d05b). Each must (a) never degrade to a nested-loop /
+  * cartesian plan over the full signature set, and (b) honor its stated
+  * relationship to the exact small-scale baseline — EQUALITY for d04b
+  * (pigeonhole losslessness at radius < band count), recall-bounded
+  * SUBSET for d05b.
+  */
+class ScalePathSpec extends AnyFunSuite with SparkTestSession {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d04b banding is LOSSLESS: identical pair set to all-pairs at radius 3") {
+    val exact = Dedup.d04Simhash(spark, SfMid).collect()
+      .filter(_.getLong(2) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs(Dedup.d04bSimhashBanded(spark, SfMid))
+    assert(banded == exact,
+      s"pigeonhole guarantee violated: banded=${banded.size} exact=${exact.size}, " +
+        s"missing=${(exact -- banded).take(5)} extra=${(banded -- exact).take(5)}")
+    assert(banded.nonEmpty, "testdata must contain pairs at hamming <= 3")
+  }
+
+  test("d04b plan never materializes the all-pairs product") {
+    val p = Dedup.d04bSimhashBanded(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d05b is a subset of exact d05 with bounded recall") {
+    val exact = pairs(Similarity.d05EmbeddingNeardup(spark, SfMid))
+    val lsh = pairs(Similarity.d05bEmbeddingNeardupLsh(spark, SfMid))
+    assert(lsh.subsetOf(exact),
+      s"bucketed verify may only MISS pairs, never invent: ${(lsh -- exact).take(5)}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // At the 0.4-cosine decision boundary, 4 tables x 4 hyperplane bits give
+    // ~50% collision probability (measured 0.51 on sf0.01); pairs nearer
+    // cosine 1 collide with probability -> 1. Pin a floor so bucketing
+    // regressions surface.
+    assert(recall >= 0.40, s"d05b recall $recall below floor")
+    info(s"d05b recall vs exact near-dup pairs: $recall")
+  }
+
+  test("d05b plan never materializes the all-pairs product") {
+    val p = Similarity.d05bEmbeddingNeardupLsh(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d04b on pathological docs: identical docs pair at hamming 0") {
+    // reuse the edge fixture shape: two identical docs must always collide
+    // in every band and verify at distance 0
+    val dir = java.nio.file.Files.createTempDirectory("d04b_edge").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(1L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      Row(2L, "alpha beta gamma delta epsilon", "en", "s", 30L),
+      Row(3L, "completely different text tokens here", "en", "s", 37L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 2), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.d04bSimhashBanded(spark, dir).collect()
+    assert(got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getLong(2) == 0L))
+  }
+}

@@ -100,6 +100,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("file_t").filter(col("type_tag") === "fraud").count() == 1)
   }
 
+  test("kafka reader/sink construct with the reference's options; load fails only on the missing connector") {
+    // Construction wires format("kafka") + subscribe + startingOffsets and
+    // must not need the connector jar (it is resolved at load()/start()).
+    val reader = StreamPipeline.kafkaReader(spark, "broker:9092", "transactions")
+    assert(reader != null)
+    // In this zero-egress container the connector is absent by contract:
+    // load() must fail with the MISSING-DATA-SOURCE error (proving the
+    // source path really is format("kafka")), not an option/wiring error.
+    val e = intercept[Exception](
+      StreamPipeline.kafkaSource(spark, "broker:9092", "transactions"))
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+    // Sink side: JSON-envelope serialization + topic/checkpoint options
+    // compose on a real streaming frame without starting the query.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val derived = StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value"))))
+    val sink = StreamPipeline.kafkaSink(derived, "broker:9092", "scored",
+      java.nio.file.Files.createTempDirectory("kafka_ckpt").toString)
+    assert(sink != null)
+  }
+
   test("stream scoring with the saved GBT model flags by threshold") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gbt_stream").toString
