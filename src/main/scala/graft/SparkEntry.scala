@@ -49,8 +49,11 @@ object SparkEntry {
     "g06_pagerank_loop",
     "t04_fingerprint", "t05_token_freq",
     "d03_minhash_lsh", "d06_minhash_xxhash_scale",
+    "d04b_simhash_banded",
     "v01_cosine_topk", "d05_embedding_neardup",
-    "w01_top_per_group", "w03_running_total", "j01_json_extract",
+    "d05b_embedding_neardup_lsh",
+    "w01_top_per_group", "w03_running_total", "w04_asof_join",
+    "j01_json_extract",
     "a02_local_supplier_volume", "a03_pricing_summary", "e03_rollup"
   ).filter(queries.contains)
 }

@@ -354,13 +354,64 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d07 — cluster formation + canonicalization: the step that turns a
+    * PAIR list into the actual dedup decision. Near-dup pairs form a graph;
+    * its connected components are the duplicate clusters; the minimum
+    * doc_id in each cluster is kept (the keep-first policy applied at
+    * cluster level — pairwise keep-first alone mis-drops on chains
+    * A~B~C where A!~C). Output: every clustered doc with its canonical id,
+    * cluster size, and keep flag.
+    *
+    * Pairs come from the exact d02 verifier here; at 100 TB the pair stage
+    * swaps for d03/d06 (same (id_a, id_b) interface) and the CC runs on
+    * GraphX exactly as below — Pregel label propagation, each superstep a
+    * co-partitioned local join, no driver state.
+    */
+  def d07DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val session = s
+    import session.implicits._
+    val pairs = d02NgramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+    val edgeRdd = pairs.as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    // vertices = pair members only (singletons are trivially kept and
+    // stay out of the iterative step); GraphX CC labels each component
+    // with its min member id — exactly the canonical id the oracle computes
+    val cc = Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices.toDF("doc_id", "canonical_id")
+    val sizes = cc.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+        (col("doc_id") === col("canonical_id")).as("is_kept"))
+      .orderBy("canonical_id", "doc_id")
+  }
+
+  private def d07Sql =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($d02Sql)),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, x) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN e ON r.x = e.src),
+       |cc AS (SELECT id AS doc_id, min(x) AS canonical_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM cc GROUP BY 1)
+       |SELECT doc_id, canonical_id, cluster_size,
+       |  doc_id = canonical_id AS is_kept
+       |FROM cc JOIN sizes USING (canonical_id)
+       |ORDER BY canonical_id, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash" -> (d04Simhash _),
     "d04b_simhash_banded" -> (d04bSimhashBanded _),
-    "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _))
+    "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _),
+    "d07_dedup_clusters" -> (d07DedupClusters _))
 
   /** d06 intentionally absent — xxhash64 has no DuckDB equivalent.
     * d04b's oracle is deliberately the ALL-PAIRS SQL at its radius: equal
@@ -371,5 +422,6 @@ object Dedup {
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04SqlAt(HammingT),
-    "d04b_simhash_banded" -> d04SqlAt(BandRadius))
+    "d04b_simhash_banded" -> d04SqlAt(BandRadius),
+    "d07_dedup_clusters" -> d07Sql)
 }

@@ -264,17 +264,148 @@ object TextOps {
        |ORDER BY cnt DESC, token""".stripMargin
   }
 
+  /** t06 — repetition-based quality rules (the Gopher/C4 filter family):
+    * mean word length bounds, most-frequent-token fraction, duplicate
+    * word-3-gram fraction, alphabetic-character ratio, composed into a
+    * pass/fail gate. All per-row higher-order-function folds over the token
+    * array — scan-bound, zero shuffle, codegen'd; the exact filter a
+    * pre-training pipeline runs before any expensive dedup.
+    */
+  def t06RepetitionRules(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("mean_word_len",
+        ratio(aggregate(transform(t, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x), col("n_tokens"), 4))
+      // highest single-token share: repetition ("spam spam spam") flag
+      .withColumn("max_token_frac",
+        ratio(aggregate(
+          transform(array_distinct(t),
+            d => size(filter(t, x => x === d)).cast("long")),
+          lit(0L), (acc, x) => greatest(acc, x)), col("n_tokens"), 4))
+      // duplicated word-3-grams: shingles3 is DISTINCT shingles, total is
+      // n_tokens - 2, so the duplicate fraction is 1 - distinct/total
+      .withColumn("dup_3gram_frac",
+        when(col("n_tokens") >= 3,
+          r(lit(1.0) - size(shingles3(t)).cast("double")
+            / (col("n_tokens") - 2), 4)))
+      .withColumn("alpha_ratio",
+        ratio(size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))),
+          length(col("text")).cast("long"), 4))
+      .withColumn("gopher_pass",
+        coalesce(col("n_tokens") >= 20
+          && col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0
+          && col("max_token_frac") <= 0.2
+          && col("dup_3gram_frac") <= 0.2
+          && col("alpha_ratio") >= 0.5, lit(false)))
+      .select("doc_id", "n_tokens", "mean_word_len", "max_token_frac",
+        "dup_3gram_frac", "alpha_ratio", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
+  private def t06Sql = {
+    val t = tokensSql("text")
+    val sumLen = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform($t, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x)"
+    val maxCnt = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_distinct($t), " +
+      s"d -> CAST(len(list_filter($t, x -> x = d)) AS BIGINT))), " +
+      s"(acc, x) -> greatest(acc, x))"
+    s"""SELECT doc_id, n_tokens, mean_word_len, max_token_frac,
+       |  dup_3gram_frac, alpha_ratio,
+       |  coalesce(n_tokens >= 20
+       |    AND mean_word_len BETWEEN 2.0 AND 12.0
+       |    AND max_token_frac <= 0.2
+       |    AND dup_3gram_frac <= 0.2
+       |    AND alpha_ratio >= 0.5, false) AS gopher_pass
+       |FROM (SELECT doc_id,
+       |  CAST(len($t) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len($t) > 0
+       |       THEN ${rSql(s"CAST($sumLen AS DOUBLE) / len($t)", 4)} END
+       |    AS mean_word_len,
+       |  CASE WHEN len($t) > 0
+       |       THEN ${rSql(s"CAST($maxCnt AS DOUBLE) / len($t)", 4)} END
+       |    AS max_token_frac,
+       |  CASE WHEN len($t) >= 3
+       |       THEN ${rSql(s"1.0 - CAST(len(${shingles3Sql(t)}) AS DOUBLE)" +
+        s" / (len($t) - 2)", 4)} END
+       |    AS dup_3gram_frac,
+       |  CASE WHEN length(text) > 0
+       |       THEN ${rSql("CAST(len(regexp_extract_all(text, '[a-z]')) " +
+        "AS DOUBLE) / length(text)", 4)} END
+       |    AS alpha_ratio
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** t07 — test-set decontamination: fraction of each corpus document's
+    * word-3-grams that also occur in a held-out probe set (here the
+    * deterministic `doc_id % 97 = 0` slice plays the benchmark). The
+    * standard pre-training hygiene pass: any training doc overlapping a
+    * benchmark above threshold is flagged for removal.
+    *
+    * Scale: the probe side is a BENCHMARK set — thousands of docs against a
+    * 100 TB corpus — so its distinct shingle set broadcasts; the corpus
+    * side is one explode + one broadcast-hash semi-count + one per-doc
+    * groupBy. No shuffle touches the probe side.
+    */
+  def t07Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+    val probe = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+    val totals = corpus.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(probe), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination",
+        r(col("n_hit").cast("double") / col("n_shingles"), 4))
+      .withColumn("is_contaminated", col("contamination") >= 0.8)
+      .orderBy("doc_id")
+  }
+
+  private def t07Sql = {
+    val t = tokensSql("text")
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shingles3Sql("tt")}) AS s
+       |  FROM (SELECT doc_id, $t AS tt FROM documents)
+       |  WHERE len(tt) >= 3),
+       |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+       |totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |           FROM corpus GROUP BY 1),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM corpus JOIN probe USING (s) GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+       |  ${rSql("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles", 4)}
+       |    AS contamination,
+       |  ${rSql("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_shingles", 4)} >= 0.8
+       |    AS is_contaminated
+       |FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_token_freq" -> (t05TokenFreq _))
+    "t05_token_freq" -> (t05TokenFreq _),
+    "t06_repetition_rules" -> (t06RepetitionRules _),
+    "t07_decontaminate" -> (t07Decontaminate _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
     "t02_lang_id" -> t02Sql,
     "t03_quality_score" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
-    "t05_token_freq" -> t05Sql)
+    "t05_token_freq" -> t05Sql,
+    "t06_repetition_rules" -> t06Sql,
+    "t07_decontaminate" -> t07Sql)
 }

@@ -96,13 +96,72 @@ object WindowOps {
        |ORDER BY o_orderstatus, day_epoch LIMIT 500""".stripMargin
   }
 
+  /** w04 — AS-OF join: for every purchase event, the value and age of the
+    * most recent error event at-or-before it for the same user (the
+    * time-series enrichment operator Spark has no built-in for).
+    *
+    * Implementation is the UNION-WINDOW spelling, not a join: tag both
+    * event streams, union them, and take `last(err_value, ignoreNulls)`
+    * over a (user, time) window up to the current row. ONE shuffle on the
+    * partition key, no join, no range explosion — the 100 TB as-of shape
+    * (a backward range join would rescan the probe side per row; the
+    * union-window is a single sort-merge pass). Tie rule at equal ts:
+    * 'error' sorts before 'purchase' (tag order), so a same-instant error
+    * counts as prior; event_id breaks exact ties deterministically.
+    */
+  def w04AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("err_value",
+        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
+      .withColumn("err_ts",
+        when(col("event_type") === "error", col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_err_value", last(col("err_value"), ignoreNulls = true).over(w))
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("purchase_value"),
+        col("last_err_value"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_err_ts")))
+          .as("secs_since_error"))
+      .orderBy("event_id")
+  }
+
+  private val w04Sql =
+    """SELECT event_id, user_id,
+      |  coalesce(value, 0.0) AS purchase_value, last_err_value,
+      |  -- floor, not CAST: Spark's unix_timestamp TRUNCATES sub-second
+      |  -- parts while DuckDB's BIGINT cast rounds-to-nearest
+      |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_err_ts)) AS BIGINT)
+      |    AS secs_since_error
+      |FROM (
+      |  SELECT event_id, user_id, event_type, value, ts,
+      |    last_value(err_value IGNORE NULLS) OVER w AS last_err_value,
+      |    last_value(err_ts IGNORE NULLS) OVER w AS last_err_ts
+      |  FROM (
+      |    SELECT event_id, user_id, event_type, value, ts,
+      |      CASE WHEN event_type = 'error' THEN coalesce(value, 0.0) END AS err_value,
+      |      CASE WHEN event_type = 'error' THEN ts END AS err_ts
+      |    FROM events WHERE event_type IN ('purchase', 'error'))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
-    "w03_running_total" -> (w03RunningTotal _))
+    "w03_running_total" -> (w03RunningTotal _),
+    "w04_asof_join" -> (w04AsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "w01_top_per_group" -> w01Sql,
     "w02_lag_delta" -> w02Sql,
-    "w03_running_total" -> w03Sql)
+    "w03_running_total" -> w03Sql,
+    "w04_asof_join" -> w04Sql)
 }

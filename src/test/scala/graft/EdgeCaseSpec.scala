@@ -55,6 +55,12 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(fp.find(_.getLong(0) == 0L).exists(_.isNullAt(1)))
     assert(fp.find(_.getLong(0) == 1L).exists(_.getLong(1) == 0L))
     assert(TextOps.t05TokenFreq(spark, dir).count() > 0)
+    // repetition rules: null/empty-token docs must land on gopher_pass=false,
+    // never null or an exception
+    val t06 = TextOps.t06RepetitionRules(spark, dir).collect()
+    assert(t06.length == 8)
+    assert(t06.filter(r => r.getLong(0) <= 1L).forall(!_.getBoolean(6)))
+    TextOps.t07Decontaminate(spark, dir).count() // must not throw
   }
 
   test("dedup ops: sub-shingle docs drop out, exact dup collapses") {

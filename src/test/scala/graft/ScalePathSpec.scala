@@ -55,6 +55,44 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d07 clusters are transitive-consistent with the pair list") {
+    val pairList = Dedup.d02NgramJaccardPairs(spark, SfMid)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cc = Dedup.d07DedupClusters(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // every paired doc is clustered, pair members share a canonical id
+    pairList.foreach { case (a, b) =>
+      assert(cc.contains(a) && cc.contains(b), s"pair ($a,$b) unclustered")
+      assert(cc(a)._1 == cc(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly one kept doc per cluster, and it is the minimum member
+    val byCluster = cc.groupBy(_._2._1)
+    byCluster.foreach { case (canon, members) =>
+      assert(members.count(_._2._3) == 1, s"cluster $canon kept != 1")
+      assert(members.keys.min == canon, s"cluster $canon label not min id")
+      assert(members.forall(_._2._2 == members.size))
+    }
+  }
+
+  test("w04 as-of join only ever looks backward") {
+    val rows = operators.WindowOps.w04AsofJoin(spark, SfMid)
+      .select("secs_since_error").collect()
+    val known = rows.filter(!_.isNullAt(0)).map(_.getLong(0))
+    assert(known.nonEmpty, "testdata must contain purchases after errors")
+    assert(known.forall(_ >= 0), "an as-of match may never come from the future")
+  }
+
+  test("t07 contamination fractions are well-formed and probe docs excluded") {
+    val rows = operators.TextOps.t07Decontaminate(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 97 != 0), "probe docs must not be scored")
+    assert(rows.forall { r =>
+      val c = r.getDouble(3); c >= 0.0 && c <= 1.0
+    })
+  }
+
   test("d04b on pathological docs: identical docs pair at hamming 0") {
     // reuse the edge fixture shape: two identical docs must always collide
     // in every band and verify at distance 0
