@@ -275,15 +275,104 @@ object Similarity {
        |WHERE ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} >= $NearDupT
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** v03 — label centroids + nearest-centroid assignment (one k-means
+    * E-step over the labeled embeddings), reported as the label × assigned
+    * confusion with mean cosine. The embedding-analytics shape beyond
+    * search: cluster quality, label coherence, drift detection all reduce
+    * to it.
+    *
+    * Determinism for the oracle: per-dimension centroid means aggregate
+    * through DECIMAL(38,8) (order-free), snap to 6 dp; dot/norm partial
+    * products snap the same way before summing, and the final cosine is
+    * 6-dp-snapped before the argmax (ties → lower label id).
+    *
+    * Scale: centroids are k×dim rows — broadcast; the per-vector dot
+    * against every centroid is a broadcast join on dimension index +
+    * one partial-aggregated groupBy per (vec, label). The corpus never
+    * shuffles by anything wider than vec_id.
+    */
+  def v03CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+        "vec_id")
+    val dims = e.select(col("vec_id"), col("label"), col("nrm"),
+      posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), col("nrm"),
+        (col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
+    val centroids = dims.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(r(sum(col("v").cast("decimal(38,8)")).cast("double")
+        / count(lit(1)), 6).as("cv"))
+    val cnorms = centroids.groupBy("clabel")
+      .agg(sqrt(sum((col("cv") * col("cv")).cast("decimal(38,12)"))
+        .cast("double")).as("cnrm"))
+    val dots = dims.join(broadcast(centroids), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("nrm"), col("clabel"))
+      .agg(sum((col("v") * col("cv")).cast("decimal(38,8)"))
+        .cast("double").as("dot"))
+    val scored = dots.join(broadcast(cnorms), Seq("clabel"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        r(col("dot") / (col("nrm") * col("cnrm")), 6).as("cosine"))
+    val assigned = scored
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("clabel"))))
+      .filter(col("rk") === 1)
+    assigned.groupBy(col("label"), col("clabel").as("assigned_label"))
+      .agg(count(lit(1)).as("n"),
+        r(sum(col("cosine").cast("decimal(38,8)")).cast("double")
+          / count(lit(1)), 4).as("mean_cosine"))
+      .orderBy("label", "assigned_label")
+  }
+
+  private def v03Sql =
+    s"""WITH e AS (
+       |  SELECT n.vec_id, n.embedding, n.nrm, x.label
+       |  FROM ($withNormSql) n JOIN embeddings x ON x.vec_id = n.vec_id),
+       |dims AS (
+       |  SELECT vec_id, label, nrm,
+       |    unnest(range(1, len(embedding) + 1)) AS pos,
+       |    unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE))) AS v
+       |  FROM e),
+       |centroids AS (
+       |  SELECT label AS clabel, pos,
+       |    ${rSql("CAST(sum(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 6)} AS cv
+       |  FROM dims GROUP BY 1, 2),
+       |cnorms AS (
+       |  SELECT clabel,
+       |    sqrt(CAST(sum(CAST(cv * cv AS DECIMAL(38,12))) AS DOUBLE)) AS cnrm
+       |  FROM centroids GROUP BY 1),
+       |dots AS (
+       |  SELECT d.vec_id, d.label, d.nrm, c.clabel,
+       |    CAST(sum(CAST(d.v * c.cv AS DECIMAL(38,8))) AS DOUBLE) AS dot
+       |  FROM dims d JOIN centroids c ON c.pos = d.pos
+       |  GROUP BY 1, 2, 3, 4),
+       |scored AS (
+       |  SELECT t.vec_id, t.label, t.clabel,
+       |    ${rSql("t.dot / (t.nrm * n.cnrm)", 6)} AS cosine
+       |  FROM dots t JOIN cnorms n ON n.clabel = t.clabel),
+       |assigned AS (
+       |  SELECT vec_id, label, clabel, cosine,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cosine DESC, clabel) AS rk
+       |  FROM scored)
+       |SELECT label, clabel AS assigned_label,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${rSql("CAST(sum(CAST(cosine AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 4)}
+       |    AS mean_cosine
+       |FROM assigned WHERE rk = 1
+       |GROUP BY 1, 2 ORDER BY label, assigned_label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
+    "v03_centroid_assign" -> (v03CentroidAssign _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,
+    "v03_centroid_assign" -> v03Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

@@ -153,15 +153,73 @@ object WindowOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** w05 — sessionization: split each user's event stream into sessions at
+    * >30-minute gaps (lag → gap flag → running sum as session index), then
+    * aggregate per session. The canonical two-window shape: both windows
+    * share ONE (user, ts) sort, so Catalyst plans a single shuffle+sort and
+    * the session aggregate reuses the partitioning. At 100 TB this is the
+    * batch mirror of the streaming `session_window` — same semantics,
+    * checked here where an exact oracle exists.
+    */
+  def w05Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_epoch"),
+        max(unix_timestamp(col("ts"))).as("end_epoch"),
+        Det.r(Det.dsum(coalesce(col("value"), lit(0.0))), 4).as("session_value"))
+      .withColumn("duration_secs", col("end_epoch") - col("start_epoch"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  private val w05Sql =
+    """SELECT user_id, session_idx,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_epoch,
+      |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_epoch,
+      |  SESSION_VALUE_EXPR AS session_value,
+      |  max(CAST(floor(epoch(ts)) AS BIGINT))
+      |    - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_secs
+      |FROM (
+      |  SELECT event_id, user_id, ts, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM (
+      |    SELECT event_id, user_id, ts, value,
+      |      CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) IS NULL
+      |             OR CAST(floor(epoch(ts)) AS BIGINT)
+      |               - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id
+      |                   ORDER BY ts, event_id))) AS BIGINT) > 1800
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+      .replace("SESSION_VALUE_EXPR",
+        Det.sqlR(Det.sqlDsum("coalesce(value, 0.0)"), 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
     "w03_running_total" -> (w03RunningTotal _),
-    "w04_asof_join" -> (w04AsofJoin _))
+    "w04_asof_join" -> (w04AsofJoin _),
+    "w05_sessionize" -> (w05Sessionize _))
 
   val oracles: Map[String, String] = Map(
     "w01_top_per_group" -> w01Sql,
     "w02_lag_delta" -> w02Sql,
     "w03_running_total" -> w03Sql,
-    "w04_asof_join" -> w04Sql)
+    "w04_asof_join" -> w04Sql,
+    "w05_sessionize" -> w05Sql)
 }

@@ -93,6 +93,28 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     })
   }
 
+  test("w05 sessions exactly partition the event stream") {
+    val events = Tables.events(spark, SfMid).count()
+    val sess = operators.WindowOps.w05Sessionize(spark, SfMid).collect()
+    assert(sess.map(_.getLong(2)).sum == events,
+      "every event must belong to exactly one session")
+    assert(sess.forall(_.getLong(6) >= 0), "duration may not be negative")
+    assert(sess.exists(_.getLong(2) > 1), "testdata must contain multi-event sessions")
+  }
+
+  test("v03 assignment covers every vector once with valid cosines") {
+    val conf = operators.Similarity.v03CentroidAssign(spark, SfMid).collect()
+    val assignedTotal = conf.map(_.getLong(2)).sum
+    val expected = Tables.embeddings(spark, SfMid)
+      .where("embedding is not null").count()
+    // zero-norm vectors are excluded by the cosine contract; testdata has none
+    assert(assignedTotal == expected,
+      s"confusion must cover each vector once: $assignedTotal vs $expected")
+    assert(conf.forall { r =>
+      val c = r.getDouble(3); c >= -1.0001 && c <= 1.0001
+    })
+  }
+
   test("d04b on pathological docs: identical docs pair at hamming 0") {
     // reuse the edge fixture shape: two identical docs must always collide
     // in every band and verify at distance 0
