@@ -106,13 +106,46 @@ object Similarity {
   private def plane(j: Int, k: Column): Column =
     (lit(j) * lit(73856093L) + k * lit(19349663L)) % lit(2003L) - lit(1001L)
 
-  /** Sign bit j of an embedding against hyperplane j: fold of w·v. */
-  private def signBit(j: Int, e: Column): Column = {
+  /** Sign bit j of an embedding against hyperplane j: fold of w·v — the
+    * HOF REFERENCE spelling (interpreted per element; kept for the
+    * bit-equality spec against the codegen'd fast path below).
+    */
+  private[graft] def signBit(j: Int, e: Column): Column = {
     val proj = aggregate(
       zip_with(e, sequence(lit(1L), size(e).cast("long")),
         (x, k) => x.cast("double") * plane(j, k).cast("double")),
       lit(0.0), (acc, x) => acc + x)
     when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+  }
+
+  /** Hyperplane j as a CONSTANT float-array literal of length `d`:
+    * plane components are integers in [-1001, 1001] — exact in Float —
+    * so `vec_dot(e, planeVec)` computes the identical left-to-right
+    * double fold as [[signBit]]'s HOF spelling, but inside whole-stage
+    * codegen (the HOF path costs one interpreted lambda per element:
+    * ~2M invocations just to bucket sf0.1, and it is why the bucketed
+    * near-dup ever LOST to brute force at small scale).
+    */
+  private def planeVec(j: Int, d: Int): Column =
+    typedLit(Array.tabulate(d)(i =>
+      ((j.toLong * 73856093L + (i + 1).toLong * 19349663L) % 2003L
+        - 1001L).toFloat))
+
+  /** Codegen'd sign bit: bit-identical to [[signBit]] (spec-pinned).
+    * `d` must be ≥ every vector's length — vec_dot folds over the SHORTER
+    * operand, so each vector still projects over exactly its own elements.
+    */
+  private[graft] def signBitFast(j: Int, e: Column, d: Int): Column =
+    when(graft.functions.VectorFunctions.vecDot(e, planeVec(j, d)) >= 0,
+      lit(1L << j)).otherwise(lit(0L))
+
+  /** Max embedding length — the plane-literal length for one query's plan.
+    * One tiny aggregate job; null-safe for empty tables.
+    */
+  private def maxDim(s: SparkSession, dir: String): Int = {
+    val row = Tables.embeddings(s, dir)
+      .agg(max(size(col("embedding")))).head()
+    if (row.isNullAt(0)) 0 else row.getInt(0)
   }
 
   private def signBitSql(j: Int, e: String): String = {
@@ -125,9 +158,11 @@ object Similarity {
 
   private val LshTables = 4 // independent hash tables; recall ≈ 1-(1-p^b)^L
 
-  /** Bucket id of table `t`: 4 sign bits against that table's planes. */
-  private def tableBucket(t: Int, e: Column): Column =
-    (0 until LshBits).map(j => signBit(t * LshBits + j, e)).reduce(_ + _)
+  /** Bucket id of table `t`: 4 sign bits against that table's planes
+    * (codegen'd via the plane-literal fast path).
+    */
+  private def tableBucket(t: Int, e: Column, d: Int): Column =
+    (0 until LshBits).map(j => signBitFast(t * LshBits + j, e, d)).reduce(_ + _)
   private def tableBucketSql(t: Int, e: String): String =
     (0 until LshBits).map(j => signBitSql(t * LshBits + j, e)).mkString(" + ")
 
@@ -216,8 +251,9 @@ object Similarity {
     */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     val e0 = withNorm(s, dir)
+    val d = maxDim(s, dir)
     val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
-      tableBucket(t, col("embedding")).as("bk")))
+      tableBucket(t, col("embedding"), d).as("bk")))
     e0.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(buckets: _*)).as("tb"))
       .select(col("vec_id"), col("embedding"), col("nrm"),

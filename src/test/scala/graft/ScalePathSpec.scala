@@ -48,6 +48,19 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     info(s"d05b recall vs exact near-dup pairs: $recall")
   }
 
+  test("codegen'd plane sign bits are bit-identical to the HOF reference spelling") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SfMid)
+      .where("embedding is not null").limit(300)
+    val d = e.agg(max(size(col("embedding")))).head().getInt(0)
+    val diffs = (0 until 16).map { j =>
+      e.select(Similarity.signBit(j, col("embedding")).as("slow"),
+        Similarity.signBitFast(j, col("embedding"), d).as("fast"))
+        .filter(col("slow") =!= col("fast")).count()
+    }.sum
+    assert(diffs == 0, "fast path must never flip a bucket bit")
+  }
+
   test("d05b plan never materializes the all-pairs product") {
     val p = Similarity.d05bEmbeddingNeardupLsh(spark, SfMid)
       .queryExecution.executedPlan.toString()
