@@ -94,11 +94,61 @@ object Corpus {
        |  ${Det.sqlR(s"${Det.sqlDsum("quality_score")} / count(*)", 4)} AS mean_quality
        |FROM ($c01Sql)""".stripMargin
 
+  /** Per-source token budget for the mixture sampler. */
+  private val SourceBudget = 600L
+
+  /** c03 — training-mix sampling: cap every source at a per-source token
+    * budget, taking documents in DETERMINISTIC hash order (the content
+    * fingerprint, so the sample is stable under re-partitioning, re-runs,
+    * and engine — the property `rand()`-based sampling lacks) and keeping
+    * the greedy prefix whose cumulative tokens fit the budget. This is the
+    * data-mixture step of corpus assembly: weights per source reduce to a
+    * budget per source; the window does the rest.
+    *
+    * Scale: one window keyed by source. Real mixtures have few hundred
+    * sources with heavy skew — pre-aggregating to (source, hash-bucket)
+    * subtotals first (or salting the giant source) bounds the per-task
+    * sort; the greedy-prefix semantics survive because hash order is
+    * uniform within a source.
+    */
+  def c03MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        charFingerprint(col("text")).as("h"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= SourceBudget)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
+  private val c03Sql =
+    s"""SELECT source, doc_id, n_tokens, cum_tokens
+       |FROM (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |      ${charFingerprintSql("text")} AS h
+       |    FROM documents)
+       |  WHERE n_tokens > 0)
+       |WHERE cum_tokens <= $SourceBudget
+       |ORDER BY source, cum_tokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_training_corpus" -> (c01TrainingCorpus _),
-    "c02_corpus_budget" -> (c02CorpusBudget _))
+    "c02_corpus_budget" -> (c02CorpusBudget _),
+    "c03_mixture_sample" -> (c03MixtureSample _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
-    "c02_corpus_budget" -> c02Sql)
+    "c02_corpus_budget" -> c02Sql,
+    "c03_mixture_sample" -> c03Sql)
 }

@@ -391,6 +391,46 @@ object TextOps {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  private val ChunkTokens = 50L
+
+  /** t08 — sequence packing: split every document into fixed-token-budget
+    * chunks (the pre-tokenization step that turns a ragged corpus into
+    * training rows). One `explode(sequence(...))` fan-out per doc — rows
+    * multiply by ceil(n_tokens/budget) but stay narrow (four longs), and
+    * the fan-out happens AFTER column pruning so the scan never rereads
+    * text per chunk. No shuffle at all until the verify dump's order-by.
+    */
+  def t08ChunkPack(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        // `div`, not `/`: Spark's `/` on longs is true division (double)
+        explode(sequence(lit(0L), expr(s"(n_tokens - 1) div $ChunkTokens")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkTokens + 1).as("tok_start"),
+        least(col("n_tokens"), (col("chunk_idx") + 1) * ChunkTokens)
+          .as("tok_end"))
+      .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start") + 1)
+      .orderBy("doc_id", "chunk_idx")
+
+  private def t08Sql = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id, chunk_idx,
+       |  chunk_idx * $ChunkTokens + 1 AS tok_start,
+       |  least(n_tokens, (chunk_idx + 1) * $ChunkTokens) AS tok_end,
+       |  least(n_tokens, (chunk_idx + 1) * $ChunkTokens)
+       |    - (chunk_idx * $ChunkTokens + 1) + 1 AS n_chunk_tokens
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(range(0, (n_tokens - 1) // $ChunkTokens + 1)) AS chunk_idx
+       |  FROM (SELECT doc_id, CAST(len($t) AS BIGINT) AS n_tokens
+       |        FROM documents)
+       |  WHERE n_tokens > 0)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -398,7 +438,8 @@ object TextOps {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_token_freq" -> (t05TokenFreq _),
     "t06_repetition_rules" -> (t06RepetitionRules _),
-    "t07_decontaminate" -> (t07Decontaminate _))
+    "t07_decontaminate" -> (t07Decontaminate _),
+    "t08_chunk_pack" -> (t08ChunkPack _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -407,5 +448,6 @@ object TextOps {
     "t04_fingerprint" -> t04Sql,
     "t05_token_freq" -> t05Sql,
     "t06_repetition_rules" -> t06Sql,
-    "t07_decontaminate" -> t07Sql)
+    "t07_decontaminate" -> t07Sql,
+    "t08_chunk_pack" -> t08Sql)
 }

@@ -171,6 +171,20 @@ object StreamPipeline {
         ()
       }
 
+  /** Event-time SESSIONIZATION on the stream: native `session_window` with
+    * a 30-minute gap, per-user — the streaming twin of the batch
+    * `WindowOps.w05Sessionize` (same gap rule; the batch op carries the
+    * exact oracle, this one carries the state-store semantics: per-(user,
+    * open-session) state, merged on overlap, emitted once the watermark
+    * passes the session close).
+    */
+  def sessionCounts(derived: DataFrame): DataFrame =
+    derived
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_filled")).as("session_value"))
+
   /** Roadmap item (streaming_config.yaml:21-55): score the stream with the
     * saved GBT model at a probability threshold — `model.transform` is a
     * row-wise projection, so it composes with any streaming plan.

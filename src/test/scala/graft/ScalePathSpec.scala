@@ -128,6 +128,34 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     })
   }
 
+  test("t08 chunks exactly tile every document") {
+    val chunks = operators.TextOps.t08ChunkPack(spark, SfMid).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      // contiguous: chunk i starts right after chunk i-1 ends
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) == a.getLong(3) + 1,
+          s"doc $doc gap between chunks")
+        case _ =>
+      }
+      assert(sorted.head.getLong(2) == 1L)
+      assert(sorted.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 50))
+    }
+  }
+
+  test("c03 mixture sample respects every source budget and is deterministic") {
+    val s1 = operators.Corpus.c03MixtureSample(spark, SfMid).collect()
+    val s2 = operators.Corpus.c03MixtureSample(spark, SfMid).collect()
+    assert(s1.map(_.toString).toSeq == s2.map(_.toString).toSeq,
+      "hash-ordered sampling must be run-to-run identical")
+    val bySource = s1.groupBy(_.getString(0))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getLong(3)).max <= 600L, s"source $src over budget")
+    }
+  }
+
   test("d04b on pathological docs: identical docs pair at hamming 0") {
     // reuse the edge fixture shape: two identical docs must always collide
     // in every band and verify at distance 0

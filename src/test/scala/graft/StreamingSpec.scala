@@ -100,6 +100,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("file_t").filter(col("type_tag") === "fraud").count() == 1)
   }
 
+  test("session_window splits a user's stream at >30-minute event-time gaps") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // user 1: two events 10 min apart (one session), then one 2 h later
+    // (a second session); user 2: one event
+    ms.addData(
+      jsonEvent(1, "error", "1.0", "2024-01-01T10:00:00Z"),
+      jsonEvent(8, "click", "2.0", "2024-01-01T10:10:00Z"), // 8 % 7 == 1
+      jsonEvent(15, "click", "4.0", "2024-01-01T12:10:00Z"), // 15 % 7 == 1
+      jsonEvent(2, "click", "8.0", "2024-01-01T10:00:00Z"))
+    val agg = StreamPipeline.sessionCounts(StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value")))))
+    val q = agg.writeStream.format("memory").queryName("sess_t")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_t")
+      .select(col("user_id"), col("n_events"), col("session_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)),
+      s"got $rows")
+  }
+
   test("kafka reader/sink construct with the reference's options; load fails only on the missing connector") {
     // Construction wires format("kafka") + subscribe + startingOffsets and
     // must not need the connector jar (it is resolved at load()/start()).
