@@ -156,6 +156,26 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("w04/w05 plans: no join in the as-of, one shared shuffle for sessionize") {
+    val asof = operators.WindowOps.w04AsofJoin(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(!asof.contains("Join"),
+      "the union-window as-of must never plan a join")
+    val sess = operators.WindowOps.w05Sessionize(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    // both windows + the session aggregate ride ONE hash exchange on
+    // user_id; the only other exchange is the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(sess).size
+    assert(exchanges <= 2, s"w05 planned $exchanges exchanges:\n" +
+      sess.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("t07 probe side broadcasts (benchmark set vs corpus)") {
+    val p = operators.TextOps.t07Decontaminate(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
+  }
+
   test("d04b on pathological docs: identical docs pair at hamming 0") {
     // reuse the edge fixture shape: two identical docs must always collide
     // in every band and verify at distance 0
