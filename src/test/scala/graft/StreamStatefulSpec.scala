@@ -38,6 +38,29 @@ class StreamStatefulSpec extends AnyFunSuite with SparkTestSession {
     assert(ids.sorted == List(1L, 2L, 3L), s"got $ids")
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch against a dimension") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // static user dimension (the production shape: stream enriched against
+    // a broadcast dim table; re-resolved per micro-batch, no state store)
+    val dim = broadcast(Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier"))
+    val ms = MemoryStream[String]
+    ms.addData(
+      jsonEvent(1, "error", 5.0, "2024-01-01T10:00:00Z"),   // user 1
+      jsonEvent(2, "click", 1.0, "2024-01-01T10:01:00Z"),   // user 2
+      jsonEvent(3, "click", 1.0, "2024-01-01T10:02:00Z"))   // user 3: no dim row
+    val enriched = StreamPipeline.derive(
+      StreamPipeline.parse(ms.toDF().select(col("value"))))
+      .join(dim, Seq("user_id"), "left_outer")
+      .select(col("event_id"), coalesce(col("tier"), lit("unknown")).as("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enrich_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "gold"), (2L, "basic"), (3L, "unknown")), s"got $rows")
+  }
+
   test("event-time stream-stream inner join within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
