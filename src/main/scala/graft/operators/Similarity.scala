@@ -327,7 +327,12 @@ object Similarity {
     * one partial-aggregated groupBy per (vec, label). The corpus never
     * shuffles by anything wider than vec_id.
     */
-  def v03CentroidAssign(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, label, clabel, cosine) — every vector scored against every
+    * label centroid (decimal-snapped, order-free). The shared core of the
+    * confusion report (v03) and the IVF index (v04): assignment is the
+    * per-vec argmax, probing is the per-query top-NProbe.
+    */
+  private def centroidScored(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
         "vec_id")
@@ -345,22 +350,31 @@ object Similarity {
       .groupBy(col("vec_id"), col("label"), col("nrm"), col("clabel"))
       .agg(sum((col("v") * col("cv")).cast("decimal(38,8)"))
         .cast("double").as("dot"))
-    val scored = dots.join(broadcast(cnorms), Seq("clabel"))
+    dots.join(broadcast(cnorms), Seq("clabel"))
       .select(col("vec_id"), col("label"), col("clabel"),
         r(col("dot") / (col("nrm") * col("cnrm")), 6).as("cosine"))
-    val assigned = scored
+  }
+
+  /** Per-vec centroid ranking of [[centroidScored]] (rk 1 = assignment). */
+  private def centroidRanked(s: SparkSession, dir: String): DataFrame =
+    centroidScored(s, dir)
       .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
         .orderBy(col("cosine").desc, col("clabel"))))
+
+  def v03CentroidAssign(s: SparkSession, dir: String): DataFrame =
+    centroidRanked(s, dir)
       .filter(col("rk") === 1)
-    assigned.groupBy(col("label"), col("clabel").as("assigned_label"))
+      .groupBy(col("label"), col("clabel").as("assigned_label"))
       .agg(count(lit(1)).as("n"),
         r(sum(col("cosine").cast("decimal(38,8)")).cast("double")
           / count(lit(1)), 4).as("mean_cosine"))
       .orderBy("label", "assigned_label")
-  }
 
-  private def v03Sql =
-    s"""WITH e AS (
+  /** Shared CTE chain ending in `ranked` — the SQL mirror of
+    * [[centroidRanked]] (plus `e` for re-joining raw embeddings).
+    */
+  private def centroidCtes =
+    s"""e AS (
        |  SELECT n.vec_id, n.embedding, n.nrm, x.label
        |  FROM ($withNormSql) n JOIN embeddings x ON x.vec_id = n.vec_id),
        |dims AS (
@@ -386,22 +400,89 @@ object Similarity {
        |  SELECT t.vec_id, t.label, t.clabel,
        |    ${rSql("t.dot / (t.nrm * n.cnrm)", 6)} AS cosine
        |  FROM dots t JOIN cnorms n ON n.clabel = t.clabel),
-       |assigned AS (
+       |ranked AS (
        |  SELECT vec_id, label, clabel, cosine,
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cosine DESC, clabel) AS rk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  private def v03Sql =
+    s"""WITH $centroidCtes
        |SELECT label, clabel AS assigned_label,
        |  CAST(count(*) AS BIGINT) AS n,
        |  ${rSql("CAST(sum(CAST(cosine AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 4)}
        |    AS mean_cosine
-       |FROM assigned WHERE rk = 1
+       |FROM ranked WHERE rk = 1
        |GROUP BY 1, 2 ORDER BY label, assigned_label""".stripMargin
+
+  private val NProbe = 3 // IVF cells probed per query
+
+  /** v04 — IVF approximate nearest neighbors: the label centroids play the
+    * coarse quantizer. Every corpus vector lives in its argmax-cosine cell
+    * ([[centroidRanked]] rk 1); each query probes its top-[[NProbe]] cells
+    * and exact-ranks only the vectors inside them. The complement of v02's
+    * LSH: data-dependent partitions (cells follow the distribution) vs
+    * data-oblivious hyperplanes.
+    *
+    * Scale: THE 100 TB ANN layout — cell id is the partition/cluster key,
+    * so a probe touches NProbe partitions instead of the corpus; recall is
+    * tuned by NProbe alone with no reindex. Exact distances ride the
+    * codegen'd vec_dot.
+    */
+  def v04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val ranked = centroidRanked(s, dir).cache()
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val e0 = withNorm(s, dir)
+    val q = e0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cand = cells.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    cand
+      .join(e0, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v04Sql =
+    s"""WITH $centroidCtes,
+       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
+       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
+       |         WHERE c.vec_id <> p.query_id),
+       |exact AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
+       |  FROM cand cd
+       |  JOIN e n ON n.vec_id = cd.vec_id
+       |  JOIN q ON q.query_id = cd.query_id),
+       |rankedq AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
     "v03_centroid_assign" -> (v03CentroidAssign _),
+    "v04_ann_ivf" -> (v04AnnIvf _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
@@ -409,6 +490,7 @@ object Similarity {
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,
     "v03_centroid_assign" -> v03Sql,
+    "v04_ann_ivf" -> v04Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

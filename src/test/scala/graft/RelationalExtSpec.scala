@@ -34,6 +34,21 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     info(s"ANN recall@5 vs exact top-5: $recall")
   }
 
+  test("v04 IVF ANN achieves measurable recall against the v01 exact baseline") {
+    val exact = Similarity.v01CosineTopk(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.v04AnnIvf(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // probing 3 of the label cells: near neighbors concentrate in the
+    // query's own top cells, so recall must clear a real floor; record the
+    // number so quantizer regressions show up
+    assert(recall >= 0.35, s"IVF recall@5 $recall below floor")
+    info(s"IVF recall@5 vs exact top-5: $recall")
+  }
+
   test("e05 hash sample is reproducible and ~10% sized") {
     val n = Tables.lineitem(spark, SfMid).count()
     val s1 = RelationalExt.e05HashSample(spark, SfMid)
