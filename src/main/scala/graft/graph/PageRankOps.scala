@@ -28,6 +28,13 @@ import graft.Tables
   * GC'd, so memory is bounded by GC cadence; a loop of hundreds of
   * iterations (or one needing executor-loss recovery, which local
   * checkpoints forgo) should use reliable `checkpoint()` instead.
+  *
+  * Round-3 profile at sf0.1/local[32] (total ≈ 3.6-4.3 s vs the
+  * reference's 22.5 s): vertices 0.3 s, weight build 1.3 s (the events
+  * self-join), ~0.4 s per iteration — fixed job-scheduling cost of the
+  * eager checkpoint at 32 partitions, not data volume. Checkpoint cadence
+  * was measured (every-1 vs every-2 vs end-only): no wall-clock change at
+  * this scale, so the safest lineage story (every iteration) stays.
   */
 object PageRankOps {
   val Alpha = 0.15
