@@ -46,6 +46,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       .contains("BroadcastNestedLoopJoin"))
   }
 
+  test("the fraud-signal filter pushes through the events loader's ts projection") {
+    // Tables.events wraps the scan in a nanos-normalizing projection; the
+    // edge build's event_type filter must still reach the parquet reader
+    val p = plan(graph.CoGraph.q(spark, Sf))
+    assert(p.contains("EqualTo(event_type,error)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("aggregation is partial before the exchange (map-side combine)") {
     val p = plan(Relational.q01PriceHistogram2d(spark, Sf))
     // partial + final HashAggregate pair around one exchange

@@ -93,6 +93,40 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("chunk-pack arithmetic tiles any token count exactly") {
+    val Chunk = 50L
+    samples(Gen.choose(1L, 100000L), 200).foreach { n =>
+      val nChunks = (n - 1) / Chunk + 1
+      val bounds = (0L until nChunks).map { i =>
+        (i * Chunk + 1, math.min(n, (i + 1) * Chunk))
+      }
+      assert(bounds.head._1 == 1L)
+      assert(bounds.last._2 == n)
+      bounds.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 == e1 + 1)
+        case _ =>
+      }
+      assert(bounds.map { case (s, e) => e - s + 1 }.sum == n)
+    }
+  }
+
+  test("simhash banding is pigeonhole-lossless at radius < band count") {
+    // any 63-bit pair at hamming <= 3 must agree exactly on one of the
+    // four 16-bit chunks — the theorem d04b's oracle equality rests on
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val base = rnd.nextLong() & Long.MaxValue
+      val nFlips = rnd.nextInt(4) // 0..3 flipped bits
+      val flipped = (1 to nFlips).foldLeft(base) { (v, _) =>
+        v ^ (1L << rnd.nextInt(63))
+      }
+      val chunkMatch = (0 until 4).exists(b =>
+        ((base >>> (16 * b)) & 0xFFFFL) == ((flipped >>> (16 * b)) & 0xFFFFL))
+      assert(chunkMatch,
+        f"pair at hamming<=3 with no matching chunk: $base%x vs $flipped%x")
+    }
+  }
+
   test("MinHash signature agreement estimates Jaccard within LSH tolerance") {
     // identical shingle sets => identical signatures; disjoint => (almost
     // surely) different on every permutation
