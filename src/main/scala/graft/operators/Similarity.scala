@@ -327,33 +327,54 @@ object Similarity {
     * one partial-aggregated groupBy per (vec, label). The corpus never
     * shuffles by anything wider than vec_id.
     */
-  /** (vec_id, label, clabel, cosine) — every vector scored against every
-    * label centroid (decimal-snapped, order-free). The shared core of the
-    * confusion report (v03) and the IVF index (v04): assignment is the
-    * per-vec argmax, probing is the per-query top-NProbe.
-    */
-  private def centroidScored(s: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(s, dir)
+  /** Labeled corpus with norms — shared by the centroid machinery. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir)
       .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
         "vec_id")
-    val dims = e.select(col("vec_id"), col("label"), col("nrm"),
-      posexplode(col("embedding")).as(Seq("pos0", "v")))
-      .select(col("vec_id"), col("label"), col("nrm"),
-        (col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
-    val centroids = dims.groupBy(col("label").as("clabel"), col("pos"))
+
+  /** (clabel, cvec: array<double>, cnrm) — one row per label, the IVF
+    * codebook. Per-dimension means aggregate through DECIMAL (order-free,
+    * engine-identical), then reassemble into a pos-ordered array; the norm
+    * is the same sequential `vec_dot` fold both engines mirror.
+    *
+    * Scale: the ONLY pass over the full corpus here is the explode +
+    * one map-side-combined groupBy(label, pos) — linear, k·d output rows.
+    */
+  private def centroidVecs(s: SparkSession, dir: String): DataFrame = {
+    val dims = labeled(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        col("v").cast("double").as("v"))
+    dims.groupBy(col("label").as("clabel"), col("pos"))
       .agg(r(sum(col("v").cast("decimal(38,8)")).cast("double")
         / count(lit(1)), 6).as("cv"))
-    val cnorms = centroids.groupBy("clabel")
-      .agg(sqrt(sum((col("cv") * col("cv")).cast("decimal(38,12)"))
-        .cast("double")).as("cnrm"))
-    val dots = dims.join(broadcast(centroids), Seq("pos"))
-      .groupBy(col("vec_id"), col("label"), col("nrm"), col("clabel"))
-      .agg(sum((col("v") * col("cv")).cast("decimal(38,8)"))
-        .cast("double").as("dot"))
-    dots.join(broadcast(cnorms), Seq("clabel"))
-      .select(col("vec_id"), col("label"), col("clabel"),
-        r(col("dot") / (col("nrm") * col("cnrm")), 6).as("cosine"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+      .withColumn("cnrm",
+        sqrt(graft.functions.VectorFunctions.vecDot(col("cvec"), col("cvec"))))
   }
+
+  /** (vec_id, label, clabel, cosine) — every vector scored against every
+    * label centroid. The shared core of the confusion report (v03) and the
+    * IVF index (v04): assignment is the per-vec argmax, probing the
+    * per-query top-NProbe.
+    *
+    * Scale: the codebook (k rows of array<double>) BROADCASTS and each
+    * vector × centroid cosine is one codegen'd `vec_dot` evaluated
+    * map-side — n·k kernel calls, ZERO shuffle on the corpus. (The naive
+    * spelling — explode to (vec, pos) and equi-join centroids on pos —
+    * materializes n·d·k intermediate rows and shuffles them; at 10^9
+    * vectors × 1k dims that is the difference between a scan and an
+    * incident.)
+    */
+  private def centroidScored(s: SparkSession, dir: String): DataFrame =
+    labeled(s, dir)
+      .crossJoin(broadcast(centroidVecs(s, dir)))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        r(dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
+          .as("cosine"))
 
   /** Per-vec centroid ranking of [[centroidScored]] (rk 1 = assignment). */
   private def centroidRanked(s: SparkSession, dir: String): DataFrame =
@@ -378,7 +399,7 @@ object Similarity {
        |  SELECT n.vec_id, n.embedding, n.nrm, x.label
        |  FROM ($withNormSql) n JOIN embeddings x ON x.vec_id = n.vec_id),
        |dims AS (
-       |  SELECT vec_id, label, nrm,
+       |  SELECT label,
        |    unnest(range(1, len(embedding) + 1)) AS pos,
        |    unnest(list_transform(range(1, len(embedding) + 1),
        |      i -> CAST(embedding[i] AS DOUBLE))) AS v
@@ -387,19 +408,16 @@ object Similarity {
        |  SELECT label AS clabel, pos,
        |    ${rSql("CAST(sum(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 6)} AS cv
        |  FROM dims GROUP BY 1, 2),
-       |cnorms AS (
-       |  SELECT clabel,
-       |    sqrt(CAST(sum(CAST(cv * cv AS DECIMAL(38,12))) AS DOUBLE)) AS cnrm
+       |cvecs AS (
+       |  SELECT clabel, array_agg(cv ORDER BY pos) AS cvec
        |  FROM centroids GROUP BY 1),
-       |dots AS (
-       |  SELECT d.vec_id, d.label, d.nrm, c.clabel,
-       |    CAST(sum(CAST(d.v * c.cv AS DECIMAL(38,8))) AS DOUBLE) AS dot
-       |  FROM dims d JOIN centroids c ON c.pos = d.pos
-       |  GROUP BY 1, 2, 3, 4),
+       |cnorms AS (
+       |  SELECT clabel, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnrm
+       |  FROM cvecs),
        |scored AS (
-       |  SELECT t.vec_id, t.label, t.clabel,
-       |    ${rSql("t.dot / (t.nrm * n.cnrm)", 6)} AS cosine
-       |  FROM dots t JOIN cnorms n ON n.clabel = t.clabel),
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    ${rSql(s"${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)", 6)} AS cosine
+       |  FROM e CROSS JOIN cnorms c),
        |ranked AS (
        |  SELECT vec_id, label, clabel, cosine,
        |    row_number() OVER (PARTITION BY vec_id

@@ -92,5 +92,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       "SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>), " +
         "CAST(array(3.0, 4.0) AS array<float>)) AS d").head()
     assert(r.getDouble(0) == 11.0)
+    // double and mixed float×double operands (the broadcast-centroid path)
+    val d = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, 2.0) AS array<double>), " +
+        "CAST(array(3.0, 4.0) AS array<double>)) AS a, " +
+        "vec_dot(CAST(array(1.0, 2.0) AS array<float>), " +
+        "CAST(array(0.5, 4.0) AS array<double>)) AS b").head()
+    assert(d.getDouble(0) == 11.0 && d.getDouble(1) == 8.5)
   }
 }
