@@ -273,18 +273,24 @@ object TextOps {
     */
   def t06RepetitionRules(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
+    // highest single-token count per doc, the repetition ("spam spam spam")
+    // flag — computed LINEARLY as explode → (doc, token) count → per-doc
+    // max. A per-row fold over distinct tokens (count each token's
+    // occurrences) is O(distinct × n) per document: fine on average docs,
+    // a straggler-task hazard on the 100k-token tail a 100 TB corpus
+    // always contains. Two map-side-combined shuffles beat a quadratic row.
+    val maxCnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_cnt"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("mean_word_len",
         ratio(aggregate(transform(t, x => length(x).cast("long")), lit(0L),
           (acc, x) => acc + x), col("n_tokens"), 4))
-      // highest single-token share: repetition ("spam spam spam") flag
-      .withColumn("max_token_frac",
-        ratio(aggregate(
-          transform(array_distinct(t),
-            d => size(filter(t, x => x === d)).cast("long")),
-          lit(0L), (acc, x) => greatest(acc, x)), col("n_tokens"), 4))
+      .join(maxCnt, Seq("doc_id"), "left_outer")
+      .withColumn("max_token_frac", ratio(col("max_cnt"), col("n_tokens"), 4))
       // duplicated word-3-grams: shingles3 is DISTINCT shingles, total is
       // n_tokens - 2, so the duplicate fraction is 1 - distinct/total
       .withColumn("dup_3gram_frac",
@@ -309,25 +315,17 @@ object TextOps {
     val t = tokensSql("text")
     val sumLen = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform($t, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x)"
-    val maxCnt = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(list_distinct($t), " +
-      s"d -> CAST(len(list_filter($t, x -> x = d)) AS BIGINT))), " +
-      s"(acc, x) -> greatest(acc, x))"
-    s"""SELECT doc_id, n_tokens, mean_word_len, max_token_frac,
-       |  dup_3gram_frac, alpha_ratio,
-       |  coalesce(n_tokens >= 20
-       |    AND mean_word_len BETWEEN 2.0 AND 12.0
-       |    AND max_token_frac <= 0.2
-       |    AND dup_3gram_frac <= 0.2
-       |    AND alpha_ratio >= 0.5, false) AS gopher_pass
-       |FROM (SELECT doc_id,
+    s"""WITH maxc AS (
+       |  SELECT doc_id, max(c) AS max_cnt
+       |  FROM (SELECT doc_id, tok, count(*) AS c
+       |        FROM (SELECT doc_id, unnest($t) AS tok FROM documents)
+       |        GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |base AS (SELECT doc_id,
        |  CAST(len($t) AS BIGINT) AS n_tokens,
        |  CASE WHEN len($t) > 0
        |       THEN ${rSql(s"CAST($sumLen AS DOUBLE) / len($t)", 4)} END
        |    AS mean_word_len,
-       |  CASE WHEN len($t) > 0
-       |       THEN ${rSql(s"CAST($maxCnt AS DOUBLE) / len($t)", 4)} END
-       |    AS max_token_frac,
        |  CASE WHEN len($t) >= 3
        |       THEN ${rSql(s"1.0 - CAST(len(${shingles3Sql(t)}) AS DOUBLE)" +
         s" / (len($t) - 2)", 4)} END
@@ -336,7 +334,19 @@ object TextOps {
        |       THEN ${rSql("CAST(len(regexp_extract_all(text, '[a-z]')) " +
         "AS DOUBLE) / length(text)", 4)} END
        |    AS alpha_ratio
-       |FROM documents) ORDER BY doc_id""".stripMargin
+       |FROM documents)
+       |SELECT doc_id, n_tokens, mean_word_len,
+       |  CASE WHEN n_tokens > 0
+       |       THEN ${rSql("CAST(max_cnt AS DOUBLE) / n_tokens", 4)} END
+       |    AS max_token_frac,
+       |  dup_3gram_frac, alpha_ratio,
+       |  coalesce(n_tokens >= 20
+       |    AND mean_word_len BETWEEN 2.0 AND 12.0
+       |    AND ${rSql("CAST(max_cnt AS DOUBLE) / n_tokens", 4)} <= 0.2
+       |    AND dup_3gram_frac <= 0.2
+       |    AND alpha_ratio >= 0.5, false) AS gopher_pass
+       |FROM base LEFT JOIN maxc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** t07 — test-set decontamination: fraction of each corpus document's
