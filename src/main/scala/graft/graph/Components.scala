@@ -145,4 +145,45 @@ object Components {
        |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_connected_vertices,
        |       max(n) AS max_component_size
        |FROM sizes""".stripMargin
+
+  /** g12 — per-vertex triangle count (collusion-ring density: a fraud pair
+    * sharing many common neighbors is a ring, not a coincidence).
+    * Native `GraphX triangleCount` — Pregel neighborhood-set intersection,
+    * linear in Σ min(deg(u), deg(v)) per edge with edge-partition
+    * placement; the DuckDB oracle enumerates triangles with a three-way
+    * self-join over the canonical (src < dst) edge set, which is exact but
+    * quadratic-ish — exactly the spelling the GraphX path replaces at
+    * scale. Vertices in no triangle are omitted (count 0).
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    // canonical undirected edges: the co-occurrence set is symmetric, so
+    // src < dst keeps each undirected edge exactly once (triangleCount
+    // requires canonical orientation)
+    val edgeRdd = CoGraph.edges(s, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val vtxRdd = vertices(s, dir).select(col("id")).as[Long].rdd.map(id => (id, ()))
+    Graph(vtxRdd, edgeRdd).triangleCount().vertices
+      .toDF("id", "n_triangles")
+      .filter(col("n_triangles") > 0)
+      .orderBy(col("n_triangles").desc, col("id"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH ${CoGraph.edgesCte},
+       |und AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS (
+       |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+       |  FROM und a
+       |  JOIN und b ON b.src = a.dst
+       |  JOIN und c ON c.src = a.src AND c.dst = b.dst)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT x AS id FROM tri
+       |      UNION ALL SELECT y FROM tri
+       |      UNION ALL SELECT z FROM tri)
+       |GROUP BY 1
+       |ORDER BY n_triangles DESC, id""".stripMargin
 }

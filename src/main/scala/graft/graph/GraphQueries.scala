@@ -15,7 +15,8 @@ object GraphQueries {
     "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _),
     "g09_component_purity" -> (Components.componentPurity _),
     "g10_isolation_summary" -> (Components.isolationSummary _),
-    "g11_mules" -> (PageRankOps.mules _)
+    "g11_mules" -> (PageRankOps.mules _),
+    "g12_triangles" -> (Components.triangles _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -31,6 +32,7 @@ object GraphQueries {
     "g07_top_pagerank" -> PageRankOps.topQSql(),
     "g09_component_purity" -> Components.componentPuritySql,
     "g10_isolation_summary" -> Components.isolationSummarySql,
-    "g11_mules" -> PageRankOps.mulesSql()
+    "g11_mules" -> PageRankOps.mulesSql(),
+    "g12_triangles" -> Components.trianglesSql
   )
 }
