@@ -179,11 +179,48 @@ object FraudML {
     org.apache.spark.ml.PipelineModel.load(path)
   }
 
+  /** m05 — hyperparameter selection via CrossValidator (the step the
+    * reference skips by hard-coding maxIter=10): a small maxDepth grid,
+    * 2-fold, area-under-ROC, parallelism 2. Output: one row per grid
+    * point with its mean CV metric plus the winner flag.
+    *
+    * Scale: `setParallelism(p)` fits p models concurrently, each a
+    * distributed job — the grid axis and the data axis parallelize
+    * independently, so a 1000-executor cluster walks a big grid at the
+    * same wall clock as one fit. Rows-only (fold assignment is
+    * partitioning-sensitive, like m02-m04).
+    */
+  def m05CvGrid(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val (train, _) = split(s, dir)
+    val gbt = new GBTClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(3).setSeed(Seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(2, 3))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(gbt)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("rawPrediction")
+        .setMetricName("areaUnderROC"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2).setParallelism(2).setSeed(Seed)
+    val model = cv.fit(train.cache())
+    val best = model.avgMetrics.zipWithIndex.maxBy(_._1)._2
+    import s.implicits._
+    grid.zip(model.avgMetrics).zipWithIndex.map { case ((pm, m), i) =>
+      (pm.get(gbt.maxDepth).get, m, i == best)
+    }.toSeq.toDF("max_depth", "avg_auc_roc", "is_best")
+      .orderBy("max_depth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_feature_vectors" -> (m01FeatureVectors _),
     "m02_split_sizes" -> (m02SplitSizes _),
     "m03_gbt_confusion" -> (m03GbtConfusion _),
-    "m04_gbt_metrics" -> (m04GbtMetrics _))
+    "m04_gbt_metrics" -> (m04GbtMetrics _),
+    "m05_cv_grid" -> (m05CvGrid _))
 
   /** Only m01 is deterministic enough for a value oracle; m02–m04 depend on
     * the partitioning-sensitive split/training (SURVEY §7.4) → rows-only.

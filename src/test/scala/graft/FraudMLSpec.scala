@@ -60,6 +60,13 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     assert(scored.count() == 50)
   }
 
+  test("m05 CV grid reports one row per grid point with exactly one winner") {
+    val rows = FraudML.m05CvGrid(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3))
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    assert(rows.count(_.getBoolean(2)) == 1, "exactly one best grid point")
+  }
+
   test("M8 save/load round-trip predicts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
     val loaded = FraudML.saveLoad(spark, dir, tmp)
