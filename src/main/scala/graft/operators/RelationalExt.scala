@@ -187,6 +187,73 @@ object RelationalExt {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
         expr("percentile(value, 0.5)").as("exact_p50"))
 
+  /** The declarative data-quality contract checked by e08: each entry is
+    * (check name, violation-fraction expression, tolerated fraction). ONE
+    * definition drives the Spark aggregate, the report, and the oracle —
+    * the Deequ-style shape every production pipeline runs before
+    * publishing a table.
+    */
+  // every fraction is avg over an explicit DOUBLE: Spark parses the bare
+  // literal `1.0` as DECIMAL, and avg(decimal) returns a scale-rounded
+  // decimal that diverges from DuckDB's double average at the 5th place
+  private val LineitemChecks: Seq[(String, String, Double)] = Seq(
+    ("not_null_orderkey",
+      "avg(CAST(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END AS DOUBLE))",
+      0.0),
+    // PK uniqueness via a single-column encode (l_linenumber is 1..7 per
+    // TPC-H, so okey*10+line is injective) — `count(DISTINCT a, b)` and
+    // row-value DISTINCT don't parse the same in both engines
+    ("unique_pk",
+      "1.0 - CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS DOUBLE) / count(*)",
+      0.0),
+    ("quantity_in_1_50",
+      "avg(CAST(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END AS DOUBLE))",
+      0.0),
+    ("returnflag_domain",
+      "avg(CAST(CASE WHEN l_returnflag IN ('R', 'A', 'N') THEN 0 ELSE 1 END AS DOUBLE))",
+      0.0),
+    // deliberately tight: discounts above 5% exist, so the report carries
+    // a FAILING row and consumers must read `pass`, not assume it
+    ("discount_below_5pct",
+      "avg(CAST(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END AS DOUBLE))",
+      0.0))
+
+  /** e08 — data-quality constraint report: every check evaluates in ONE
+    * aggregation pass over the table (a single scan + one reduce — adding
+    * checks is free), then unpivots to a (check, violation_frac, pass) row
+    * per constraint. The publish gate of a 100 TB pipeline: `pass` AND
+    * across the report, or quarantine the batch.
+    */
+  def e08QualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val metrics = Tables.lineitem(s, dir)
+      .agg(expr(LineitemChecks.head._2).as(LineitemChecks.head._1),
+        LineitemChecks.tail.map { case (n, e, _) => expr(e).as(n) }: _*)
+      .select(LineitemChecks.map { case (n, _, _) =>
+        Det.r(col(n), 6).as(n) }: _*)
+    val stack = LineitemChecks.map { case (n, _, _) => s"'$n', $n" }
+      .mkString(", ")
+    metrics
+      .selectExpr(s"stack(${LineitemChecks.size}, $stack) AS (chk, violation_frac)")
+      .join(broadcast(
+        s.createDataFrame(LineitemChecks.map { case (n, _, t) => (n, t) })
+          .toDF("chk", "threshold")), Seq("chk"))
+      .select(col("chk"), col("violation_frac"),
+        (col("violation_frac") <= col("threshold")).as("pass"))
+      .orderBy("chk")
+  }
+
+  private def e08Sql = {
+    val agg = LineitemChecks
+      .map { case (n, e, _) => s"${Det.sqlR(e, 6)} AS $n" }
+      .mkString(",\n    ")
+    val rows = LineitemChecks.map { case (n, _, t) =>
+      s"SELECT '$n' AS chk, $n AS violation_frac, $n <= $t AS pass FROM m"
+    }.mkString("\nUNION ALL ")
+    s"""WITH m AS (SELECT $agg FROM lineitem)
+       |$rows
+       |ORDER BY chk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
     "e02_set_ops" -> (e02SetOps _),
@@ -194,7 +261,8 @@ object RelationalExt {
     "e04_pivot" -> (e04Pivot _),
     "e05_hash_sample" -> (e05HashSample _),
     "e06_time_features" -> (e06TimeFeatures _),
-    "e07_approx_stats" -> (e07ApproxStats _))
+    "e07_approx_stats" -> (e07ApproxStats _),
+    "e08_quality_checks" -> (e08QualityChecks _))
 
   val oracles: Map[String, String] = Map(
     "e01_semi_anti_join" -> e01Sql,
@@ -202,5 +270,6 @@ object RelationalExt {
     "e03_rollup" -> e03Sql,
     "e04_pivot" -> e04Sql,
     "e05_hash_sample" -> e05Sql,
-    "e06_time_features" -> e06Sql)
+    "e06_time_features" -> e06Sql,
+    "e08_quality_checks" -> e08Sql)
 }
