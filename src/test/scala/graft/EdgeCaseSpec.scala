@@ -94,6 +94,11 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     val topk = Similarity.v01CosineTopk(spark, dir)
     assert(topk.filter(col("cosine").isNull || isnan(col("cosine"))).count() == 0)
     Similarity.v02AnnLsh(spark, dir).count() // must not throw
+    // centroid machinery: null/zero vectors are excluded upstream, the
+    // 3 surviving vectors must all be assigned exactly once
+    assert(Similarity.v03CentroidAssign(spark, dir)
+      .agg(sum(col("n"))).head.getLong(0) == 3L)
+    Similarity.v04AnnIvf(spark, dir).count() // must not throw
   }
 
   test("multimodal ops survive null payloads") {

@@ -176,6 +176,19 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(25).mkString("\n"))
   }
 
+  test("z-order cells bound BOTH dimensions at once (the skipping guarantee)") {
+    // cell = top 4 interleaved bits of each dimension -> each cell's value
+    // envelope spans at most 1/16 of each domain (plus one bucket width)
+    val cells = operators.ZOrder.z01ZorderCells(spark, SfMid).collect()
+    assert(cells.length > 1)
+    cells.foreach { c =>
+      assert(c.getDouble(3) - c.getDouble(2) <= 50.0 / 16 + 1,
+        s"cell ${c.getLong(0)} quantity envelope too wide")
+      assert(c.getDouble(5) - c.getDouble(4) <= 104100.0 / 16 + 110,
+        s"cell ${c.getLong(0)} price envelope too wide")
+    }
+  }
+
   test("d04b on pathological docs: identical docs pair at hamming 0") {
     // reuse the edge fixture shape: two identical docs must always collide
     // in every band and verify at distance 0
