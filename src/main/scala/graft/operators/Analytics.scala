@@ -137,13 +137,66 @@ object Analytics {
        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** a04 — weekly retention cohorts over the event stream: cohort = a
+    * user's first active ISO week, retention = distinct users from that
+    * cohort active k weeks later, as count and rate. The canonical
+    * product-analytics query; its shape — per-entity first-touch aggregate
+    * re-joined to the entity's activity — is the one every "as-of-first"
+    * metric reduces to.
+    *
+    * Scale: two distinct-aggregations keyed by user (map-side combined)
+    * plus one join on user_id that co-partitions with the first aggregate's
+    * shuffle; cohort sizes are |weeks| rows — broadcast back. UTC epochs
+    * make week arithmetic pure integers (no DST), mirrored exactly.
+    */
+  def a04RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val firsts = weekly.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = firsts.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_size"))
+    weekly.join(firsts, "user_id")
+      .withColumn("week_offset", expr("(wk - cohort_wk) div 604800"))
+      .groupBy("cohort_wk", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("active_users"),
+        col("cohort_size"),
+        Det.r(col("active_users").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  private val a04Sql =
+    s"""WITH weekly AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk
+       |  FROM events),
+       |firsts AS (SELECT user_id, min(wk) AS cohort_wk
+       |           FROM weekly GROUP BY 1),
+       |sizes AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+       |          FROM firsts GROUP BY 1),
+       |act AS (SELECT f.cohort_wk, (w.wk - f.cohort_wk) // 604800 AS week_offset,
+       |          CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+       |        FROM weekly w JOIN firsts f ON f.user_id = w.user_id
+       |        GROUP BY 1, 2)
+       |SELECT a.cohort_wk, a.week_offset, a.active_users, s.cohort_size,
+       |  ${Det.sqlR("CAST(a.active_users AS DOUBLE) / s.cohort_size", 4)}
+       |    AS retention
+       |FROM act a JOIN sizes s ON s.cohort_wk = a.cohort_wk
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_shipping_priority" -> (a01ShippingPriority _),
     "a02_local_supplier_volume" -> (a02LocalSupplierVolume _),
-    "a03_pricing_summary" -> (a03PricingSummary _))
+    "a03_pricing_summary" -> (a03PricingSummary _),
+    "a04_retention_cohorts" -> (a04RetentionCohorts _))
 
   val oracles: Map[String, String] = Map(
     "a01_shipping_priority" -> a01Sql,
     "a02_local_supplier_volume" -> a02Sql,
-    "a03_pricing_summary" -> a03Sql)
+    "a03_pricing_summary" -> a03Sql,
+    "a04_retention_cohorts" -> a04Sql)
 }
