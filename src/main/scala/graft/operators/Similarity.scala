@@ -36,8 +36,11 @@ object Similarity {
     graft.functions.VectorFunctions.vecDot(a, b)
 
   private def dotSql(a: String, b: String): String =
+    // least(len(a), len(b)), not len(a): Spark's vec_dot folds over the
+    // SHORTER array, and indexing past a DuckDB list yields NULL (which
+    // would silently null the whole fold on ragged inputs)
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"list_transform(range(1, len($a) + 1), " +
+      s"list_transform(range(1, least(len($a), len($b)) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
       s"(acc, x) -> acc + x)"
 
@@ -140,13 +143,24 @@ object Similarity {
       lit(1L << j)).otherwise(lit(0L))
 
   /** Max embedding length — the plane-literal length for one query's plan.
-    * One tiny aggregate job; null-safe for empty tables.
+    * The planes are LITERALS, so the length must be known at plan-build
+    * time: this runs one small aggregate job during DataFrame
+    * construction. Memoized per (session, dir) — weak-keyed like
+    * [[graft.ml.FraudML]]'s model memo — so repeated plan builds (bench
+    * reruns, explain dumps) pay it once; null-safe for empty tables.
     */
-  private def maxDim(s: SparkSession, dir: String): Int = {
-    val row = Tables.embeddings(s, dir)
-      .agg(max(size(col("embedding")))).head()
-    if (row.isNullAt(0)) 0 else row.getInt(0)
-  }
+  private val dimMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Integer]]())
+
+  private def maxDim(s: SparkSession, dir: String): Int =
+    dimMemo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => {
+        val row = Tables.embeddings(s, dir)
+          .agg(max(size(col("embedding")))).head()
+        if (row.isNullAt(0)) 0 else row.getInt(0)
+      }).intValue()
 
   private def signBitSql(j: Int, e: String): String = {
     val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

@@ -246,9 +246,12 @@ object TextOps {
     * free at any scale).
     */
   def t05TokenFreq(s: SparkSession, dir: String): DataFrame = {
+    // cached: both the scalar total and the join's left side consume it —
+    // uncached, Spark would run the explode+aggregate corpus pass twice
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .cache()
     val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share", r(col("cnt").cast("double") / col("total"), 6))
@@ -361,10 +364,13 @@ object TextOps {
     * groupBy. No shuffle touches the probe side.
     */
   def t07Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    // cached: probe, totals, and hits all consume the exploded shingles —
+    // uncached, the corpus would be tokenized and shingled three times
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+      .cache()
     val probe = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val totals = corpus.groupBy("doc_id")
