@@ -40,6 +40,9 @@ case class VecDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // a NULL ELEMENT nulls the whole fold (below) even when both array
+  // arguments are non-null, so nullability cannot derive from the children
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   /** Each side reads its own element type; float widens exactly to double,
@@ -50,6 +53,11 @@ case class VecDot(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** A null ELEMENT on either side nulls the result — matching the HOF
+    * reference spelling (null product poisons the fold) and the DuckDB
+    * `list_reduce` mirror. Reading the slot raw would silently treat the
+    * null as 0.0 and diverge from both.
+    */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -58,6 +66,7 @@ case class VecDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv // strictly left-to-right
@@ -77,6 +86,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
          |}
          |${ev.value} = $acc;

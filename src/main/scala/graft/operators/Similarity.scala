@@ -148,10 +148,22 @@ object Similarity {
     * construction. Memoized per (session, dir) — weak-keyed like
     * [[graft.ml.FraudML]]'s model memo — so repeated plan builds (bench
     * reruns, explain dumps) pay it once; null-safe for empty tables.
+    *
+    * The memo assumes the dir's contents are IMMUTABLE for the session —
+    * the same contract Spark's own file-listing/schema caches carry. A
+    * caller that rewrites a dir in-place must call [[refreshDimCache]]
+    * first (the analogue of `spark.catalog.refreshTable`), else the stale
+    * plane length silently folds only a prefix of longer vectors.
     */
   private val dimMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Integer]]())
+
+  /** Drop the memoized embedding dimension for `dir` (every session). */
+  def refreshDimCache(dir: String): Unit =
+    dimMemo.synchronized {
+      dimMemo.values.forEach(m => { m.remove(dir); () })
+    }
 
   private def maxDim(s: SparkSession, dir: String): Int =
     dimMemo.computeIfAbsent(s,
@@ -212,17 +224,16 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  private def v02Sql = {
-    val tables = (0 until LshTables).map(t =>
-      s"SELECT vec_id, embedding, nrm, $t AS t, " +
-        s"${tableBucketSql(t, "embedding")} AS bk FROM e0")
-      .mkString(" UNION ALL ")
-    s"""WITH e0 AS ($withNormSql),
-       |e AS ($tables),
+  /** Oracle mirror of v02 — the bucketing CTE text comes from the SAME
+    * [[bucketedSql]] generator d05b's oracle uses, so the two oracles can
+    * never drift on the bucket spelling.
+    */
+  private def v02Sql =
+    s"""WITH $bucketedSql,
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, t, bk
-       |      FROM e WHERE vec_id < $NQueries),
+       |      FROM eb WHERE vec_id < $NQueries),
        |cand AS (SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id
-       |  FROM e JOIN q ON e.t = q.t AND e.bk = q.bk AND e.vec_id <> q.query_id),
+       |  FROM eb e JOIN q ON e.t = q.t AND e.bk = q.bk AND e.vec_id <> q.query_id),
        |scored AS (SELECT c.query_id, c.neighbor_id,
        |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
        |  FROM cand c
@@ -235,7 +246,6 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
 
   /** d05 — embedding-cosine near-duplicate pairs: all pairs ≥ threshold.
     * Brute-force half-matrix (n² on vector COUNT) — the small-scale
@@ -341,11 +351,16 @@ object Similarity {
     * one partial-aggregated groupBy per (vec, label). The corpus never
     * shuffles by anything wider than vec_id.
     */
-  /** Labeled corpus with norms — shared by the centroid machinery. */
+  /** Labeled corpus with norms — shared by the centroid machinery. ONE
+    * scan carrying the label column alongside the norm; re-joining the
+    * embeddings table to re-attach `label` would cost a second corpus
+    * scan plus a corpus-wide shuffle join on vec_id.
+    */
   private def labeled(s: SparkSession, dir: String): DataFrame =
-    withNorm(s, dir)
-      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
-        "vec_id")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
 
   /** (clabel, cvec: array<double>, cnrm) — one row per label, the IVF
     * codebook. Per-dimension means aggregate through DECIMAL (order-free,
@@ -410,8 +425,10 @@ object Similarity {
     */
   private def centroidCtes =
     s"""e AS (
-       |  SELECT n.vec_id, n.embedding, n.nrm, x.label
-       |  FROM ($withNormSql) n JOIN embeddings x ON x.vec_id = n.vec_id),
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(${dotSql("embedding", "embedding")}) > 0),
        |dims AS (
        |  SELECT label,
        |    unnest(range(1, len(embedding) + 1)) AS pos,

@@ -99,5 +99,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
         "vec_dot(CAST(array(1.0, 2.0) AS array<float>), " +
         "CAST(array(0.5, 4.0) AS array<double>)) AS b").head()
     assert(d.getDouble(0) == 11.0 && d.getDouble(1) == 8.5)
+    // a null ELEMENT nulls the fold — like the HOF spelling and the
+    // DuckDB list_reduce mirror, never a silent 0.0
+    val n = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, NULL, 2.0) AS array<double>), " +
+        "CAST(array(1.0, 1.0, 1.0) AS array<double>)) AS d").head()
+    assert(n.isNullAt(0))
   }
 }
