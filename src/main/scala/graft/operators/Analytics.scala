@@ -188,15 +188,78 @@ object Analytics {
        |FROM act a JOIN sizes s ON s.cohort_wk = a.cohort_wk
        |ORDER BY 1, 2""".stripMargin
 
+  /** a05 — ordered-sequence funnel over the event stream: users who
+    * signed up, then viewed AFTER signing up, then purchased AFTER that
+    * view — each stage anchored on the previous stage's first-completion
+    * time, which plain per-type counts cannot express. One row: stage
+    * populations and conversion rates.
+    *
+    * Scale: a chain of per-user min-aggregations, each joined to the
+    * previous stage on user_id — every shuffle keys on the same column,
+    * so the stages co-partition and the chain is as wide as ONE
+    * aggregation. The alternative window spelling (sort each user's full
+    * history) pays a per-user sort this never needs.
+    */
+  def a05Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(prev: DataFrame, typ: String, prevT: String, outT: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy("user_id").agg(min(col("ts")).as(outT))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = stage(s1, "view", "t1", "t2")
+    val s3 = stage(s2, "purchase", "t2", "t3")
+    val totals = ev.select("user_id").distinct()
+      .agg(count(lit(1)).as("users"))
+    val stages = s1
+      .join(s2, Seq("user_id"), "left_outer")
+      .join(s3, Seq("user_id"), "left_outer")
+      .agg(count(col("t1")).as("signed_up"),
+        count(col("t2")).as("viewed_after"),
+        count(col("t3")).as("purchased_after"))
+    totals.crossJoin(stages)
+      .select(col("users"), col("signed_up"), col("viewed_after"),
+        col("purchased_after"),
+        Det.r(col("signed_up").cast("double") / col("users"), 4)
+          .as("conv_signup"),
+        Det.r(col("viewed_after").cast("double") / col("signed_up"), 4)
+          .as("conv_view"),
+        Det.r(col("purchased_after").cast("double") / col("viewed_after"), 4)
+          .as("conv_purchase"))
+  }
+
+  private val a05Sql =
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |            WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+       |SELECT
+       |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS users,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS signed_up,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s2) AS viewed_after,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM s3) AS purchased_after,
+       |  ${Det.sqlR("CAST((SELECT count(*) FROM s1) AS DOUBLE) / (SELECT count(DISTINCT user_id) FROM events)", 4)} AS conv_signup,
+       |  ${Det.sqlR("CAST((SELECT count(*) FROM s2) AS DOUBLE) / (SELECT count(*) FROM s1)", 4)} AS conv_view,
+       |  ${Det.sqlR("CAST((SELECT count(*) FROM s3) AS DOUBLE) / (SELECT count(*) FROM s2)", 4)} AS conv_purchase""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_shipping_priority" -> (a01ShippingPriority _),
     "a02_local_supplier_volume" -> (a02LocalSupplierVolume _),
     "a03_pricing_summary" -> (a03PricingSummary _),
-    "a04_retention_cohorts" -> (a04RetentionCohorts _))
+    "a04_retention_cohorts" -> (a04RetentionCohorts _),
+    "a05_funnel" -> (a05Funnel _))
 
   val oracles: Map[String, String] = Map(
     "a01_shipping_priority" -> a01Sql,
     "a02_local_supplier_volume" -> a02Sql,
     "a03_pricing_summary" -> a03Sql,
-    "a04_retention_cohorts" -> a04Sql)
+    "a04_retention_cohorts" -> a04Sql,
+    "a05_funnel" -> a05Sql)
 }
