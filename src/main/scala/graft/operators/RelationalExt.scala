@@ -187,6 +187,29 @@ object RelationalExt {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
         expr("percentile(value, 0.5)").as("exact_p50"))
 
+  /** e09 — RE-AGGREGATABLE distinct-count sketches (DataSketches HLL):
+    * build one sketch per day (`hll_sketch_agg`), then union the daily
+    * sketches (`hll_union_agg`) into the period total WITHOUT rescanning
+    * events. The incremental-rollup pattern: at 100 TB the daily sketches
+    * are a few KB each, so month/quarter/all-time distincts come from
+    * merging yesterday's materialized sketches, not from re-reading the
+    * raw table — `approx_count_distinct` alone cannot do this (its
+    * partial state is not a storable column). Rows-only (sketch binaries
+    * have no DuckDB twin); the union-vs-exact error contract is
+    * spec-pinned.
+    */
+  def e09SketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+      .groupBy("day_epoch")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("exact_daily"))
+    daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_period_users"),
+      count(lit(1)).as("n_days"),
+      sum(col("exact_daily")).as("sum_daily_users"))
+  }
+
   /** The declarative data-quality contract checked by e08: each entry is
     * (check name, violation-fraction expression, tolerated fraction). ONE
     * definition drives the Spark aggregate, the report, and the oracle —
@@ -262,7 +285,8 @@ object RelationalExt {
     "e05_hash_sample" -> (e05HashSample _),
     "e06_time_features" -> (e06TimeFeatures _),
     "e07_approx_stats" -> (e07ApproxStats _),
-    "e08_quality_checks" -> (e08QualityChecks _))
+    "e08_quality_checks" -> (e08QualityChecks _),
+    "e09_sketch_union" -> (e09SketchUnion _))
 
   val oracles: Map[String, String] = Map(
     "e01_semi_anti_join" -> e01Sql,

@@ -49,6 +49,18 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     info(s"IVF recall@5 vs exact top-5: $recall")
   }
 
+  test("e09 unioned daily sketches estimate the period distinct within 5%") {
+    val exact = Tables.events(spark, SfMid)
+      .select("user_id").distinct().count().toDouble
+    val r = RelationalExt.e09SketchUnion(spark, SfMid).head()
+    val approx = r.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"sketch union $approx vs exact $exact")
+    // the union must beat naive summing of daily distincts (which
+    // double-counts users active on multiple days)
+    assert(r.getLong(2) > exact.toLong, "testdata must have multi-day users")
+  }
+
   test("e05 hash sample is reproducible and ~10% sized") {
     val n = Tables.lineitem(spark, SfMid).count()
     val s1 = RelationalExt.e05HashSample(spark, SfMid)
