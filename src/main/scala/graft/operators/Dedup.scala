@@ -27,6 +27,16 @@ object Dedup {
   private val SimBits = 63 // SimHash signature width (fits a signed long)
   private val JaccardT = 0.5 // verify threshold (planted dups ≥ 0.5 on testdata)
   private val HammingT = 10 // SimHash near-dup radius (calibrated on testdata)
+  /** Posting-list document-frequency cap for the inverted-index verifier:
+    * a shingle occurring in more than this many DISTINCT documents is
+    * boilerplate (site chrome, license headers) and is dropped before the
+    * self-join. Without it one universal shingle costs df² candidate rows —
+    * the cap bounds the join at maxDf² per shingle, which is what makes the
+    * exact verifier safe to run at all beyond toy scale (d03/d06 stay the
+    * primary 100 TB path). Dropped shingles are stopword-shingles: excluded
+    * from BOTH intersection and union, the standard near-dup treatment.
+    */
+  private[graft] val MaxShingleDf = 64
 
   /** doc_id → exploded (doc_id, shingle) rows, docs with ≥3 tokens. */
   private def shingleRows(s: SparkSession, dir: String): DataFrame = {
@@ -41,6 +51,29 @@ object Dedup {
     s"""SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
        |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
        |WHERE len(t) >= 3""".stripMargin
+
+  /** [[shingleRows]] minus shingles whose document frequency exceeds
+    * `maxDf` (see [[MaxShingleDf]]). The hot list is tiny by definition
+    * (only shingles shared by >maxDf docs), so it broadcasts and the
+    * removal is a map-side anti join — no extra shuffle on the corpus.
+    */
+  private[graft] def cappedShingleRows(s: SparkSession, dir: String,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val sh = shingleRows(s, dir).cache()
+    val hot = sh.groupBy("s")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** CTE chain ending in `sh(doc_id, s)` — mirror of [[cappedShingleRows]]. */
+  private def cappedShingleRowsSql(maxDf: Int = MaxShingleDf): String =
+    s"""sh0 AS ($shingleRowsSql),
+       |hot AS (SELECT s FROM sh0 GROUP BY s
+       |        HAVING count(DISTINCT doc_id) > $maxDf),
+       |sh AS (SELECT doc_id, s FROM sh0
+       |       WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
 
   /** (doc_id, sid) with sids from the sorted shingle dictionary.
     *
@@ -99,12 +132,14 @@ object Dedup {
     * never the quadratic cross product), count intersections, Jaccard =
     * |∩| / (|A|+|B|−|∩|), keep ≥ 0.5.
     *
-    * Scale: cost is Σ per-shingle df² — hot shingles explode it, which is
-    * exactly why d03's LSH replaces this at 100 TB; here it doubles as the
-    * exact verifier. Shuffles: one on shingle, one on the pair key.
+    * Scale: cost is Σ per-shingle df² — so boilerplate shingles are capped
+    * at [[MaxShingleDf]] documents before the join (a universal shingle no
+    * longer yields n² candidates); d03's LSH still replaces this wholesale
+    * at 100 TB; here it doubles as the exact verifier. Shuffles: one on
+    * shingle, one on the pair key.
     */
   def d02NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleRows(s, dir).cache()
+    val ds = cappedShingleRows(s, dir).cache()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s")
@@ -122,7 +157,7 @@ object Dedup {
   }
 
   private def d02Sql =
-    s"""WITH sh AS ($shingleRowsSql),
+    s"""WITH ${cappedShingleRowsSql()},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -185,17 +220,18 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def d03Sql = {
+  /** Shared LSH-verify SQL: CTEs `sig/bands/cand/sizes/inter` over a prior
+    * `ds(doc_id, sid)` CTE — the band-bucket candidate + exact-Jaccard
+    * chain used by both the d03 oracle and (as an id-independence oracle)
+    * the d06 oracle.
+    */
+  private def lshCoreSql = {
     val mins = (0 until NumPerm)
       .map(j => s"min(${permSql(j, "sid")}) AS h${j + 1}").mkString(",\n    ")
     val bands = (1 to Bands).map(b =>
       s"SELECT doc_id, $b AS band, CAST(h${2 * b - 1} AS VARCHAR) || '_' || " +
         s"CAST(h${2 * b} AS VARCHAR) AS bk FROM sig").mkString(" UNION ALL ")
-    val agree = (1 to NumPerm)
-      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH $shingleIdsSql,
-       |sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bands x JOIN bands y
@@ -205,7 +241,15 @@ object Dedup {
        |          FROM cand c
        |          JOIN ds p ON p.doc_id = c.id_a
        |          JOIN ds q ON q.doc_id = c.id_b AND q.sid = p.sid
-       |          GROUP BY 1, 2),
+       |          GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def d03Sql = {
+    val agree = (1 to NumPerm)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $shingleIdsSql,
+       |$lshCoreSql,
        |est AS (SELECT c.id_a, c.id_b,
        |          ${rSql(s"CAST($agree AS DOUBLE) / $NumPerm", 4)} AS est_jaccard
        |        FROM cand c
@@ -319,9 +363,15 @@ object Dedup {
 
   /** d06 — the 100 TB MinHash path: ids straight from `xxhash64(shingle)`
     * (no dictionary, no global sort — pure scan + one groupBy), same LSH
-    * bands, same exact verify. Rows-only check (DuckDB lacks xxhash64); the
-    * pair set must and does match d03 on the testdata — asserted in
-    * DedupSpec, since both verify with the same exact-Jaccard ≥ 0.5 gate.
+    * bands, same exact verify. Oracle: DuckDB lacks xxhash64, but the
+    * VERIFIED output (pairs with exact shingle-Jaccard ≥ 0.5) is
+    * independent of the id assignment as long as ids are injective on the
+    * observed shingles — so [[d06Sql]] reuses the dictionary-id LSH chain
+    * (d03's SQL minus its signature-estimate column) as an exact oracle.
+    * This deliberately also pins the RECALL equivalence of the two band
+    * paths: if either id scheme's banding started missing a true pair the
+    * other catches, the row goes red (ScalePathSpec asserts the same
+    * equality with a readable diff).
     */
   def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame = {
     val ds = shingleRows(s, dir)
@@ -387,6 +437,20 @@ object Dedup {
       .orderBy("canonical_id", "doc_id")
   }
 
+  /** See [[d06MinhashXxhashScale]]'s scaladoc for why the dictionary-id
+    * chain is a legitimate exact oracle for the xxhash-id path.
+    */
+  private def d06Sql =
+    s"""WITH $shingleIdsSql,
+       |$lshCoreSql
+       |SELECT i.id_a, i.id_b,
+       |  ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.id_a
+       |JOIN sizes zb ON zb.doc_id = i.id_b
+       |WHERE ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} >= $JaccardT
+       |ORDER BY i.id_a, i.id_b""".stripMargin
+
   private def d07Sql =
     s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($d02Sql)),
        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -413,9 +477,10 @@ object Dedup {
     "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _),
     "d07_dedup_clusters" -> (d07DedupClusters _))
 
-  /** d06 intentionally absent — xxhash64 has no DuckDB equivalent.
-    * d04b's oracle is deliberately the ALL-PAIRS SQL at its radius: equal
-    * results prove the banding drops nothing (see [[d04SqlAt]]).
+  /** d04b's oracle is deliberately the ALL-PAIRS SQL at its radius: equal
+    * results prove the banding drops nothing (see [[d04SqlAt]]). d06's is
+    * the dictionary-id LSH chain: equal results prove the verified output
+    * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
@@ -423,5 +488,6 @@ object Dedup {
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04SqlAt(HammingT),
     "d04b_simhash_banded" -> d04SqlAt(BandRadius),
+    "d06_minhash_xxhash_scale" -> d06Sql,
     "d07_dedup_clusters" -> d07Sql)
 }

@@ -34,6 +34,49 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d06 xxhash ids produce the identical verified pair set to d03's dictionary ids") {
+    // the driver oracle pins the same equality via SQL; this spec gives the
+    // readable diff when either banding's recall drifts
+    val dict = pairs(Dedup.d03MinhashLsh(spark, SfMid))
+    val hash = pairs(Dedup.d06MinhashXxhashScale(spark, SfMid))
+    assert(hash == dict,
+      s"id-assignment must not change the verified output: " +
+        s"missing=${(dict -- hash).take(5)} extra=${(hash -- dict).take(5)}")
+    assert(dict.nonEmpty, "testdata must contain near-dup pairs")
+  }
+
+  test("df cap: one universal boilerplate shingle no longer yields n² candidates") {
+    val dir = java.nio.file.Files.createTempDirectory("dfcap").toString
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // every doc shares ONE 3-gram ("common header line"); the rest unique
+    val docs = (1 to 40).map(i =>
+      Row(i.toLong, s"common header line u${i}a u${i}b u${i}c u${i}d",
+        "en", "s", 40L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 4), docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def candidates(maxDf: Int): Long = {
+      val sh = Dedup.cappedShingleRows(spark, dir, maxDf).cache()
+      sh.as("a").join(sh.as("b"),
+          org.apache.spark.sql.functions.col("a.s") ===
+            org.apache.spark.sql.functions.col("b.s") &&
+          org.apache.spark.sql.functions.col("a.doc_id") <
+            org.apache.spark.sql.functions.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    }
+    assert(candidates(maxDf = 1000) == 40L * 39 / 2,
+      "uncapped: the universal shingle meets every doc pair (n² blowup)")
+    assert(candidates(maxDf = 10) == 0L,
+      "capped: the boilerplate shingle is dropped, no candidates remain")
+    // the capped run must keep every doc's non-boilerplate shingles intact
+    assert(Dedup.cappedShingleRows(spark, dir, 10)
+      .select("doc_id").distinct().count() == 40L)
+  }
+
   test("d05b is a subset of exact d05 with bounded recall") {
     val exact = pairs(Similarity.d05EmbeddingNeardup(spark, SfMid))
     val lsh = pairs(Similarity.d05bEmbeddingNeardupLsh(spark, SfMid))
