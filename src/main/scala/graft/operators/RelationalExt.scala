@@ -194,21 +194,50 @@ object RelationalExt {
     * are a few KB each, so month/quarter/all-time distincts come from
     * merging yesterday's materialized sketches, not from re-reading the
     * raw table — `approx_count_distinct` alone cannot do this (its
-    * partial state is not a storable column). Rows-only (sketch binaries
-    * have no DuckDB twin); the union-vs-exact error contract is
-    * spec-pinned.
+    * partial state is not a storable column).
+    *
+    * Oracle contract: the sketch ESTIMATE itself has no cross-engine
+    * twin, so the comparable output carries the exact quantities (days,
+    * summed daily distincts, exact period distinct) plus the error
+    * ENVELOPE as a boolean — `union_within_5pct` must hold for Spark's
+    * DataSketches-HLL union here and for DuckDB's own HLL
+    * (`approx_count_distinct`) in the oracle SQL, so the 5% contract is
+    * asserted on the correctness board in both engines, not just in a
+    * spec.
     */
   def e09SketchUnion(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
+    val daily = ev
       .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
       .groupBy("day_epoch")
       .agg(hll_sketch_agg(col("user_id")).as("sk"),
         countDistinct(col("user_id")).as("exact_daily"))
-    daily.agg(
+    val union = daily.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_period_users"),
       count(lit(1)).as("n_days"),
-      sum(col("exact_daily")).as("sum_daily_users"))
+      sum(col("exact_daily")).cast("long").as("sum_daily_users"))
+    // 1-row × 1-row: a broadcast scalar join, same shape as t05's total
+    union.crossJoin(
+        ev.agg(countDistinct(col("user_id")).as("exact_period_users")))
+      .select(col("n_days"), col("sum_daily_users"),
+        col("exact_period_users"),
+        (abs(col("approx_period_users") - col("exact_period_users"))
+          .cast("double") / col("exact_period_users") <= 0.05)
+          .as("union_within_5pct"))
   }
+
+  private def e09Sql =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS d,
+       |         count(DISTINCT user_id) AS exact_daily
+       |  FROM events GROUP BY 1)
+       |SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+       |  CAST((SELECT sum(exact_daily) FROM daily) AS BIGINT) AS sum_daily_users,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_period_users,
+       |  abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+       |      - count(DISTINCT user_id)) / count(DISTINCT user_id) <= 0.05
+       |    AS union_within_5pct
+       |FROM events""".stripMargin
 
   /** The declarative data-quality contract checked by e08: each entry is
     * (check name, violation-fraction expression, tolerated fraction). ONE
@@ -223,11 +252,17 @@ object RelationalExt {
     ("not_null_orderkey",
       "avg(CAST(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END AS DOUBLE))",
       0.0),
-    // PK uniqueness via a single-column encode (l_linenumber is 1..7 per
-    // TPC-H, so okey*10+line is injective) — `count(DISTINCT a, b)` and
-    // row-value DISTINCT don't parse the same in both engines
+    // PK uniqueness via a single-column encode — `count(DISTINCT a, b)`
+    // and row-value DISTINCT don't parse the same in both engines. The
+    // *100 encode is injective while l_linenumber stays in 0..99; the
+    // linenumber_domain check BELOW is the explicit guard for the 1..7
+    // TPC-H domain this depends on, so a domain violation surfaces as its
+    // own red row instead of silently aliasing PK encodings
     ("unique_pk",
-      "1.0 - CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS DOUBLE) / count(*)",
+      "1.0 - CAST(count(DISTINCT l_orderkey * 100 + l_linenumber) AS DOUBLE) / count(*)",
+      0.0),
+    ("linenumber_domain",
+      "avg(CAST(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END AS DOUBLE))",
       0.0),
     ("quantity_in_1_50",
       "avg(CAST(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END AS DOUBLE))",
@@ -295,5 +330,6 @@ object RelationalExt {
     "e04_pivot" -> e04Sql,
     "e05_hash_sample" -> e05Sql,
     "e06_time_features" -> e06Sql,
-    "e08_quality_checks" -> e08Sql)
+    "e08_quality_checks" -> e08Sql,
+    "e09_sketch_union" -> e09Sql)
 }

@@ -149,15 +149,16 @@ object Similarity {
     * [[graft.ml.FraudML]]'s model memo — so repeated plan builds (bench
     * reruns, explain dumps) pay it once; null-safe for empty tables.
     *
-    * The memo assumes the dir's contents are IMMUTABLE for the session —
-    * the same contract Spark's own file-listing/schema caches carry. A
-    * caller that rewrites a dir in-place must call [[refreshDimCache]]
-    * first (the analogue of `spark.catalog.refreshTable`), else the stale
-    * plane length silently folds only a prefix of longer vectors.
+    * The memo entry carries a cheap CONTENT SIGNATURE of the embeddings
+    * files (name/size/mtime): an in-place rewrite of the dir invalidates
+    * the cached dimension automatically, so longer vectors can never be
+    * silently projected over a stale-length plane prefix.
+    * [[refreshDimCache]] remains as the explicit override for exotic
+    * stores where the signature can't see a change.
     */
   private val dimMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, Integer]]())
+      java.util.concurrent.ConcurrentHashMap[String, (String, Int)]]())
 
   /** Drop the memoized embedding dimension for `dir` (every session). */
   def refreshDimCache(dir: String): Unit =
@@ -165,14 +166,37 @@ object Similarity {
       dimMemo.values.forEach(m => { m.remove(dir); () })
     }
 
-  private def maxDim(s: SparkSession, dir: String): Int =
-    dimMemo.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap())
-      .computeIfAbsent(dir, _ => {
-        val row = Tables.embeddings(s, dir)
-          .agg(max(size(col("embedding")))).head()
-        if (row.isNullAt(0)) 0 else row.getInt(0)
-      }).intValue()
+  /** (name, size, mtime) of every file under the embeddings table, sorted —
+    * a change in any data file changes the signature. Local-FS walk; on an
+    * object store the listing would come from the same FileIndex Spark
+    * uses.
+    */
+  private def dirSignature(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      else if (f.isFile) Seq(f) else Nil
+    walk(new java.io.File(s"$dir/embeddings.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+  }
+
+  private def maxDim(s: SparkSession, dir: String): Int = {
+    val m = dimMemo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]())
+    val sig = dirSignature(dir)
+    val cached = m.get(dir)
+    if (cached != null && cached._1 == sig) cached._2
+    else {
+      // the aggregate job runs OUTSIDE any memo lock: a concurrent caller
+      // at worst duplicates this small job, never serializes behind it
+      val row = Tables.embeddings(s, dir)
+        .agg(max(size(col("embedding")))).head()
+      val d = if (row.isNullAt(0)) 0 else row.getInt(0)
+      m.put(dir, (sig, d))
+      d
+    }
+  }
 
   private def signBitSql(j: Int, e: String): String = {
     val proj = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +

@@ -47,6 +47,28 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("m04 metrics are pinned goldens (seed 42, this session's partitioning)") {
+    // the driver gate keeps m04 rows-only (split/training are partitioning-
+    // sensitive, SURVEY §7.4) — but WITHIN one environment the whole chain
+    // is deterministic: seed-42 split, seeded GBT, fixed evaluator. Pin the
+    // values this suite's session produces so any regression in the ML path
+    // (assembler change, split drift, evaluator swap) fails CI instead of
+    // silently shifting metrics. The fixture has no class signal; these are
+    // determinism goldens, not quality claims (see README scope note).
+    val golden = Map(
+      "auc_roc" -> 0.48154570056981255,
+      "auc_pr" -> 0.3135238176195935,
+      "weighted_precision" -> 0.5468956664985607,
+      "weighted_recall" -> 0.6591500433651345,
+      "weighted_f1" -> 0.5451714668757205)
+    val m = FraudML.m04GbtMetrics(spark, dir).head()
+    golden.foreach { case (name, want) =>
+      val got = m.getAs[Double](name)
+      assert(math.abs(got - want) <= 1e-6,
+        s"$name drifted: got $got, pinned $want")
+    }
+  }
+
   test("PipelineModel persists assembler+classifier as one raw-column artifact") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_pipe").toString
     val loaded = FraudML.fitPipeline(spark, dir, tmp)

