@@ -239,6 +239,78 @@ object RelationalExt {
        |    AS union_within_5pct
        |FROM events""".stripMargin
 
+  /** Histogram bin width for [[e10QuantileRollup]] — events.value spans
+    * [0, ~500), so 2.0 gives 256 bins; the quantile answer is exact to
+    * one bin width.
+    */
+  private val BinW = 2.0
+
+  /** e10 — RE-AGGREGATABLE quantile rollup, the quantile sibling of e09's
+    * distinct-count sketches: build one fixed-bin histogram per day (a
+    * few hundred (bin, count) rows — the storable daily sketch), then
+    * MERGE histograms by summing per-bin counts and read p50/p90/p99 off
+    * the merged cumulative curve, without rescanning events. Unlike a
+    * percentile_approx partial, the histogram is a plain table: any
+    * engine can store, merge, and query it, and the merge is associative
+    * so month/quarter rollups come from daily sketches alone.
+    *
+    * Deterministic by construction (bin edges, not samples), so the
+    * whole pipeline oracle-checks EXACTLY; `p50_within_bin` additionally
+    * asserts the one-bin-width error contract against each engine's own
+    * exact percentile. The no-partition window runs over ≤256 bin rows —
+    * bounded by the bin count, never by data size.
+    */
+  def e10QuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
+      .select(col("day_epoch"),
+        floor(col("value") / BinW).cast("long").as("bin"))
+      .groupBy("day_epoch", "bin").agg(count(lit(1)).as("cnt"))
+    val merged = daily.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+    val cum = merged.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = merged.agg(sum(col("cnt")).cast("double").as("total"))
+    def pick(p: Double) =
+      (min(when(col("cum") >= col("total") * p, col("bin"))) * BinW)
+        .as(s"p${(p * 100).toInt}_hist")
+    val hist = cum.crossJoin(broadcast(tot)) // 256 rows × 1-row scalar
+      .agg(pick(0.5), pick(0.9), pick(0.99),
+        max(col("total")).cast("long").as("total_rows"))
+    val days = daily.agg(countDistinct(col("day_epoch")).as("n_days"))
+    val exact = ev.agg(expr("percentile(value, 0.5)").as("exact_p50"))
+    hist.crossJoin(broadcast(days)).crossJoin(broadcast(exact))
+      .select(col("n_days"), col("total_rows"),
+        col("p50_hist"), col("p90_hist"), col("p99_hist"),
+        (abs(col("p50_hist") - col("exact_p50")) <= BinW)
+          .as("p50_within_bin"))
+  }
+
+  private def e10Sql =
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS d,
+       |         CAST(floor(value / $BinW) AS BIGINT) AS bin,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |merged AS (SELECT bin, sum(cnt) AS cnt FROM daily GROUP BY 1),
+       |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM merged),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM merged),
+       |hist AS (SELECT
+       |    CAST(min(CASE WHEN cum >= total * 0.5 THEN bin END) * $BinW AS DOUBLE) AS p50_hist,
+       |    CAST(min(CASE WHEN cum >= total * 0.9 THEN bin END) * $BinW AS DOUBLE) AS p90_hist,
+       |    CAST(min(CASE WHEN cum >= total * 0.99 THEN bin END) * $BinW AS DOUBLE) AS p99_hist,
+       |    CAST(max(total) AS BIGINT) AS total_rows
+       |  FROM cum CROSS JOIN tot)
+       |SELECT (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM daily) AS n_days,
+       |  total_rows, p50_hist, p90_hist, p99_hist,
+       |  abs(p50_hist - (SELECT quantile_cont(value, 0.5) FROM events))
+       |    <= $BinW AS p50_within_bin
+       |FROM hist""".stripMargin
+
   /** The declarative data-quality contract checked by e08: each entry is
     * (check name, violation-fraction expression, tolerated fraction). ONE
     * definition drives the Spark aggregate, the report, and the oracle —
@@ -321,7 +393,8 @@ object RelationalExt {
     "e06_time_features" -> (e06TimeFeatures _),
     "e07_approx_stats" -> (e07ApproxStats _),
     "e08_quality_checks" -> (e08QualityChecks _),
-    "e09_sketch_union" -> (e09SketchUnion _))
+    "e09_sketch_union" -> (e09SketchUnion _),
+    "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
     "e01_semi_anti_join" -> e01Sql,
@@ -331,5 +404,6 @@ object RelationalExt {
     "e05_hash_sample" -> e05Sql,
     "e06_time_features" -> e06Sql,
     "e08_quality_checks" -> e08Sql,
-    "e09_sketch_union" -> e09Sql)
+    "e09_sketch_union" -> e09Sql,
+    "e10_quantile_rollup" -> e10Sql)
 }

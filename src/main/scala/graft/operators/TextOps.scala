@@ -447,6 +447,79 @@ object TextOps {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** PII patterns shared by the Spark plan and the oracle SQL — RE2-safe
+    * (no backreferences/lookaround) so Java regex and DuckDB agree.
+    */
+  private val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+1-555-[0-9]{4}", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"))
+
+  /** t09 — PII scrubbing: count and redact email / phone / SSN patterns,
+    * emitting per-doc counts and the fingerprint of the REDACTED text (the
+    * publishable corpus). The synthetic documents contain no PII, so the
+    * operator deterministically plants contact lines on a doc_id schedule
+    * first — the same planted-probe technique as t07's decontamination
+    * fixtures — and the redaction chain then runs over the enriched text
+    * exactly as it would over a real corpus.
+    *
+    * Scale: a pure narrow projection (regexp count + chained
+    * regexp_replace), scan-bound with zero shuffle before the
+    * presentation sort; patterns stay in whole-stage codegen.
+    */
+  def t09PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" id 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    val counted = PiiPatterns.foldLeft(planted) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    }
+    // SSN first: the email pattern can never swallow it, but a phone/SSN
+    // containing digit run must be gone before broader patterns rewrite
+    // the text; order is fixed and mirrored in SQL
+    val redacted = PiiPatterns.reverse.foldLeft(counted) {
+      case (df, (_, pat, repl)) =>
+        df.withColumn("text", regexp_replace(col("text"), pat, repl))
+    }
+    redacted
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+        charFingerprint(col("text")).as("clean_fp"))
+      .filter(col("n_email") + col("n_phone") + col("n_ssn") > 0)
+      .orderBy("doc_id")
+  }
+
+  private def t09Sql = {
+    val planted = "text || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+      "CASE WHEN doc_id % 13 = 0 THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    val redact = PiiPatterns.reverse.foldLeft("text") {
+      case (e, (_, pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    s"""SELECT doc_id, n_email, n_phone, n_ssn,
+       |  ${charFingerprintSql("clean_text")} AS clean_fp
+       |FROM (
+       |  SELECT doc_id, $counts,
+       |    $redact AS clean_text
+       |  FROM (SELECT doc_id, $planted AS text FROM documents))
+       |WHERE n_email + n_phone + n_ssn > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -455,7 +528,8 @@ object TextOps {
     "t05_token_freq" -> (t05TokenFreq _),
     "t06_repetition_rules" -> (t06RepetitionRules _),
     "t07_decontaminate" -> (t07Decontaminate _),
-    "t08_chunk_pack" -> (t08ChunkPack _))
+    "t08_chunk_pack" -> (t08ChunkPack _),
+    "t09_pii_redact" -> (t09PiiRedact _))
 
   val oracles: Map[String, String] = Map(
     "t01_token_stats" -> t01Sql,
@@ -465,5 +539,6 @@ object TextOps {
     "t05_token_freq" -> t05Sql,
     "t06_repetition_rules" -> t06Sql,
     "t07_decontaminate" -> t07Sql,
-    "t08_chunk_pack" -> t08Sql)
+    "t08_chunk_pack" -> t08Sql,
+    "t09_pii_redact" -> t09Sql)
 }

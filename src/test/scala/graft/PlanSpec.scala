@@ -104,6 +104,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("runtime bloom filter from a filtered dim prunes the fact-side scan") {
+    // the third leg of the 100 TB join-pruning story: AQE skew split
+    // (above), manual salting (SkewOps), and Catalyst's InjectRuntimeFilter
+    // — a selective dim filter materializes a bloom filter that is pushed
+    // into the fact side's scan stage, cutting shuffle input before the
+    // sort-merge join ever sees it
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      // broadcast off so the join shuffles (a broadcast join already prunes
+      // via its build side); scan-size threshold 0 so testdata qualifies as
+      // the "huge fact side" a real deployment has
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
+      val li = Tables.lineitem(spark, Sf)
+      val o = Tables.orders(spark, Sf).filter(col("o_totalprice") > 400000.0)
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val opt = j.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("might_contain"),
+        "InjectRuntimeFilter must add a bloom probe to the fact side:\n" +
+          opt.linesIterator.take(25).mkString("\n"))
+      assert(j.count() >= 0) // and the filtered plan still executes
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("vec_dot stays inside whole-stage codegen (no fallback)") {
     val df = Similarity.v01CosineTopk(spark, Sf)
     assert(plan(df).contains("vec_dot"))

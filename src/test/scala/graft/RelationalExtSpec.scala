@@ -61,6 +61,26 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(1) > exact, "testdata must have multi-day users")
   }
 
+  test("e10 merged daily histograms equal the direct global histogram (lossless rollup)") {
+    import org.apache.spark.sql.functions._
+    // the re-aggregation claim: summing per-day (bin, cnt) sketches must
+    // reproduce exactly the histogram a single global pass would build
+    val direct = Tables.events(spark, SfMid)
+      .select(floor(col("value") / 2.0).cast("long").as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDaily = Tables.events(spark, SfMid)
+      .withColumn("d", date_trunc("day", col("ts")))
+      .select(col("d"), floor(col("value") / 2.0).cast("long").as("bin"))
+      .groupBy("d", "bin").count().collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(viaDaily == direct, "daily-sketch merge must be lossless")
+    val r = RelationalExt.e10QuantileRollup(spark, SfMid).head()
+    assert(r.getBoolean(5), "histogram p50 must land within one bin width of exact")
+    assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4),
+      "quantiles must be monotone: p50 <= p90 <= p99")
+  }
+
   test("e05 hash sample is reproducible and ~10% sized") {
     val n = Tables.lineitem(spark, SfMid).count()
     val s1 = RelationalExt.e05HashSample(spark, SfMid)

@@ -171,6 +171,22 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     })
   }
 
+  test("t09 redaction matches the plant schedule and rewrites every planted doc") {
+    val rows = operators.TextOps.t09PiiRedact(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 7 == 0) 1L else 0L), s"doc $id email count")
+      assert(r.getLong(2) == (if (id % 11 == 0) 1L else 0L), s"doc $id phone count")
+      assert(r.getLong(3) == (if (id % 13 == 0) 1L else 0L), s"doc $id ssn count")
+    }
+    // exactly the docs on the plant schedule appear — none missed, none extra
+    val nDocs = Tables.documents(spark, SfMid).count()
+    val expected = (0L until nDocs)
+      .count(id => id % 7 == 0 || id % 11 == 0 || id % 13 == 0)
+    assert(rows.length == expected, s"${rows.length} redacted vs $expected planted")
+  }
+
   test("t08 chunks exactly tile every document") {
     val chunks = operators.TextOps.t08ChunkPack(spark, SfMid).collect()
     val byDoc = chunks.groupBy(_.getLong(0))
