@@ -39,15 +39,11 @@ object Corpus {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
       .cache()
-    // df-cap boilerplate shingles before the self-join (same contract as
-    // Dedup.cappedShingleRows: a shingle shared by > MaxShingleDf survivors
-    // is site chrome, not signal — dropping it bounds the join at df² per
-    // shingle instead of n² for a universal shingle)
-    val hot = sh0.groupBy("s")
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > Dedup.MaxShingleDf)
-      .select("s")
-    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    // df-cap boilerplate shingles before the self-join — THE Dedup cap
+    // contract (a shingle shared by > MaxShingleDf survivors is site
+    // chrome, not signal; dropping it bounds the join at df² per shingle
+    // instead of n² for a universal shingle)
+    val sh = Dedup.capShingles(sh0).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dropIds = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s")
@@ -72,10 +68,7 @@ object Corpus {
        |sh0 AS (SELECT doc_id, unnest(${shingles3Sql("tt")}) AS s
        |        FROM (SELECT doc_id, ${tokensSql("text")} AS tt FROM scored)
        |        WHERE len(tt) >= 3),
-       |hot AS (SELECT s FROM sh0 GROUP BY s
-       |        HAVING count(DISTINCT doc_id) > ${Dedup.MaxShingleDf}),
-       |sh AS (SELECT doc_id, s FROM sh0
-       |       WHERE s NOT IN (SELECT s FROM hot)),
+       |${Dedup.capShinglesSql("sh0")},
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

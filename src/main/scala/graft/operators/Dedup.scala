@@ -52,14 +52,15 @@ object Dedup {
        |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
        |WHERE len(t) >= 3""".stripMargin
 
-  /** [[shingleRows]] minus shingles whose document frequency exceeds
-    * `maxDf` (see [[MaxShingleDf]]). The hot list is tiny by definition
-    * (only shingles shared by >maxDf docs), so it broadcasts and the
-    * removal is a map-side anti join — no extra shuffle on the corpus.
+  /** Drop shingles whose document frequency exceeds `maxDf` from a
+    * (doc_id, s) frame (see [[MaxShingleDf]]). The hot list is tiny by
+    * definition (only shingles shared by >maxDf docs), so it broadcasts
+    * and the removal is a map-side anti join — no extra shuffle on the
+    * corpus. ONE definition of the cap contract, shared by d02 and the
+    * Corpus pipeline (and their SQL mirrors via [[capShinglesSql]]).
     */
-  private[graft] def cappedShingleRows(s: SparkSession, dir: String,
+  private[graft] def capShingles(sh: DataFrame,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = shingleRows(s, dir).cache()
     val hot = sh.groupBy("s")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
@@ -67,13 +68,24 @@ object Dedup {
     sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
-  /** CTE chain ending in `sh(doc_id, s)` — mirror of [[cappedShingleRows]]. */
+  private[graft] def cappedShingleRows(s: SparkSession, dir: String,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    capShingles(shingleRows(s, dir).cache(), maxDf)
+
+  /** CTE pair `hot`/`sh(doc_id, s)` over a prior CTE `src` — mirror of
+    * [[capShingles]].
+    */
+  private[graft] def capShinglesSql(src: String,
+      maxDf: Int = MaxShingleDf): String =
+    s"""hot AS (SELECT s FROM $src GROUP BY s
+       |        HAVING count(DISTINCT doc_id) > $maxDf),
+       |sh AS (SELECT doc_id, s FROM $src
+       |       WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+
+  /** CTE chain ending in `sh(doc_id, s)` — [[cappedShingleRows]]'s mirror. */
   private def cappedShingleRowsSql(maxDf: Int = MaxShingleDf): String =
     s"""sh0 AS ($shingleRowsSql),
-       |hot AS (SELECT s FROM sh0 GROUP BY s
-       |        HAVING count(DISTINCT doc_id) > $maxDf),
-       |sh AS (SELECT doc_id, s FROM sh0
-       |       WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+       |${capShinglesSql("sh0", maxDf)}""".stripMargin
 
   /** (doc_id, sid) with sids from the sorted shingle dictionary.
     *

@@ -257,8 +257,15 @@ object RelationalExt {
     * Deterministic by construction (bin edges, not samples), so the
     * whole pipeline oracle-checks EXACTLY; `p50_within_bin` additionally
     * asserts the one-bin-width error contract against each engine's own
-    * exact percentile. The no-partition window runs over ≤256 bin rows —
-    * bounded by the bin count, never by data size.
+    * exact DISCRETE median. Discrete, not interpolated, deliberately: the
+    * rank-⌈N/2⌉ data value always falls inside the picked bin (cum crosses
+    * 50% there), so |p50_hist − disc_p50| < binW holds STRUCTURALLY on any
+    * distribution — whereas an interpolated percentile can land between
+    * distant populated bins on gapped data and leave the envelope. Spark's
+    * `percentile_approx` with accuracy ≥ N retains every sample (rank
+    * error 0), making it the exact discrete quantile here; DuckDB's
+    * `quantile_disc` is its native twin. The no-partition window runs over
+    * ≤256 bin rows — bounded by the bin count, never by data size.
     */
   def e10QuantileRollup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -280,11 +287,12 @@ object RelationalExt {
       .agg(pick(0.5), pick(0.9), pick(0.99),
         max(col("total")).cast("long").as("total_rows"))
     val days = daily.agg(countDistinct(col("day_epoch")).as("n_days"))
-    val exact = ev.agg(expr("percentile(value, 0.5)").as("exact_p50"))
+    val exact = ev.agg(
+      expr("percentile_approx(value, 0.5, 10000000)").as("disc_p50"))
     hist.crossJoin(broadcast(days)).crossJoin(broadcast(exact))
       .select(col("n_days"), col("total_rows"),
         col("p50_hist"), col("p90_hist"), col("p99_hist"),
-        (abs(col("p50_hist") - col("exact_p50")) <= BinW)
+        (abs(col("p50_hist") - col("disc_p50")) <= BinW)
           .as("p50_within_bin"))
   }
 
@@ -307,7 +315,7 @@ object RelationalExt {
        |  FROM cum CROSS JOIN tot)
        |SELECT (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM daily) AS n_days,
        |  total_rows, p50_hist, p90_hist, p99_hist,
-       |  abs(p50_hist - (SELECT quantile_cont(value, 0.5) FROM events))
+       |  abs(p50_hist - (SELECT quantile_disc(value, 0.5) FROM events))
        |    <= $BinW AS p50_within_bin
        |FROM hist""".stripMargin
 

@@ -65,7 +65,10 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     golden.foreach { case (name, want) =>
       val got = m.getAs[Double](name)
       assert(math.abs(got - want) <= 1e-6,
-        s"$name drifted: got $got, pinned $want")
+        s"$name drifted: got $got, pinned $want. If this follows a Spark " +
+          "upgrade or testdata regeneration (randomSplit is partition-" +
+          "sensitive), re-pin ALL five goldens from this suite's output; " +
+          "a lone drift with unchanged environment is a real ML-path bug.")
     }
   }
 

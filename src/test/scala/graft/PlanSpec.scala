@@ -63,35 +63,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
   test("AQE skew-join splits a planted skewed SMJ (built-in path beside SkewOps' manual salt)") {
     // k01/k02 prove the MANUAL salting path; this pins the runtime path a
     // 1000-executor deployment leans on first: AQE detecting a skewed
-    // shuffle partition and splitting it, marked `skew=true` on the join
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.skewJoin.enabled",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-    // getOption-style save: a conf with no default reads as null — treat
-    // it as unset so the restore unsets instead of set(null)
-    val saved = keys.map(k =>
-      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
-    try {
-      // disable broadcast on BOTH planner and AQE runtime thresholds so the
-      // join stays sort-merge; shrink the skew thresholds to testdata scale
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512k")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
-      // planted skew: 95% of the left keys collapse onto key 0
-      val left = spark.range(0, 200000)
-        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
-          concat(lit("payload-payload-payload-"), col("id")).as("v"))
-      val right = spark.range(0, 2000)
-        .select(col("id").as("k"), lit("dim").as("d"))
-      val joined = left.join(right, "k")
+    // shuffle partition and splitting it, marked `skew=true` on the join.
+    // Scenario + confs are Plans' own objects — CI asserts exactly what
+    // the PLANS.md evidence section publishes.
+    Plans.withConfs(spark, Plans.SkewConfs) {
+      val joined = Plans.skewScenario(spark)
       // execute THIS dataframe's own QueryExecution (count() would build a
       // separate one and leave joined's plan unfinalized, isFinalPlan=false)
       assert(joined.collect().nonEmpty)
@@ -99,8 +75,6 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(p.contains("skew=true"),
         "AQE must mark the skewed SMJ:\n" +
           p.linesIterator.take(40).mkString("\n"))
-    } finally saved.foreach { case (k, v) =>
-      v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
 
@@ -109,34 +83,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // (above), manual salting (SkewOps), and Catalyst's InjectRuntimeFilter
     // — a selective dim filter materializes a bloom filter that is pushed
     // into the fact side's scan stage, cutting shuffle input before the
-    // sort-merge join ever sees it
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-    val saved = keys.map(k =>
-      k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
-    try {
-      // broadcast off so the join shuffles (a broadcast join already prunes
-      // via its build side); scan-size threshold 0 so testdata qualifies as
-      // the "huge fact side" a real deployment has
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
-      val li = Tables.lineitem(spark, Sf)
-      val o = Tables.orders(spark, Sf).filter(col("o_totalprice") > 400000.0)
-      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    // sort-merge join ever sees it. Same scenario objects as PLANS.md.
+    Plans.withConfs(spark, Plans.BloomConfs) {
+      val j = Plans.bloomScenario(spark, Sf)
       val opt = j.queryExecution.optimizedPlan.toString()
       assert(opt.contains("might_contain"),
         "InjectRuntimeFilter must add a bloom probe to the fact side:\n" +
           opt.linesIterator.take(25).mkString("\n"))
       assert(j.count() >= 0) // and the filtered plan still executes
-    } finally saved.foreach { case (k, v) =>
-      v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
 
