@@ -112,9 +112,12 @@ object Multimodal {
 
   /** mm03 — per-type feature aggregate over the extracted features: the
     * "corpus media profile" (bytes, frames, mean brightness per type).
-    * Runs the mapPartitions stage then a 3-group aggregate; the
-    * byte-derived means are deterministic, so this is oracle-checked via
-    * the text bytes (ASCII corpus → mean byte computable from chars).
+    * Runs the mapPartitions stage then a 3-group aggregate. The weighted
+    * mean re-aggregates 4-dp-rounded doubles: `mean_byte × byte_len` is a
+    * 4-dp-exact value (4-dp decimal × integer), so routing it through
+    * [[Det.dsum]]'s DECIMAL carrier makes the sum order-independent and
+    * the whole profile EXACTLY oracle-checkable — a plain double sum here
+    * was the one ulp-order hazard that kept mm03 rows-only.
     */
   def mm03MediaProfile(s: SparkSession, dir: String): DataFrame =
     mm02MediaFeatures(s, dir)
@@ -122,8 +125,9 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(col("byte_len")).as("total_bytes"),
         sum(col("n_frames")).as("total_frames"),
-        Det.r(sum(col("mean_byte") * col("byte_len"))
-          / sum(col("byte_len")), 4).as("weighted_mean_byte"))
+        Det.r(Det.dsum(col("mean_byte") * col("byte_len"))
+          / sum(col("byte_len")).cast("double"), 4)
+          .as("weighted_mean_byte"))
       .orderBy("media_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,8 +137,8 @@ object Multimodal {
 
   /** mm02's stub features ARE oracle-expressible on this ASCII corpus:
     * utf-8 payload bytes == char codes, so the byte fold mirrors as an
-    * ascii-list fold. mm03 re-aggregates rounded doubles (order-sensitive
-    * ulps) → rows-only, asserted with tolerance in MultimodalSpec.
+    * ascii-list fold; mm03 re-aggregates them through the exact decimal
+    * carrier (see its scaladoc) so the profile mirrors too.
     */
   private val mm02Sql = {
     val bsum = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -151,7 +155,18 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  private def mm03Sql =
+    s"""SELECT media_type,
+       |  CAST(count(*) AS BIGINT) AS n_media,
+       |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+       |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       |  ${Det.sqlR(s"${Det.sqlDsum("mean_byte * byte_len")}" +
+          " / CAST(sum(byte_len) AS DOUBLE)", 4)} AS weighted_mean_byte
+       |FROM ($mm02Sql)
+       |GROUP BY media_type ORDER BY media_type""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
-    "mm02_media_features" -> mm02Sql)
+    "mm02_media_features" -> mm02Sql,
+    "mm03_media_profile" -> mm03Sql)
 }

@@ -11,12 +11,10 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
 
   test("e07 sketches: HLL within 5% of exact, approx p50 within 5% of exact") {
     val r = RelationalExt.e07ApproxStats(spark, SfMid).head()
-    val (approxU, exactU) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
-    assert(math.abs(approxU - exactU) / exactU < 0.05,
-      s"HLL $approxU vs exact $exactU")
-    val (approxP, exactP) = (r.getDouble(2), r.getDouble(3))
-    assert(math.abs(approxP - exactP) / math.max(exactP, 1e-9) < 0.05,
-      s"p50 $approxP vs exact $exactP")
+    // columns: n_rows, exact_users, users_within_5pct, p50_within_5pct
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getBoolean(2), "HLL distinct outside the 5% envelope")
+    assert(r.getBoolean(3), "approx p50 outside the 5% envelope")
   }
 
   test("v02 ANN achieves measurable recall against the v01 exact baseline") {
