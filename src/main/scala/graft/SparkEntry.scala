@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Multimodal.queries ++ operators.WindowOps.queries ++
       operators.JsonOps.queries ++ operators.SkewOps.queries ++
       operators.RelationalExt.queries ++ operators.Analytics.queries ++
-      operators.Corpus.queries ++ operators.ZOrder.queries
+      operators.Corpus.queries ++ operators.ZOrder.queries ++
+      operators.LmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,7 +37,8 @@ object SparkEntry {
       operators.Multimodal.oracles ++ operators.WindowOps.oracles ++
       operators.JsonOps.oracles ++ operators.SkewOps.oracles ++
       operators.RelationalExt.oracles ++ operators.Analytics.oracles ++
-      operators.Corpus.oracles ++ operators.ZOrder.oracles
+      operators.Corpus.oracles ++ operators.ZOrder.oracles ++
+      operators.LmOps.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —

@@ -148,13 +148,60 @@ object Corpus {
        |WHERE cum_tokens <= $SourceBudget
        |ORDER BY source, cum_tokens""".stripMargin
 
+  /** c04 — incremental snapshot merge (the MERGE INTO / upsert shape of a
+    * continuously-refreshed corpus): a base snapshot (docs with
+    * `doc_id % 5 <> 0`, standing in for last month's crawl) merged with a
+    * delta snapshot (docs with `doc_id % 3 = 0`, re-crawled with changed
+    * content — modelled by an appended token). Matched rows take the
+    * delta's content (`update`), unmatched delta rows enter (`insert`),
+    * unmatched base rows carry over (`keep`); every row emits the
+    * fingerprint of its surviving content, so the output IS the next
+    * snapshot's manifest.
+    *
+    * Scale: a single full-outer sort-merge join on the snapshot key. With
+    * both snapshots bucketed by `doc_id` (sinks/Bucketing) the exchange
+    * disappears entirely — the copy-on-write merge a lakehouse table
+    * format performs, expressed as one declarative plan; AQE handles a
+    * skewed re-crawl batch.
+    */
+  def c04SnapshotMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), charFingerprint(col("text")).as("base_fp"))
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        charFingerprint(concat(col("text"), lit(" updated"))).as("delta_fp"))
+    base.join(delta, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("base_fp").isNotNull && col("delta_fp").isNotNull, "update")
+          .when(col("base_fp").isNull, "insert").otherwise("keep").as("op"),
+        coalesce(col("delta_fp"), col("base_fp")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  private val c04Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${charFingerprintSql("text")} AS base_fp
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |delta AS (
+       |  SELECT doc_id, ${charFingerprintSql("text || ' updated'")} AS delta_fp
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT coalesce(base.doc_id, delta.doc_id) AS doc_id,
+       |  CASE WHEN base_fp IS NOT NULL AND delta_fp IS NOT NULL THEN 'update'
+       |       WHEN base_fp IS NULL THEN 'insert' ELSE 'keep' END AS op,
+       |  coalesce(delta_fp, base_fp) AS fp
+       |FROM base FULL OUTER JOIN delta ON base.doc_id = delta.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_training_corpus" -> (c01TrainingCorpus _),
     "c02_corpus_budget" -> (c02CorpusBudget _),
-    "c03_mixture_sample" -> (c03MixtureSample _))
+    "c03_mixture_sample" -> (c03MixtureSample _),
+    "c04_snapshot_merge" -> (c04SnapshotMerge _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
     "c02_corpus_budget" -> c02Sql,
-    "c03_mixture_sample" -> c03Sql)
+    "c03_mixture_sample" -> c03Sql,
+    "c04_snapshot_merge" -> c04Sql)
 }

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Language-model-flavoured corpus operators: C4-style boilerplate line
+  * removal (t10) and an n-gram language-model quality score (t11) — the two
+  * filters a pre-training pipeline runs between the cheap per-row rules
+  * (TextOps t03/t06) and the expensive near-dedup shuffle (Dedup d03/d06).
+  *
+  * Extends the reference's surface (its text handling stops at CSV columns,
+  * e.g. `1_exploration.ipynb`'s schema walk) with the corpus-hygiene steps
+  * published pipelines (C4, Gopher, CCNet) standardise on.
+  *
+  * Scale notes are per-operator; the shared design rule is that every
+  * model-side table here (frequent-line set, vocabulary, n-gram counts) is
+  * CAPPED to a size independent of corpus size, so each one broadcasts and
+  * the 100 TB corpus side never shuffles except where stated.
+  */
+object LmOps {
+  import TextFn._
+
+  /** A line survives unless it appears in at least this many documents. */
+  val MinLineDf = 10L
+
+  /** Boilerplate lines planted on a doc_id schedule (same planted-probe
+    * technique as t09's PII): the synthetic corpus has no page chrome, so
+    * the operator enriches each document into a multi-line "page" first,
+    * then removes the lines whose document frequency crosses [[MinLineDf]]
+    * — exactly what C4's line-level dedup does to cookie banners.
+    */
+  val Boilerplate: Seq[(Int, String)] = Seq(
+    2 -> "subscribe to our newsletter for updates",
+    3 -> "copyright 2026 example corp all rights reserved",
+    5 -> "accept cookies to continue")
+
+  private def pageLines = {
+    val planted = Boilerplate.map { case (m, line) =>
+      when(col("doc_id") % m === 0, array(lit(line)))
+        .otherwise(array().cast("array<string>"))
+    }
+    concat(array(col("text")) +: planted: _*)
+  }
+
+  private def pageLinesSql = {
+    val planted = Boilerplate.map { case (m, line) =>
+      s"CASE WHEN doc_id % $m = 0 THEN ['$line'] ELSE CAST([] AS VARCHAR[]) END"
+    }.mkString(" || ")
+    s"[text] || $planted"
+  }
+
+  /** t10 — boilerplate line removal (C4-style line dedup): split every page
+    * into lines, count each distinct line's document frequency across the
+    * corpus, drop lines with df ≥ [[MinLineDf]], reassemble the page, and
+    * emit per-doc line accounting plus the fingerprint of the cleaned text.
+    *
+    * Scale: the line-df aggregate is the word-count shape (map-side combine
+    * collapses each task to its distinct lines before one shuffle); the
+    * frequent-line set is by construction tiny — df ≥ K lines number at most
+    * corpus_lines / K — so the removal join is a BROADCAST left-anti and the
+    * corpus side's only wide exchange is the per-doc reassembly groupBy.
+    * Lines appear once per page here so `count(*)` IS document frequency;
+    * a corpus with repeated lines inside one page would use
+    * `count(DISTINCT doc_id)`.
+    */
+  def t10LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(s, dir)
+      .select(col("doc_id"), pageLines.as("lines"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .cache()
+    val freq = pages
+      .select(explode(col("lines")).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= MinLineDf)
+      .select("line")
+    val kept = pages
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .join(broadcast(freq), Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    pages.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        charFingerprint(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  private def t10Sql =
+    s"""WITH pages AS (
+       |  SELECT doc_id, $pageLinesSql AS lines FROM documents),
+       |expl AS (
+       |  SELECT doc_id, i AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM pages)),
+       |freq AS (SELECT line FROM (SELECT line, count(*) AS df FROM expl
+       |                           GROUP BY 1) WHERE df >= $MinLineDf),
+       |clean AS (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(e.line, chr(10) ORDER BY e.pos) AS clean_text
+       |  FROM expl e LEFT JOIN freq f ON e.line = f.line
+       |  WHERE f.line IS NULL
+       |  GROUP BY 1)
+       |SELECT p.doc_id, CAST(len(p.lines) AS BIGINT) AS n_lines,
+       |  coalesce(c.n_kept, 0) AS n_kept,
+       |  CAST(len(p.lines) AS BIGINT) - coalesce(c.n_kept, 0) AS n_removed,
+       |  ${charFingerprintSql("coalesce(c.clean_text, '')")} AS clean_fp
+       |FROM pages p LEFT JOIN clean c ON p.doc_id = c.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Vocabulary cap for the LM: tokens outside the top-[[VocabSize]] map to
+    * `<unk>`. Deliberately smaller than the test corpus' vocabulary so the
+    * OOV path is exercised at sf0.01, not only at scale.
+    */
+  val VocabSize = 20
+
+  /** t11 — bigram language-model scoring (the KenLM-style quality filter):
+    * build a vocabulary-capped add-one-smoothed bigram LM from the corpus
+    * itself, then score every document by its average negative log
+    * likelihood — low-perplexity ≈ fluent, high ≈ gibberish/boilerplate.
+    *
+    * Per-term determinism: the probability `(c(w1,w2)+1) / (c(w1)+|V|)` is
+    * an IEEE divide of exact integers (bit-identical on both engines); its
+    * `ln` may differ in the last ulp across libm implementations, so each
+    * term is snapped to 6 dp and summed through an exact DECIMAL(38,8)
+    * carrier — order-independent, engine-independent (Det §notes).
+    *
+    * Scale: the model tables are all CAPPED — vocabulary at [[VocabSize]],
+    * so unigram counts ≤ V+1 rows and bigram counts ≤ (V+1)² rows no matter
+    * the corpus size — and therefore broadcast; scoring is corpus-scan +
+    * broadcast joins + one per-doc groupBy. The lone wide exchange is the
+    * lag window keyed (doc_id, pos) that forms bigrams; an array-native
+    * variant could even avoid that by zipping adjacent tokens per row.
+    */
+  def t11LmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .cache()
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(VocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    val mapped = toks
+      .join(broadcast(vocab), Seq("tok"), "left_outer")
+      .select(col("doc_id"), col("pos"),
+        when(col("in_v") === 1, col("tok")).otherwise("<unk>").as("w"))
+      .cache()
+    val uni = mapped.groupBy(col("w").as("w1"))
+      .agg(count(lit(1)).as("cu"))
+    val vt = uni.agg(count(lit(1)).as("vt"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = mapped
+      .withColumn("w1", lag(col("w"), 1).over(byPos))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w").as("w2"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigrams
+      .join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vt))
+      .withColumn("term",
+        r(log((col("cb") + 1).cast("double")
+          / (col("cu") + col("vt")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r(-sum(col("term").cast("decimal(38,8)")).cast("double")
+          / count(lit(1)), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private def t11Sql = {
+    val t = tokensSql("text")
+    val term = rSql("ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vt AS DOUBLE))", 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, tt[i] AS tok
+       |  FROM (SELECT doc_id, tt, unnest(range(1, len(tt) + 1)) AS i
+       |        FROM (SELECT doc_id, $t AS tt FROM documents))),
+       |vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS c FROM toks GROUP BY 1)
+       |  ORDER BY c DESC, tok LIMIT $VocabSize),
+       |mapped AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CASE WHEN v.tok IS NOT NULL THEN t.tok ELSE '<unk>' END AS w
+       |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok),
+       |uni AS (SELECT w AS w1, count(*) AS cu FROM mapped GROUP BY 1),
+       |vts AS (SELECT count(*) AS vt FROM uni),
+       |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+       |       FROM mapped a JOIN mapped b
+       |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |cbs AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${rSql("-CAST(sum(CAST(" + term + " AS DECIMAL(38,8))) AS DOUBLE)" +
+        " / count(*)", 4)} AS avg_nll
+       |FROM bg JOIN cbs USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vts
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_line_dedup" -> (t10LineDedup _),
+    "t11_lm_score" -> (t11LmScore _))
+
+  val oracles: Map[String, String] = Map(
+    "t10_line_dedup" -> t10Sql,
+    "t11_lm_score" -> t11Sql)
+}

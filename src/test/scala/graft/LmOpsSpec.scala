@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, LmOps}
+import graft.operators.TextFn
+
+/** Contracts for the LM-pipeline operators (t10 line dedup, t11 bigram LM
+  * scoring) and the c04 snapshot merge, beyond the driver's oracle rows.
+  */
+class LmOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("t10 removes every planted boilerplate line, keeps organic text") {
+    val rows = LmOps.t10LineDedup(spark, SfMid).collect()
+    val n = Tables.documents(spark, SfMid).count()
+    assert(rows.length == n, "every document must survive line dedup")
+    rows.foreach { r =>
+      val (id, nLines, nKept, nRemoved) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val planted = LmOps.Boilerplate.count { case (m, _) => id % m == 0 }
+      assert(nLines == 1 + planted, s"doc $id line construction")
+      assert(nKept + nRemoved == nLines, s"doc $id accounting")
+      // all planted lines are frequent by construction (df >= n/5 >> 10);
+      // the organic line may also be removed if its text is duplicated
+      // across >= MinLineDf docs, so removed is >= planted, not ==
+      assert(nRemoved >= planted, s"doc $id kept a boilerplate line")
+      assert(nKept <= 1, s"doc $id kept more than its organic line")
+    }
+  }
+
+  test("t10 clean fingerprint equals the organic text's fingerprint") {
+    // doc 1 is divisible by none of the boilerplate moduli: its cleaned
+    // page must be byte-identical to the original document text
+    val clean = LmOps.t10LineDedup(spark, SfMid)
+      .filter(col("doc_id") === 1).select("clean_fp").head().getLong(0)
+    val original = Tables.documents(spark, SfMid)
+      .filter(col("doc_id") === 1)
+      .select(TextFn.charFingerprint(col("text"))).head().getLong(0)
+    assert(clean == original)
+  }
+
+  test("t10 removal join broadcasts the frequent-line set") {
+    val p = LmOps.t10LineDedup(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t11 scores every multi-token doc with n_bigrams = n_tokens - 1") {
+    val scored = LmOps.t11LmScore(spark, SfMid)
+    val expected = Tables.documents(spark, SfMid)
+      .select(col("doc_id"),
+        size(TextFn.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+    val joined = scored.join(expected, Seq("doc_id"), "full_outer")
+    assert(joined.filter(col("n_bigrams").isNull
+      || col("n_tokens").isNull
+      || col("n_bigrams") =!= col("n_tokens") - 1).count() == 0)
+  }
+
+  test("t11 nll is positive/finite and the vocab cap exercises <unk>") {
+    val rows = LmOps.t11LmScore(spark, SfMid).collect()
+    rows.foreach { r =>
+      val nll = r.getDouble(2)
+      assert(nll > 0 && !nll.isNaN && !nll.isInfinite,
+        s"doc ${r.getLong(0)} avg_nll $nll")
+    }
+    // the cap must bite at test scale, or the OOV path is never executed
+    val distinct = Tables.documents(spark, SfMid)
+      .select(explode(TextFn.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    assert(distinct > LmOps.VocabSize,
+      s"corpus vocab $distinct must exceed cap ${LmOps.VocabSize}")
+  }
+
+  test("c04 merge ops follow the snapshot membership arithmetic") {
+    val rows = Corpus.c04SnapshotMerge(spark, SfMid).collect()
+    rows.foreach { r =>
+      val (id, op) = (r.getLong(0), r.getString(1))
+      val inBase = id % 5 != 0
+      val inDelta = id % 3 == 0
+      val want =
+        if (inBase && inDelta) "update" else if (inDelta) "insert" else "keep"
+      assert(op == want, s"doc $id: $op != $want")
+      assert(!r.isNullAt(2), s"doc $id fp null")
+    }
+    val n = Tables.documents(spark, SfMid)
+      .filter(col("doc_id") % 5 =!= 0 || col("doc_id") % 3 === 0).count()
+    assert(rows.length == n, "merge must emit base ∪ delta exactly")
+  }
+}
