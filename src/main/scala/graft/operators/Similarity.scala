@@ -551,11 +551,119 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  private val PqSubspaces = 16 // M: subvectors per embedding
+  private val PqCodes = 64 // codewords per subspace codebook
+
+  /** v05 — product-quantization ANN (asymmetric distance computation): the
+    * embedding splits into [[PqSubspaces]] contiguous subvectors; each
+    * subspace's codebook is the corresponding slice of [[PqCodes]] FIXED
+    * SAMPLE vectors (`NQueries <= vec_id < NQueries + PqCodes` — the
+    * k-means|| init shape without the iterations, deterministic, no RNG;
+    * a trained codebook would only tighten it); every corpus vector is
+    * ENCODED as M small code ids (argmin rounded sub-L2², ties → lower
+    * code), and a query ranks candidates by the SUM of its per-subspace
+    * exact-query-to-code distances (ADC) — never touching corpus floats.
+    *
+    * Scale: THIS is the memory lever of billion-scale ANN — the corpus
+    * collapses from d floats to M byte-sized codes per vector (64×4 B →
+    * 16 B here, 16× compression), so the scored table is narrow enough to
+    * keep in memory at 10^9 vectors. The codebook (M × K subvectors) and
+    * the per-query distance table (M × K doubles per query) both
+    * broadcast; encoding is a corpus scan against the broadcast codebook
+    * and scoring shuffles only (query, vec, dist) rows. Composes with
+    * v04: IVF cells partition, PQ codes score within the probed cells.
+    *
+    * Determinism for the oracle: sub-distances expand as ‖x‖² − 2x·c +
+    * ‖c‖² with every dot the shared sequential fold, snapped to 6 dp
+    * before the argmin/sum; the ADC total re-aggregates the snapped terms
+    * through DECIMAL(38,8) (order-free), so both engines rank identically.
+    */
+  def v05AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val d = maxDim(s, dir)
+    val subLen = (d + PqSubspaces - 1) / PqSubspaces
+    def subSlices(v: Column) = explode(array((0 until PqSubspaces).map(m =>
+      struct(lit(m).as("m"), slice(v, m * subLen + 1, subLen).as("sub"))): _*))
+    val cb = withNorm(s, dir)
+      .filter(col("vec_id") >= NQueries
+        && col("vec_id") < NQueries + PqCodes)
+      .select(col("vec_id").as("clabel"), subSlices(col("embedding")).as("ms"))
+      .select(col("ms.m").as("m"), col("clabel"), col("ms.sub").as("csub"))
+      .withColumn("csub2", dot(col("csub"), col("csub")))
+    val subs = withNorm(s, dir)
+      .select(col("vec_id"), subSlices(col("embedding")).as("ms"))
+      .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
+      .withColumn("sub2", dot(col("sub"), col("sub")))
+    val dists = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("clabel"),
+        r(col("sub2") - lit(2.0) * dot(col("sub"), col("csub"))
+          + col("csub2"), 6).as("dist"))
+      .cache()
+    val codes = dists
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist"), col("clabel"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("clabel").as("code"))
+    val dt = dists.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("clabel").as("qcode"), col("dist"))
+    codes.join(broadcast(dt),
+        col("m") === col("qm") && col("code") === col("qcode")
+          && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(r(sum(col("dist").cast("decimal(38,8)")).cast("double"), 6)
+        .as("adist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v05Sql = {
+    val ms = (0 until PqSubspaces).mkString(", ")
+    val sub = "embedding[(m * sl + 1):((m + 1) * sl)]"
+    s"""WITH e AS ($withNormSql),
+       |dims_g AS (SELECT CAST((max(len(embedding)) + $PqSubspaces - 1)
+       |                       // $PqSubspaces AS BIGINT) AS sl
+       |           FROM embeddings),
+       |cb AS (SELECT m, vec_id AS clabel, $sub AS csub,
+       |    ${dotSql(sub, sub)} AS csub2
+       |  FROM e CROSS JOIN (SELECT unnest([$ms]) AS m) CROSS JOIN dims_g
+       |  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqCodes}),
+       |subs AS (SELECT vec_id, m, $sub AS sub,
+       |    ${dotSql(sub, sub)} AS sub2
+       |  FROM e CROSS JOIN (SELECT unnest([$ms]) AS m) CROSS JOIN dims_g),
+       |dists AS (SELECT s.vec_id, s.m, c.clabel,
+       |    ${rSql(s"s.sub2 - 2.0 * ${dotSql("s.sub", "c.csub")} + c.csub2", 6)}
+       |      AS dist
+       |  FROM subs s JOIN cb c ON s.m = c.m),
+       |codes AS (SELECT vec_id, m, clabel AS code
+       |  FROM (SELECT vec_id, m, clabel,
+       |          row_number() OVER (PARTITION BY vec_id, m
+       |            ORDER BY dist, clabel) AS rk
+       |        FROM dists) WHERE rk = 1),
+       |dt AS (SELECT vec_id AS query_id, m, clabel, dist
+       |       FROM dists WHERE vec_id < $NQueries),
+       |adc AS (SELECT dt.query_id, c.vec_id AS neighbor_id,
+       |    ${rSql("CAST(sum(CAST(dt.dist AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+       |      AS adist
+       |  FROM codes c JOIN dt ON dt.m = c.m AND dt.clabel = c.code
+       |    AND c.vec_id <> dt.query_id
+       |  GROUP BY 1, 2),
+       |rankedq AS (SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, adist
+       |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
     "v03_centroid_assign" -> (v03CentroidAssign _),
     "v04_ann_ivf" -> (v04AnnIvf _),
+    "v05_ann_pq" -> (v05AnnPq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
@@ -564,6 +672,7 @@ object Similarity {
     "v02_ann_lsh" -> v02Sql,
     "v03_centroid_assign" -> v03Sql,
     "v04_ann_ivf" -> v04Sql,
+    "v05_ann_pq" -> v05Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

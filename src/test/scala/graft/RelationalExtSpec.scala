@@ -47,6 +47,35 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     info(s"IVF recall@5 vs exact top-5: $recall")
   }
 
+  test("v05 PQ ADC achieves measurable recall against the exact L2 baseline") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // PQ quantizes L2 distance, so its fair baseline is the exact L2 top-5
+    // (v01 ranks by cosine — a different metric on unnormalized vectors)
+    val e = Tables.embeddings(spark, SfMid)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.vecDot(a, a) +
+        graft.functions.VectorFunctions.vecDot(b, b) -
+        lit(2.0) * graft.functions.VectorFunctions.vecDot(a, b)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2(col("qe"), col("embedding")).as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.v05AnnPq(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.35, s"PQ recall@5 $recall below floor")
+    info(s"PQ recall@5 vs exact L2 top-5: $recall")
+  }
+
   test("e09 unioned daily sketches estimate the period distinct within 5%") {
     val exact = Tables.events(spark, SfMid)
       .select("user_id").distinct().count()
