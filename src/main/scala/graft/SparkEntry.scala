@@ -57,6 +57,7 @@ object SparkEntry {
     "w01_top_per_group", "w03_running_total", "w04_asof_join",
     "j01_json_extract",
     "a02_local_supplier_volume", "a03_pricing_summary", "e03_rollup",
-    "t09_pii_redact", "e10_quantile_rollup"
+    "t09_pii_redact", "e10_quantile_rollup",
+    "t10_line_dedup", "v05_ann_pq"
   ).filter(queries.contains)
 }

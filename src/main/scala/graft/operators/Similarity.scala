@@ -593,17 +593,22 @@ object Similarity {
       .select(col("vec_id"), subSlices(col("embedding")).as("ms"))
       .select(col("vec_id"), col("ms.m").as("m"), col("ms.sub").as("sub"))
       .withColumn("sub2", dot(col("sub"), col("sub")))
-    val dists = subs.join(broadcast(cb), Seq("m"))
+    def distsOf(f: DataFrame) = f.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("clabel"),
         r(col("sub2") - lit(2.0) * dot(col("sub"), col("csub"))
           + col("csub2"), 6).as("dist"))
-      .cache()
-    val codes = dists
-      .withColumn("rk", row_number().over(Window.partitionBy("vec_id", "m")
-        .orderBy(col("dist"), col("clabel"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("clabel").as("code"))
-    val dt = dists.filter(col("vec_id") < NQueries)
+    // argmin via min(struct(dist, clabel)) — struct ordering IS the
+    // (dist asc, code asc) tie-break, and the groupBy partially aggregates
+    // map-side: no per-(vec, m) sort shuffle like a row_number window,
+    // which at 10^9 vectors is the difference between a combine and a sort.
+    // The n·M·K distance rows are never materialized (no cache): encoding
+    // consumes them inside one combine and the query-side table below is
+    // rebuilt from the pre-filtered query vectors — |Q|·M·K rows.
+    val codes = distsOf(subs)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("clabel"))).getField("clabel")
+        .as("code"))
+    val dt = distsOf(subs.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("query_id"), col("m").as("qm"),
         col("clabel").as("qcode"), col("dist"))
     codes.join(broadcast(dt),

@@ -87,6 +87,18 @@ object Ingest {
     files.toLong
   }
 
+  /** ORC round-trip — the second columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown via file/stripe/row-group
+    * min-max, column pruning — the same scan-side levers as Parquet).
+    * Kept thin: format choice is a storage-layer concern; every operator
+    * in this library is format-agnostic because plans only see the scan.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** S12 — seeded synthetic transaction generator (the reference's
     * `spark.range(0,50)` + `rand()` frame, `spark_to_postgres.py:11-21`).
     * `rand(seed)`/`randn(seed)` are deterministic per (seed, partition

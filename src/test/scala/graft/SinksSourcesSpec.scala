@@ -48,6 +48,24 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
       == df.agg(sum("l_extendedprice")).head.getDouble(0))
   }
 
+  test("ORC round-trip preserves rows, schema, and pushes filters to the scan") {
+    val df = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("orc_spec").toString + "/out"
+    Ingest.writeOrc(df, tmp)
+    val back = Ingest.readOrc(spark, tmp)
+    assert(back.schema == df.schema, "ORC must round-trip the exact schema")
+    assert(back.count() == df.count())
+    assert(back.agg(sum("l_extendedprice")).head.getDouble(0)
+      == df.agg(sum("l_extendedprice")).head.getDouble(0))
+    // the same scan-side levers as parquet: pushed filters + pruned columns
+    val plan = back.filter(col("l_returnflag") === "R")
+      .select("l_orderkey").queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      plan.linesIterator.take(12).mkString("\n"))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"))
+  }
+
   test("partitionBy layout prunes partitions at read time") {
     val tmp = java.nio.file.Files.createTempDirectory("part_spec").toString + "/ev"
     val df = Tables.events(spark, Sf)
