@@ -209,17 +209,63 @@ object WindowOps {
       .replace("SESSION_VALUE_EXPR",
         Det.sqlR(Det.sqlDsum("coalesce(value, 0.0)"), 4))
 
+  /** w06 — sliding TIME-RANGE window features: for every event, the count
+    * and exact sum of the same user's event values in the trailing hour —
+    * `RANGE BETWEEN` semantics (peers by ordering VALUE, not row position),
+    * the standard online-feature shape ("activity in the last hour") that
+    * `rowsBetween` cannot express when event spacing is irregular.
+    *
+    * Determinism: range frames include ALL peer rows at equal ordering
+    * value, so the frame is a set — no tie order enters; the value sum
+    * rides the exact DECIMAL carrier ([[Det]]). One shuffle on user_id.
+    *
+    * Scale: the frame is bounded by TIME, so a hot user costs its events
+    * within one hour, not its lifetime; for per-key sort pressure the
+    * mitigation is the same as any window — day-bucket the partition key
+    * and union boundary hours, or move to the streaming twin
+    * (`StreamPipeline`'s watermarked windows) when the input is unbounded.
+    */
+  def w06RangeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("value_1h",
+        sum(col("value").cast(Det.MoneyType)).over(w).cast("double"))
+      .select("event_id", "user_id", "epoch_s", "n_1h", "value_1h")
+      .orderBy("event_id")
+  }
+
+  private val w06Sql =
+    s"""SELECT event_id, user_id, epoch_s,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       |  CAST(sum(CAST(value AS ${Det.MoneyType.toUpperCase})) OVER w
+       |    AS DOUBLE) AS value_1h
+       |FROM (SELECT event_id, user_id,
+       |        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       |        coalesce(value, 0.0) AS value
+       |      FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
     "w03_running_total" -> (w03RunningTotal _),
     "w04_asof_join" -> (w04AsofJoin _),
-    "w05_sessionize" -> (w05Sessionize _))
+    "w05_sessionize" -> (w05Sessionize _),
+    "w06_range_features" -> (w06RangeFeatures _))
 
   val oracles: Map[String, String] = Map(
     "w01_top_per_group" -> w01Sql,
     "w02_lag_delta" -> w02Sql,
     "w03_running_total" -> w03Sql,
     "w04_asof_join" -> w04Sql,
-    "w05_sessionize" -> w05Sql)
+    "w05_sessionize" -> w05Sql,
+    "w06_range_features" -> w06Sql)
 }

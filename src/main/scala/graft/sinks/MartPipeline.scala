@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Det
@@ -190,9 +191,65 @@ object MartPipeline {
        |GROUP BY day_epoch ORDER BY day_epoch""".stripMargin
   }
 
+  /** p02 — SCD2 dimension build: each user's event_type history collapsed
+    * into versioned validity ranges — a new version opens whenever the
+    * attribute CHANGES (lag compare), `valid_to` comes from the next
+    * version's start (lead), the open version is flagged current. The
+    * slowly-changing-dimension type-2 load every warehouse runs, expressed
+    * as two windows over one (user, ts) sort — Catalyst plans a single
+    * shuffle+sort for both.
+    *
+    * Scale: one exchange keyed by the dimension's natural key; the change
+    * filter drops unchanged rows BEFORE the lead window would... no — lead
+    * must see only version rows, so the second window runs on the
+    * already-collapsed (typically tiny) version stream, not the raw
+    * events. Composes with c04's merge for incremental SCD2 loads.
+    */
+  def p02Scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"), col("event_id"))
+    val versions = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull
+        || col("prev_type") =!= col("event_type"))
+    val byVersion = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"), col("event_id"))
+    versions
+      .withColumn("version", row_number().over(byVersion).cast("long"))
+      .withColumn("valid_to", lead(col("epoch_s"), 1).over(byVersion))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("attr"),
+        col("epoch_s").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  private val p02Sql =
+    """SELECT user_id, version, attr, valid_from, valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    event_type AS attr, epoch_s AS valid_from,
+      |    lead(epoch_s, 1) OVER w AS valid_to
+      |  FROM (
+      |    SELECT event_id, user_id, event_type, epoch_s,
+      |      lag(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_s, event_id) AS prev_type
+      |    FROM (SELECT event_id, user_id, event_type,
+      |            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      |          FROM events))
+      |  WHERE prev_type IS NULL OR prev_type <> event_type
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id))
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_mart_pipeline" -> (p01MartPipeline _))
+    "p01_mart_pipeline" -> (p01MartPipeline _),
+    "p02_scd2_dimension" -> (p02Scd2Dimension _))
 
   val oracles: Map[String, String] = Map(
-    "p01_mart_pipeline" -> p01Sql)
+    "p01_mart_pipeline" -> p01Sql,
+    "p02_scd2_dimension" -> p02Sql)
 }
