@@ -33,4 +33,27 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.sql("SELECT count(DISTINCT date_trunc('hour', ts)) FROM events")
       .head().getLong(0) > 0)
   }
+
+  test("GraftExtensions injects vec_dot with no imperative registration") {
+    import org.apache.spark.sql.SparkSession
+    val shared = spark // force the shared session to exist first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a FRESH session (same SparkContext) built the way a cluster would:
+      // the extensions class wired at build time, never register()'d
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne shared, "must exercise a newly-built session")
+      val d = s2.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
