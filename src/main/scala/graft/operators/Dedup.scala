@@ -35,6 +35,10 @@ object Dedup {
     * exact verifier safe to run at all beyond toy scale (d03/d06 stay the
     * primary 100 TB path). Dropped shingles are stopword-shingles: excluded
     * from BOTH intersection and union, the standard near-dup treatment.
+    * The cap feeds EVERY shingle consumer — d02, the d03/d06 LSH chains,
+    * the d04 simhash signatures, and the Corpus pipeline — so all paths
+    * agree on one Jaccard/signature universe and the exact verifier
+    * remains a true oracle for what the LSH paths find.
     */
   private[graft] val MaxShingleDf = 64
 
@@ -61,8 +65,12 @@ object Dedup {
     */
   private[graft] def capShingles(sh: DataFrame,
       maxDf: Int = MaxShingleDf): DataFrame = {
+    // count(*), NOT count(DISTINCT doc_id): every caller feeds per-doc
+    // DISTINCT shingles (shingles3 array_distincts), so the row count IS
+    // the document frequency — and a plain count partial-aggregates
+    // map-side where a distinct-count would shuffle the expanded rows
     val hot = sh.groupBy("s")
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("s")
     sh.join(broadcast(hot), Seq("s"), "left_anti")
@@ -78,7 +86,7 @@ object Dedup {
   private[graft] def capShinglesSql(src: String,
       maxDf: Int = MaxShingleDf): String =
     s"""hot AS (SELECT s FROM $src GROUP BY s
-       |        HAVING count(DISTINCT doc_id) > $maxDf),
+       |        HAVING count(*) > $maxDf),
        |sh AS (SELECT doc_id, s FROM $src
        |       WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
 
@@ -99,7 +107,12 @@ object Dedup {
     */
   private def shingleIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(s, dir).cache()
+    // capped input: EVERY shingle path (d02 exact, d03/d06 LSH, d04 simhash)
+    // consumes the same df-capped stream, so all paths share ONE Jaccard
+    // definition — an uncapped LSH path would verify pairs over a different
+    // shingle universe than the exact verifier and the two could disagree
+    // on boilerplate-heavy corpora
+    val sh = cappedShingleRows(s, dir).cache()
     val dict = sh.select("s").distinct().orderBy("s").as[String]
       .rdd.zipWithIndex.map { case (sv, i) => (sv, i + 1) }
       .toDF("s", "sid")
@@ -107,7 +120,7 @@ object Dedup {
   }
 
   private def shingleIdsSql: String =
-    s"""sh AS ($shingleRowsSql),
+    s"""${cappedShingleRowsSql()},
        |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS sid
        |         FROM (SELECT DISTINCT s FROM sh)),
        |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (s))""".stripMargin
@@ -386,7 +399,7 @@ object Dedup {
     * equality with a readable diff).
     */
   def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleRows(s, dir)
+    val ds = cappedShingleRows(s, dir) // same cap contract as every path
       .select(col("doc_id"),
         (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache()
     val sig = ds.groupBy("doc_id")

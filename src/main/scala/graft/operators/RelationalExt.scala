@@ -294,7 +294,11 @@ object RelationalExt {
     */
   def e10QuantileRollup(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
+    // NULL values are excluded up front: the exact-quantile baselines skip
+    // NULLs in both engines, and a NULL histogram bin would sort
+    // nulls-first in Spark's cum window but NULLS LAST in DuckDB's —
+    // the histogram must count exactly the population the baseline reads
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
     val daily = ev
       .withColumn("day_epoch", unix_timestamp(date_trunc("day", col("ts"))))
       .select(col("day_epoch"),
@@ -326,7 +330,7 @@ object RelationalExt {
        |  SELECT date_trunc('day', ts) AS d,
        |         CAST(floor(value / $BinW) AS BIGINT) AS bin,
        |         count(*) AS cnt
-       |  FROM events GROUP BY 1, 2),
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
        |merged AS (SELECT bin, sum(cnt) AS cnt FROM daily GROUP BY 1),
        |cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

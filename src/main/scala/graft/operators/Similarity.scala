@@ -150,11 +150,13 @@ object Similarity {
     * reruns, explain dumps) pay it once; null-safe for empty tables.
     *
     * The memo entry carries a cheap CONTENT SIGNATURE of the embeddings
-    * files (name/size/mtime): an in-place rewrite of the dir invalidates
-    * the cached dimension automatically, so longer vectors can never be
-    * silently projected over a stale-length plane prefix.
-    * [[refreshDimCache]] remains as the explicit override for exotic
-    * stores where the signature can't see a change.
+    * files (name/size/mtime): typical rewrites (new part files, size or
+    * mtime change) invalidate the cached dimension automatically. The
+    * signature is NOT airtight — an equal-size rewrite inside the
+    * filesystem's mtime granularity, or an mtime-preserving copy
+    * (`cp -p`/`rsync -t`), evades it and would leave a stale dimension —
+    * so [[refreshDimCache]] stays the required explicit call for any
+    * store rewritten in place by such means.
     */
   private val dimMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -557,9 +559,9 @@ object Similarity {
   /** v05 — product-quantization ANN (asymmetric distance computation): the
     * embedding splits into [[PqSubspaces]] contiguous subvectors; each
     * subspace's codebook is the corresponding slice of [[PqCodes]] FIXED
-    * SAMPLE vectors (`NQueries <= vec_id < NQueries + PqCodes` — the
-    * k-means|| init shape without the iterations, deterministic, no RNG;
-    * a trained codebook would only tighten it); every corpus vector is
+    * SAMPLE vectors (the first [[PqCodes]] non-query vectors by id rank —
+    * the k-means|| init shape without the iterations, deterministic, no
+    * RNG; a trained codebook would only tighten it); every corpus vector is
     * ENCODED as M small code ids (argmin rounded sub-L2², ties → lower
     * code), and a query ranks candidates by the SUM of its per-subspace
     * exact-query-to-code distances (ADC) — never touching corpus floats.
@@ -584,8 +586,12 @@ object Similarity {
     def subSlices(v: Column) = explode(array((0 until PqSubspaces).map(m =>
       struct(lit(m).as("m"), slice(v, m * subLen + 1, subLen).as("sub"))): _*))
     val cb = withNorm(s, dir)
-      .filter(col("vec_id") >= NQueries
-        && col("vec_id") < NQueries + PqCodes)
+      // the FIRST PqCodes non-query vectors BY RANK, not an absolute id
+      // range: a corpus with sparse or shifted ids still yields a full
+      // codebook (TakeOrdered on the one-time codebook build, not a scan
+      // invariant); falls back gracefully to fewer codes on tiny corpora
+      .filter(col("vec_id") >= NQueries)
+      .orderBy("vec_id").limit(PqCodes)
       .select(col("vec_id").as("clabel"), subSlices(col("embedding")).as("ms"))
       .select(col("ms.m").as("m"), col("clabel"), col("ms.sub").as("csub"))
       .withColumn("csub2", dot(col("csub"), col("csub")))
@@ -633,8 +639,9 @@ object Similarity {
        |           FROM embeddings),
        |cb AS (SELECT m, vec_id AS clabel, $sub AS csub,
        |    ${dotSql(sub, sub)} AS csub2
-       |  FROM e CROSS JOIN (SELECT unnest([$ms]) AS m) CROSS JOIN dims_g
-       |  WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqCodes}),
+       |  FROM (SELECT vec_id, embedding FROM e WHERE vec_id >= $NQueries
+       |        ORDER BY vec_id LIMIT $PqCodes)
+       |  CROSS JOIN (SELECT unnest([$ms]) AS m) CROSS JOIN dims_g),
        |subs AS (SELECT vec_id, m, $sub AS sub,
        |    ${dotSql(sub, sub)} AS sub2
        |  FROM e CROSS JOIN (SELECT unnest([$ms]) AS m) CROSS JOIN dims_g),
