@@ -193,15 +193,60 @@ object Corpus {
        |FROM base FULL OUTER JOIN delta ON base.doc_id = delta.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  private val WSampleK = 20
+  private val HashMod = 100000L
+
+  /** c05 — deterministic weighted sampling (the A-Res / Efraimidis-
+    * Spirakis shape): each quality-scored document draws a reproducible
+    * uniform `u` from its content fingerprint, gets key `ln(u) / w`
+    * (monotone-equivalent to the classical `u^(1/w)`), and the global
+    * top-[[WSampleK]] keys are the sample — quality-proportional
+    * inclusion odds with NO RNG, so the sample is stable across runs,
+    * partitionings, and engines (the property `rand()`-weighted sampling
+    * lacks, and the reason it can be exact-oracle-checked at all).
+    *
+    * Scale: one narrow scan computing (key, w) per doc + one global
+    * top-k (TakeOrdered — per-partition heaps, no shuffle of the
+    * corpus). The distributed-coordination-free weighted sampler a
+    * curation pipeline wants: rerunning on a grown corpus reuses every
+    * prior key unchanged.
+    */
+  def c05WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.qualitySignals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .filter(col("quality_score") > 0)
+      .select(col("doc_id"), col("quality_score"),
+        charFingerprint(col("text")).as("h"))
+      // u in (0,1): bucket midpoint of the fingerprint's residue
+      .withColumn("u", ((col("h") % HashMod) + lit(0.5)) / lit(HashMod.toDouble))
+      .withColumn("skey", r(log(col("u")) / col("quality_score"), 6))
+    scored
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(WSampleK)
+      .select(col("doc_id"), col("quality_score"), col("skey"))
+  }
+
+  private val c05Sql =
+    s"""SELECT doc_id, quality_score, skey
+       |FROM (
+       |  SELECT doc_id, quality_score,
+       |    ${rSql(s"ln((${charFingerprintSql("text")} % $HashMod + 0.5)" +
+        s" / ${HashMod.toDouble}) / quality_score", 6)} AS skey
+       |  FROM (${TextOps.qualitySignalsSql})
+       |  WHERE quality_score > 0)
+       |ORDER BY skey DESC, doc_id LIMIT $WSampleK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_training_corpus" -> (c01TrainingCorpus _),
     "c02_corpus_budget" -> (c02CorpusBudget _),
     "c03_mixture_sample" -> (c03MixtureSample _),
-    "c04_snapshot_merge" -> (c04SnapshotMerge _))
+    "c04_snapshot_merge" -> (c04SnapshotMerge _),
+    "c05_weighted_sample" -> (c05WeightedSample _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
     "c02_corpus_budget" -> c02Sql,
     "c03_mixture_sample" -> c03Sql,
-    "c04_snapshot_merge" -> c04Sql)
+    "c04_snapshot_merge" -> c04Sql,
+    "c05_weighted_sample" -> c05Sql)
 }

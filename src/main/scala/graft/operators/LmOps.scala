@@ -202,11 +202,76 @@ object LmOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  private val TfidfTopK = 5
+
+  /** t12 — TF-IDF keyword extraction: per-(doc, token) term frequency ×
+    * smoothed inverse document frequency (`ln((N+1)/(df+1)) + 1`, the
+    * sklearn convention), top-[[TfidfTopK]] terms per document — the
+    * classic relevance weighting, and the embedding-free retrieval
+    * baseline every corpus tool still ships.
+    *
+    * Determinism: tf and df are integers; N is a broadcast scalar; the
+    * idf's `ln` is snapped to 6 dp before the product (libm ulp, Det
+    * §notes) and the product of a small int with a 6-dp-snapped double is
+    * IEEE-identical across engines, so ranking cannot diverge.
+    *
+    * Scale: tf is the word-count shape (map-side combine per doc); df
+    * re-aggregates tf's output (already one row per (doc, token)); N
+    * broadcasts; the only wide ops are the two counts and the per-doc
+    * top-k window — all linear, no joins against the corpus text.
+    */
+  def t12Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        r(log((col("n_docs") + 1).cast("double")
+          / (col("df") + 1).cast("double")) + lit(1.0), 6))
+      .withColumn("tfidf", col("tf").cast("double") * col("idf"))
+      .withColumn("rk", row_number().over(byDoc).cast("long"))
+      .filter(col("rk") <= TfidfTopK)
+      .select("doc_id", "rk", "token", "tf", "df", "idf", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  private def t12Sql = {
+    val t = tokensSql("text")
+    val idf = rSql(
+      "ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0", 6)
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest($t) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |ns AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |scored AS (
+       |  -- ($idf) parenthesized: the rounding helper ends in "/ 1e6", and
+       |  -- left-assoc "tf * floor(...) / 1e6" is a DIFFERENT float op order
+       |  -- than Spark's tf * (floor(...) / 1e6) — one ulp apart
+       |  SELECT doc_id, token, tf, df, $idf AS idf,
+       |    CAST(tf AS DOUBLE) * ($idf) AS tfidf
+       |  FROM tf JOIN dfs USING (token) CROSS JOIN ns)
+       |SELECT doc_id, rk, token, tf, df, idf, tfidf
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+       |      FROM scored)
+       |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_line_dedup" -> (t10LineDedup _),
-    "t11_lm_score" -> (t11LmScore _))
+    "t11_lm_score" -> (t11LmScore _),
+    "t12_tfidf" -> (t12Tfidf _))
 
   val oracles: Map[String, String] = Map(
     "t10_line_dedup" -> t10Sql,
-    "t11_lm_score" -> t11Sql)
+    "t11_lm_score" -> t11Sql,
+    "t12_tfidf" -> t12Sql)
 }

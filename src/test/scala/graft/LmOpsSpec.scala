@@ -74,6 +74,43 @@ class LmOpsSpec extends AnyFunSuite with SparkTestSession {
       s"corpus vocab $distinct must exceed cap ${LmOps.VocabSize}")
   }
 
+  test("t12 tf-idf rows are internally consistent and df matches a recount") {
+    val rows = LmOps.t12Tfidf(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // columns: doc_id, rk, token, tf, df, idf, tfidf
+      val (rk, tf, df, idf, tfidf) = (r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))
+      assert(rk >= 1 && rk <= 5 && tf >= 1 && df >= 1 && idf > 0)
+      assert(tfidf == tf.toDouble * idf, s"tfidf must be the exact product")
+    }
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (d, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"doc $d ranks not contiguous")
+    }
+    // recount document frequency for one token straight off the corpus
+    val tok = rows.head.getString(2)
+    val df0 = rows.find(_.getString(2) == tok).get.getLong(4)
+    val recount = Tables.documents(spark, SfMid)
+      .select(col("doc_id"), explode(array_distinct(
+        TextFn.tokens(col("text")))).as("t"))
+      .filter(col("t") === tok).count()
+    assert(df0 == recount, s"token '$tok' df $df0 != recount $recount")
+  }
+
+  test("c05 weighted sample is deterministic, descending, quality-weighted") {
+    val a = Corpus.c05WeightedSample(spark, SfMid).collect()
+    val b = Corpus.c05WeightedSample(spark, SfMid).collect()
+    assert(a.length == 20)
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "rerun must reproduce the identical sample")
+    val keys = a.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y },
+      "keys must be non-increasing")
+    a.foreach(r => assert(r.getDouble(1) > 0, "zero-weight doc sampled"))
+  }
+
   test("c04 merge ops follow the snapshot membership arithmetic") {
     val rows = Corpus.c04SnapshotMerge(spark, SfMid).collect()
     rows.foreach { r =>
