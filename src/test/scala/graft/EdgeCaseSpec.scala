@@ -119,5 +119,11 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(Dedup.d03MinhashLsh(spark, d).count() == 0)
     assert(Similarity.v01CosineTopk(spark, d).count() == 0)
     assert(Multimodal.mm02MediaFeatures(spark, d).count() == 0)
+    assert(operators.LmOps.t10LineDedup(spark, d).count() == 0)
+    assert(operators.LmOps.t11LmScore(spark, d).count() == 0)
+    assert(operators.LmOps.t12Tfidf(spark, d).count() == 0)
+    assert(operators.Corpus.c04SnapshotMerge(spark, d).count() == 0)
+    assert(operators.Corpus.c05WeightedSample(spark, d).count() == 0)
+    assert(Similarity.v05AnnPq(spark, d).count() == 0)
   }
 }
