@@ -107,22 +107,26 @@ object Dedup {
     */
   private def shingleIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // capped input: EVERY shingle path (d02 exact, d03/d06 LSH, d04 simhash)
-    // consumes the same df-capped stream, so all paths share ONE Jaccard
-    // definition — an uncapped LSH path would verify pairs over a different
-    // shingle universe than the exact verifier and the two could disagree
-    // on boilerplate-heavy corpora
-    val sh = cappedShingleRows(s, dir).cache()
-    val dict = sh.select("s").distinct().orderBy("s").as[String]
+    // the df cap is FUSED into the dictionary build: EVERY shingle path
+    // (d02 exact, d03/d06 LSH, d04 simhash) consumes the same capped
+    // universe, so all paths share ONE Jaccard definition — and since the
+    // id join against the dictionary happens anyway, capping here means
+    // over-df shingles simply get no id (the inner join drops them) at
+    // ZERO extra jobs: the distinct pass becomes a count pass
+    val sh = shingleRows(s, dir).cache()
+    val dict = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("s").orderBy("s").as[String]
       .rdd.zipWithIndex.map { case (sv, i) => (sv, i + 1) }
       .toDF("s", "sid")
     sh.join(dict, "s").select("doc_id", "sid")
   }
 
   private def shingleIdsSql: String =
-    s"""${cappedShingleRowsSql()},
+    s"""sh AS ($shingleRowsSql),
        |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS sid
-       |         FROM (SELECT DISTINCT s FROM sh)),
+       |         FROM (SELECT s FROM sh GROUP BY s
+       |               HAVING count(*) <= $MaxShingleDf)),
        |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (s))""".stripMargin
 
   /** d01 — exact dedup by content: the corpus unioned with a re-keyed copy
