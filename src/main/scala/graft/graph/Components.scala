@@ -186,4 +186,62 @@ object Components {
        |      UNION ALL SELECT z FROM tri)
        |GROUP BY 1
        |ORDER BY n_triangles DESC, id""".stripMargin
+
+  /** BFS depth bound for [[fraudDistance]]. */
+  val MaxHops = 3
+
+  /** g13 — hop distance to confirmed fraud: BFS from the confirmed-
+    * offender seed set (error count ≥ [[PageRankOps.ConfirmedErrT]]) over
+    * the co-occurrence graph, bounded to [[MaxHops]] hops — the
+    * "proximity to known bad" feature every fraud model wants next to
+    * PageRank centrality. Seeds are hop 0; a vertex's value is its
+    * MINIMUM hop count; vertices beyond the bound are excluded.
+    *
+    * Implementation is the iterative-DataFrame frontier loop (join the
+    * current distance set to the edge list, take the per-vertex min,
+    * lineage-cut per hop like the PR loop) — deterministic, so exactly
+    * oracle-checked against a deduplicating recursive CTE (UNION, not
+    * UNION ALL: the state space is (vertex, hops), never path
+    * enumerations — path-counting recursion would explode on a dense
+    * graph; the dedup keeps it |V|·hops).
+    *
+    * Scale: each hop is one shuffle keyed by vertex id against the
+    * statically-partitioned edge cache; diameter-bounded iterations. At
+    * extreme scale the same loop runs as GraphX Pregel (Components.q
+    * shows the pattern) — the DataFrame spelling keeps Catalyst in
+    * charge and the oracle exact.
+    */
+  def fraudDistance(s: SparkSession, dir: String): DataFrame = {
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    val seeds = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= PageRankOps.ConfirmedErrT)
+      .select(col("id"), lit(0L).as("hops"))
+    var dist = seeds
+    for (k <- 1 to MaxHops) {
+      val frontier = dist.alias("d")
+        .join(edges.alias("e"), col("d.id") === col("e.src"))
+        .select(col("e.dst").as("id"), lit(k.toLong).as("hops"))
+      dist = dist.union(frontier)
+        .groupBy("id").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("hops", "id")
+  }
+
+  val fraudDistanceSql: String =
+    s"""WITH RECURSIVE ${CoGraph.edgesCte},
+       |seeds AS (SELECT user_id AS id FROM events
+       |          WHERE event_type = 'error'
+       |          GROUP BY 1 HAVING count(*) >= ${PageRankOps.ConfirmedErrT}),
+       |reach(id, hops) AS (
+       |  SELECT id, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, r.hops + 1
+       |  FROM reach r JOIN edges e ON r.id = e.src
+       |  WHERE r.hops < $MaxHops)
+       |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+       |FROM reach GROUP BY 1 ORDER BY hops, id""".stripMargin
 }

@@ -16,7 +16,8 @@ object GraphQueries {
     "g09_component_purity" -> (Components.componentPurity _),
     "g10_isolation_summary" -> (Components.isolationSummary _),
     "g11_mules" -> (PageRankOps.mules _),
-    "g12_triangles" -> (Components.triangles _)
+    "g12_triangles" -> (Components.triangles _),
+    "g13_fraud_distance" -> (Components.fraudDistance _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -33,6 +34,7 @@ object GraphQueries {
     "g09_component_purity" -> Components.componentPuritySql,
     "g10_isolation_summary" -> Components.isolationSummarySql,
     "g11_mules" -> PageRankOps.mulesSql(),
-    "g12_triangles" -> Components.trianglesSql
+    "g12_triangles" -> Components.trianglesSql,
+    "g13_fraud_distance" -> Components.fraudDistanceSql
   )
 }

@@ -71,6 +71,39 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(total > 0.0 && total <= 1.0 + 1e-9, s"total PR mass $total")
   }
 
+  test("g13 BFS distances satisfy the triangle/frontier invariants") {
+    import graft.graph.{Components, CoGraph, PageRankOps}
+    val dist = Components.fraudDistance(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.nonEmpty && dist.values.forall(h => h >= 0 && h <= Components.MaxHops))
+    val seeds = Tables.events(spark, SfMid)
+      .filter(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= PageRankOps.ConfirmedErrT)
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds.forall(s => dist.get(s).contains(0L)),
+      "every seed must sit at hop 0")
+    assert(dist.filter(_._2 == 0L).keySet == seeds,
+      "hop 0 must be exactly the seed set")
+    // BFS frontier property: every hop-k vertex (k>0) has an in-neighbor
+    // at hop k-1, and no edge spans more than one hop level downward
+    val edges = CoGraph.edges(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inNbrs = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    dist.filter(_._2 > 0).foreach { case (v, h) =>
+      assert(inNbrs.getOrElse(v, Set.empty).exists(u => dist.get(u).contains(h - 1)),
+        s"vertex $v at hop $h lacks a predecessor at ${h - 1}")
+    }
+    edges.foreach { case (u, v) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(hu), Some(hv)) =>
+          assert(hv <= hu + 1 || hu == Components.MaxHops,
+            s"edge $u($hu)->$v($hv) violates BFS level property")
+        case _ =>
+      }
+    }
+  }
+
   test("degree table of the symmetric edge set is even-summed") {
     val e = graph.CoGraph.edges(spark, Sf).cache()
     val deg = graph.CoGraph.degrees(spark, Sf)
