@@ -244,4 +244,78 @@ object Components {
        |  WHERE r.hops < $MaxHops)
        |SELECT id, CAST(min(hops) AS BIGINT) AS hops
        |FROM reach GROUP BY 1 ORDER BY hops, id""".stripMargin
+
+  /** Fixed superstep count for [[labelPropagation]]. */
+  val LpaIterations = 3
+
+  /** g14 — synchronous label propagation (community detection): every
+    * vertex starts labelled with its own id; each superstep it adopts the
+    * most frequent label among its in-neighbors, ties broken by the
+    * smallest label; vertices with no neighbors keep their label. Three
+    * synchronous supersteps — the deterministic variant of Raghavan's LPA
+    * (async LPA is order-dependent and unverifiable), which is also what
+    * GraphX's `LabelPropagation` computes per superstep.
+    *
+    * Complements g03: CC merges everything reachable into one blob; LPA
+    * splits a dense component into collusion communities by local label
+    * majority, which is what a fraud analyst actually triages.
+    *
+    * Scale: each superstep is (edges ⋈ labels) → per-(vertex,label)
+    * partial count → per-vertex arg-min — two shuffles keyed by vertex id
+    * against the statically-cached edge set, with map-side partial
+    * aggregation on both (the `min(struct(-cnt,label))` spelling keeps
+    * the arg-min a hash aggregate, not a per-vertex sort window).
+    * Superstep count is fixed, so the lineage is bounded; `localCheckpoint`
+    * cuts it per step exactly like the PR loop.
+    */
+  def labelPropagation(s: SparkSession, dir: String,
+      iterations: Int = LpaIterations): DataFrame = {
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    var labels = vertices(s, dir).select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iterations) {
+      val counted = edges.alias("e")
+        .join(labels.alias("l"), col("e.src") === col("l.id"))
+        .groupBy(col("e.dst").as("id"), col("l.label"))
+        .agg(count(lit(1)).as("cnt"))
+      val picked = counted
+        .groupBy(col("id"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("label"))).as("best"))
+        .select(col("id"), col("best.label").as("new_label"))
+      labels = labels.alias("l")
+        .join(picked.alias("p"), col("l.id") === col("p.id"), "left_outer")
+        .select(col("l.id").as("id"),
+          coalesce(col("p.new_label"), col("l.label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** g14 query — deterministic (id, label) listing. */
+  def lpaQ(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(s, dir).orderBy(col("id"))
+
+  /** Unrolled DuckDB oracle: lab0..labN chained CTEs; the arg-min is the
+    * window spelling (`ORDER BY c DESC, label`) — semantically identical
+    * to the engine's `min(struct(-cnt, label))` hash aggregate.
+    */
+  val lpaQSql: String = {
+    val steps = (1 to LpaIterations).map { i =>
+      s"""cnt$i AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM edges e JOIN lab${i - 1} l ON e.src = l.id GROUP BY 1, 2),
+         |pick$i AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+         |    FROM cnt$i) WHERE rn = 1),
+         |lab$i AS (
+         |  SELECT l.id, coalesce(p.label, l.label) AS label
+         |  FROM lab${i - 1} l LEFT JOIN pick$i p ON l.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CoGraph.edgesCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |lab0 AS (SELECT id, id AS label FROM vertices),
+       |$steps
+       |SELECT id, label FROM lab$LpaIterations ORDER BY id""".stripMargin
+  }
 }

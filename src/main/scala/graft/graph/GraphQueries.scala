@@ -17,7 +17,8 @@ object GraphQueries {
     "g10_isolation_summary" -> (Components.isolationSummary _),
     "g11_mules" -> (PageRankOps.mules _),
     "g12_triangles" -> (Components.triangles _),
-    "g13_fraud_distance" -> (Components.fraudDistance _)
+    "g13_fraud_distance" -> (Components.fraudDistance _),
+    "g14_label_propagation" -> (Components.lpaQ _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -35,6 +36,7 @@ object GraphQueries {
     "g10_isolation_summary" -> Components.isolationSummarySql,
     "g11_mules" -> PageRankOps.mulesSql(),
     "g12_triangles" -> Components.trianglesSql,
-    "g13_fraud_distance" -> Components.fraudDistanceSql
+    "g13_fraud_distance" -> Components.fraudDistanceSql,
+    "g14_label_propagation" -> Components.lpaQSql
   )
 }

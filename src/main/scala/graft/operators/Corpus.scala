@@ -148,6 +148,98 @@ object Corpus {
        |WHERE cum_tokens <= $SourceBudget
        |ORDER BY source, cum_tokens""".stripMargin
 
+  /** Global token budget for the temperature-scaled mixture (c06). */
+  private val MixBudget = 6000L
+
+  /** c06 — temperature-scaled mixture weighting (the T5/Pile recipe):
+    * source s gets sampling weight ∝ tokens(s)^α with α = 0.5 — the
+    * square-root temperature that up-weights small high-value sources
+    * against a dominant crawl — normalized over all sources, then a
+    * per-source token budget = ⌊global_budget × weight⌋, filled by the
+    * same deterministic hash-order greedy prefix as c03. One row per
+    * source: its size, weight, budget and what the sampler actually took
+    * (a source whose budget is under its smallest document samples 0).
+    *
+    * α is fixed at 0.5 because `sqrt` is correctly-rounded IEEE in every
+    * engine — `pow(x, 0.7)` is NOT, and a last-ulp disagreement would
+    * poison the hash compare. The normalizer Σ√tokens is summed through
+    * DECIMAL(28,8) (order-independent, Det's trick), then the one-row
+    * result broadcast-joins onto the per-source totals — no driver
+    * collect.
+    *
+    * Scale: totals is a map-side-combined groupBy on a few hundred
+    * sources; the normalizer is a 1-row broadcast; the sampler window
+    * partitions by source (salt a giant source exactly as c03 documents).
+    */
+  def c06TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        charFingerprint(col("text")).as("h"))
+      .filter(col("n_tokens") > 0)
+    val totals = docs
+      .groupBy("source").agg(sum("n_tokens").as("total_tokens"))
+      .withColumn("sq", sqrt(col("total_tokens").cast("double")))
+    val z = totals.agg(
+      sum(col("sq").cast("decimal(28,8)")).cast("double").as("z"))
+    val budgets = totals.crossJoin(broadcast(z))
+      .select(col("source"), col("total_tokens"),
+        Det.r(col("sq") / col("z"), 6).as("weight"),
+        floor(lit(MixBudget.toDouble) * col("sq") / col("z"))
+          .cast("long").as("budget"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sampled = docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(budgets.select("source", "budget"), Seq("source"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_sampled"),
+        sum("n_tokens").as("tokens_sampled"))
+    budgets.join(sampled, Seq("source"), "left_outer")
+      .select(col("source"), col("total_tokens"), col("weight"), col("budget"),
+        coalesce(col("docs_sampled"), lit(0L)).as("docs_sampled"),
+        coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+      .orderBy("source")
+  }
+
+  private val c06Sql =
+    s"""WITH d AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |      ${charFingerprintSql("text")} AS h
+       |    FROM documents)
+       |  WHERE n_tokens > 0),
+       |totals AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    sqrt(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)) AS sq
+       |  FROM d GROUP BY 1),
+       |z AS (SELECT CAST(sum(CAST(sq AS DECIMAL(28,8))) AS DOUBLE) AS z
+       |      FROM totals),
+       |budgets AS (
+       |  SELECT source, total_tokens, ${Det.sqlR("sq / z", 6)} AS weight,
+       |    CAST(floor(CAST($MixBudget AS DOUBLE) * sq / z) AS BIGINT) AS budget
+       |  FROM totals, z),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM d),
+       |sampled AS (
+       |  SELECT c.source, CAST(count(*) AS BIGINT) AS docs_sampled,
+       |    CAST(sum(c.n_tokens) AS BIGINT) AS tokens_sampled
+       |  FROM cum c JOIN budgets b ON c.source = b.source
+       |  WHERE c.cum_tokens <= b.budget GROUP BY 1)
+       |SELECT b.source AS source, b.total_tokens, b.weight, b.budget,
+       |  coalesce(s.docs_sampled, 0) AS docs_sampled,
+       |  coalesce(s.tokens_sampled, 0) AS tokens_sampled
+       |FROM budgets b LEFT JOIN sampled s ON b.source = s.source
+       |ORDER BY b.source""".stripMargin
+
   /** c04 — incremental snapshot merge (the MERGE INTO / upsert shape of a
     * continuously-refreshed corpus): a base snapshot (docs with
     * `doc_id % 5 <> 0`, standing in for last month's crawl) merged with a
@@ -241,12 +333,14 @@ object Corpus {
     "c02_corpus_budget" -> (c02CorpusBudget _),
     "c03_mixture_sample" -> (c03MixtureSample _),
     "c04_snapshot_merge" -> (c04SnapshotMerge _),
-    "c05_weighted_sample" -> (c05WeightedSample _))
+    "c05_weighted_sample" -> (c05WeightedSample _),
+    "c06_temperature_mix" -> (c06TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
     "c02_corpus_budget" -> c02Sql,
     "c03_mixture_sample" -> c03Sql,
     "c04_snapshot_merge" -> c04Sql,
-    "c05_weighted_sample" -> c05Sql)
+    "c05_weighted_sample" -> c05Sql,
+    "c06_temperature_mix" -> c06Sql)
 }

@@ -497,7 +497,49 @@ object Dedup {
        |FROM cc JOIN sizes USING (canonical_id)
        |ORDER BY canonical_id, doc_id""".stripMargin
 
+  /** Edit-distance threshold for [[r01RecordLinkage]]. */
+  val LinkageT = 2
+
+  /** r01 — record linkage (entity resolution) by blocking + edit distance:
+    * the catalog's distinct (brand, name) records are candidate-matched
+    * only within their blocking key (the brand) and linked when
+    * `levenshtein(name_a, name_b) <= LinkageT`, canonical `name_a <
+    * name_b` so each undirected link appears once. This is the classic
+    * two-stage ER shape (Fellegi-Sunter blocking then pairwise compare):
+    * the O(n²) comparison space collapses to Σ per-block size², and the
+    * expensive string metric runs only inside blocks.
+    *
+    * Scale: records-per-block is bounded by the catalog's brand fan-out,
+    * not corpus size — the block join is a plain equi-shuffle on the
+    * blocking key, AQE splits a skewed mega-brand, and `levenshtein` is a
+    * codegen'd Catalyst built-in residual. At 100 TB you'd add a second
+    * blocking pass on a different key (e.g. name prefix) and union the
+    * candidate sets — same plan shape, two shuffles.
+    */
+  def r01RecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_name")).distinct()
+    recs.as("a").join(recs.as("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_name") < col("b.p_name")
+          && levenshtein(col("a.p_name"), col("b.p_name")) <= LinkageT)
+      .select(col("a.p_brand").as("p_brand"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
+  private def r01Sql =
+    s"""WITH recs AS (SELECT DISTINCT p_brand, p_name FROM part)
+       |SELECT a.p_brand AS p_brand, a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+       |FROM recs a JOIN recs b
+       |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+       |  AND levenshtein(a.p_name, b.p_name) <= $LinkageT
+       |ORDER BY a.p_brand, name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_record_linkage" -> (r01RecordLinkage _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -512,6 +554,7 @@ object Dedup {
     * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
+    "r01_record_linkage" -> r01Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

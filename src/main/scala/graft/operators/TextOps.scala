@@ -520,7 +520,45 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Merge-candidate pairs kept by [[t13BpePairs]]. */
+  private val BpeTopK = 20
+
+  /** t13 — BPE merge-candidate statistics (the tokenizer-training
+    * primitive): count every adjacent character pair inside every corpus
+    * word and keep the top [[BpeTopK]]. One BPE training iteration IS
+    * exactly this count over the current symbol sequences — the argmax
+    * pair becomes the next merge, the sequences re-segment, and the count
+    * repeats; exposing the first iteration's full statistics pins the
+    * primitive while staying oracle-checkable (later iterations depend on
+    * re-segmentation state, not on any new engine capability).
+    *
+    * Scale: the explode fans out ~word-length rows per token, but the
+    * aggregate key space is at most alphabet² pairs — partial (map-side)
+    * aggregation collapses the fan-out before the shuffle, and the top-k
+    * is a `TakeOrderedAndProject`, never a global sort.
+    */
+  def t13BpePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+
+  private def t13Sql =
+    s"""SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |FROM (
+       |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+       |  WHERE len(w) >= 2)
+       |GROUP BY 1
+       |ORDER BY cnt DESC, pair
+       |LIMIT $BpeTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_bpe_pairs" -> (t13BpePairs _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality_score" -> (t03QualityScore _),
@@ -532,6 +570,7 @@ object TextOps {
     "t09_pii_redact" -> (t09PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "t13_bpe_pairs" -> t13Sql,
     "t01_token_stats" -> t01Sql,
     "t02_lang_id" -> t02Sql,
     "t03_quality_score" -> t03Sql,

@@ -109,6 +109,24 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(feats.filter(col("byte_len") === 0).count() >= 1)
   }
 
+  test("t13/c06 on pathological text: short words drop, dead sources vanish") {
+    val pairs = TextOps.t13BpePairs(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    // every emitted pair is exactly 2 chars — single-char words contribute
+    // nothing, and unicode words pair by character, not byte
+    pairs.foreach(r => assert(r.getString(0).length == 2, r.getString(0)))
+    val m = pairs.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.get("in").exists(_ >= 2L), s"leading+trailing share in: $m")
+    assert(m.get("hé").exists(_ >= 1L), s"unicode pair hé must count: $m")
+    // top-k ordering: counts are non-increasing down the listing
+    val cnts = pairs.map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // c06: source s0 holds only null/empty text → zero tokens → it must
+    // disappear from the mixture instead of dividing by zero
+    val mix = operators.Corpus.c06TemperatureMix(spark, dir).collect()
+    assert(mix.nonEmpty && !mix.exists(_.getString(0) == "s0"))
+  }
+
   test("empty tables flow through without exceptions") {
     val d = java.nio.file.Files.createTempDirectory("edge_empty").toString
     Tables.documents(spark, dir).limit(0)
@@ -125,5 +143,7 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(operators.Corpus.c04SnapshotMerge(spark, d).count() == 0)
     assert(operators.Corpus.c05WeightedSample(spark, d).count() == 0)
     assert(Similarity.v05AnnPq(spark, d).count() == 0)
+    assert(TextOps.t13BpePairs(spark, d).count() == 0)
+    assert(operators.Corpus.c06TemperatureMix(spark, d).count() == 0)
   }
 }

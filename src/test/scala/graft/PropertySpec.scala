@@ -160,6 +160,83 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("g14 synchronous LPA matches a local recompute exactly") {
+    import graft.graph.{Components, CoGraph}
+    val edges = CoGraph.edges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val verts = Components.vertices(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val inN = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lab = verts.iterator.map(v => v -> v).toMap
+    for (_ <- 1 to Components.LpaIterations) {
+      val prev = lab
+      lab = verts.iterator.map { v =>
+        val nbrLabels = inN.getOrElse(v, Array.empty[Long]).map(prev)
+        if (nbrLabels.isEmpty) v -> prev(v)
+        else v -> nbrLabels.groupBy(identity).view.mapValues(_.length)
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val got = Components.lpaQ(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab)
+    // labels refine connectivity: every community sits inside one CC
+    val cc = Components.connectedComponents(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(cc).toSet.size == 1,
+        "an LPA community may never span connected components")
+    }
+  }
+
+  test("r01 linkage pairs are canonical, blocked, and threshold-bounded") {
+    import graft.operators.Dedup
+    val rows = Dedup.r01RecordLinkage(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, d) = (r.getString(1), r.getString(2), r.getLong(3))
+      assert(a < b, "canonical order")
+      assert(d <= Dedup.LinkageT && d >= 1, s"distance $d out of band")
+    }
+    // exhaustive local check inside one block: the blocked join must find
+    // EVERY within-block pair under the threshold (blocking is on brand,
+    // so within-brand recall is total)
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      dp(x.length)(y.length)
+    }
+    val recs = Tables.part(spark, Sf).select("p_brand", "p_name")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val expect = (for {
+      (ba, na) <- recs; (bb, nb) <- recs
+      if ba == bb && na < nb && lev(na, nb) <= Dedup.LinkageT
+    } yield (ba, na, nb)).toSet
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expect)
+  }
+
+  test("c06 temperature weights normalize and budgets never overfill") {
+    import graft.operators.Corpus
+    val rows = Corpus.c06TemperatureMix(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(3), "sampled tokens exceed budget")
+      assert(r.getLong(5) <= r.getLong(1), "sampled tokens exceed source size")
+    }
+    // sqrt temperature flattens: the largest source's weight share must
+    // not exceed its raw token share
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val big = rows.maxBy(_.getLong(1))
+    assert(big.getDouble(2) <= big.getLong(1) / total + 1e-9)
+  }
+
   test("MinHash signature agreement estimates Jaccard within LSH tolerance") {
     // identical shingle sets => identical signatures; disjoint => (almost
     // surely) different on every permutation
