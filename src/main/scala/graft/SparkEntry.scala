@@ -58,6 +58,8 @@ object SparkEntry {
     "j01_json_extract",
     "a02_local_supplier_volume", "a03_pricing_summary", "e03_rollup",
     "t09_pii_redact", "e10_quantile_rollup",
-    "t10_line_dedup", "v05_ann_pq"
+    "t10_line_dedup", "v05_ann_pq",
+    "g14_label_propagation", "r01_record_linkage", "c06_temperature_mix",
+    "t13_bpe_pairs", "v06_kmeans_lloyd"
   ).filter(queries.contains)
 }

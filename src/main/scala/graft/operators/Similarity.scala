@@ -670,7 +670,124 @@ object Similarity {
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Cluster count and superstep count for [[v06KmeansLloyd]]. */
+  private val KmK = 4
+  private val KmIters = 2
+
+  /** One E-step: score every vector against a broadcast codebook
+    * `(cid, cvec, cnrm)` and keep the per-vector argmax-cosine assignment
+    * (ties to the smallest cid). Identical plan shape to v03's
+    * [[centroidScored]]: n·k codegen'd `vec_dot` kernels map-side, zero
+    * corpus shuffle.
+    */
+  private def kmAssign(emb: DataFrame, codebook: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        r(dot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm")), 6)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cosine").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+
+  /** v06 — spherical k-means, the full Lloyd loop (v03 assigns to FIXED
+    * label centroids; this is the real clustering iteration): seed the
+    * codebook with the [[KmK]] lowest-id vectors, then alternate E-step
+    * (argmax-cosine assignment, [[kmAssign]]) and M-step (per-dimension
+    * decimal-snapped means over the ASSIGNED clusters, v03's
+    * `centroidVecs` shape keyed by cid instead of label) for [[KmIters]]
+    * rounds. Deterministic end to end — seeded init, 6-dp-snapped cosines
+    * and centroid components — so the unrolled DuckDB chain is an EXACT
+    * oracle of both iterations, not a statistical one.
+    *
+    * Scale per round: E-step is a broadcast × map-side kernel (no corpus
+    * shuffle); M-step is one posexplode + map-side-combined
+    * groupBy(cid, pos) — linear in n·d with k·d output rows. The 6-dp
+    * centroid snap is also the float-stability story: without it,
+    * engine-order float drift in the means would cascade into different
+    * round-2 assignments near decision boundaries.
+    */
+  def v06KmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(s, dir).cache()
+    val seed = emb.orderBy("vec_id").limit(KmK)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+    var assigned = kmAssign(emb, seed)
+    for (_ <- 2 to KmIters) {
+      val dims = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("cid"), (col("pos0") + 1).as("pos"),
+          col("v").cast("double").as("v"))
+      val codebook = dims.groupBy(col("cid"), col("pos"))
+        .agg(r(sum(col("v").cast("decimal(38,8)")).cast("double")
+          / count(lit(1)), 6).as("cv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .withColumn("cnrm", sqrt(dot(col("cvec"), col("cvec"))))
+      assigned = kmAssign(emb, codebook)
+    }
+    // the final assignment feeds both the size table and the listing —
+    // cache it or the whole 2-round chain executes twice
+    val fin = assigned.cache()
+    val sizes = fin.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    fin.select(col("vec_id"), col("cid"))
+      .join(sizes, Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  private def v06Sql = {
+    // one E-step against codebook CTE `cb` → assignment CTE named `out` —
+    // the SQL mirror of kmAssign (argmax via row_number, same tie-break)
+    def assignSql(cb: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${rSql(s"${dotSql("e.embedding", "c.cvec")} / (e.nrm * c.cnrm)", 6)}
+         |        DESC, c.cid) AS rk
+         |    FROM e CROSS JOIN $cb c) WHERE rk = 1)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(${dotSql("embedding", "embedding")}) > 0),
+       |seed AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE)) AS cvec
+       |  FROM e ORDER BY vec_id LIMIT $KmK),
+       |cb0 AS (SELECT cid, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnrm
+       |        FROM seed),
+       |${assignSql("cb0", "a1")},
+       |dims AS (
+       |  SELECT a1.cid,
+       |    unnest(range(1, len(e.embedding) + 1)) AS pos,
+       |    unnest(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE))) AS v
+       |  FROM e JOIN a1 USING (vec_id)),
+       |cent AS (
+       |  SELECT cid, pos,
+       |    ${rSql("CAST(sum(CAST(v AS DECIMAL(38,8))) AS DOUBLE) / count(*)", 6)}
+       |      AS cv
+       |  FROM dims GROUP BY 1, 2),
+       |cb1 AS (
+       |  SELECT cid, cvec, sqrt(${dotSql("cvec", "cvec")}) AS cnrm
+       |  FROM (SELECT cid, array_agg(cv ORDER BY pos) AS cvec
+       |        FROM cent GROUP BY 1)),
+       |${assignSql("cb1", "a2")},
+       |sizes AS (SELECT cid AS cluster_id, CAST(count(*) AS BIGINT)
+       |            AS n_members
+       |          FROM a2 GROUP BY 1)
+       |SELECT a.vec_id, a.cid AS cluster_id, s.n_members
+       |FROM a2 a JOIN sizes s ON a.cid = s.cluster_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v06_kmeans_lloyd" -> (v06KmeansLloyd _),
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
     "v03_centroid_assign" -> (v03CentroidAssign _),
@@ -680,6 +797,7 @@ object Similarity {
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "v06_kmeans_lloyd" -> v06Sql,
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,
     "v03_centroid_assign" -> v03Sql,

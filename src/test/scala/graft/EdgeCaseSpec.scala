@@ -145,5 +145,6 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.v05AnnPq(spark, d).count() == 0)
     assert(TextOps.t13BpePairs(spark, d).count() == 0)
     assert(operators.Corpus.c06TemperatureMix(spark, d).count() == 0)
+    assert(Similarity.v06KmeansLloyd(spark, d).count() == 0)
   }
 }

@@ -237,6 +237,22 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(big.getDouble(2) <= big.getLong(1) / total + 1e-9)
   }
 
+  test("v06 k-means partitions every vector and sizes are consistent") {
+    import graft.operators.Similarity
+    val rows = Similarity.v06KmeansLloyd(spark, Sf).collect()
+    val n = Tables.embeddings(spark, Sf)
+      .filter(col("embedding").isNotNull).count()
+    // every nonzero-norm vector appears exactly once
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.length.toLong <= n && rows.nonEmpty)
+    // at most K clusters; per-cluster n_members matches the actual count
+    val byCluster = rows.groupBy(_.getLong(1))
+    assert(byCluster.size <= 4)
+    byCluster.foreach { case (_, members) =>
+      assert(members.map(_.getLong(2)).distinct.toSeq == Seq(members.length.toLong))
+    }
+  }
+
   test("MinHash signature agreement estimates Jaccard within LSH tolerance") {
     // identical shingle sets => identical signatures; disjoint => (almost
     // surely) different on every permutation
