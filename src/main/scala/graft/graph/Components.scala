@@ -294,6 +294,84 @@ object Components {
   def lpaQ(s: SparkSession, dir: String): DataFrame =
     labelPropagation(s, dir).orderBy(col("id"))
 
+  /** Core order for [[kcore]]. */
+  val KcoreK = 2
+  /** Fixed peeling rounds — extra rounds past the fixpoint are no-ops
+    * (the alive set is already stable), so a fixed count keeps the Spark
+    * loop and the unrolled oracle IDENTICAL without a convergence probe.
+    */
+  val KcoreRounds = 4
+
+  /** g15 — k-core decomposition (fixed-round peeling): repeatedly delete
+    * vertices whose degree within the surviving subgraph is < k; what
+    * survives [[KcoreRounds]] rounds is (an over-approximation converging
+    * to) the k-core — the maximal subgraph where everyone has ≥ k
+    * neighbors. The densest-region extractor fraud triage runs after CC:
+    * a CC blob says "reachable", the k-core says "mutually embedded" —
+    * hub-and-spoke accidental links peel away, collusion cliques stay.
+    *
+    * Determinism: synchronous peeling has no tie order (the alive set is
+    * a set), so the output is exactly oracle-checkable against the same
+    * rounds unrolled as chained CTEs. KcoreSpec asserts the fixpoint is
+    * reached within the round budget at test scale AND that every
+    * reported core degree is ≥ k (the k-core invariant), so the fixed
+    * count is verified sufficient, not assumed.
+    *
+    * Scale: each round is two semi-joins keyed by vertex id against the
+    * statically-cached symmetric edge set + one map-side-combined degree
+    * count — all equi-shuffles, no BNLJ; `localCheckpoint` cuts lineage
+    * per round like the PR/LPA loops. Rounds needed at 100 TB is the
+    * peeling depth (typically ≤ tens even on web graphs); for full
+    * coreness numbers (not one k) run the same loop per k or switch to
+    * the GraphX Pregel spelling.
+    */
+  def kcore(s: SparkSession, dir: String, k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    var alive = vertices(s, dir)
+    for (_ <- 1 to rounds) {
+      alive = edges
+        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+        .localCheckpoint(true)
+    }
+    // report survivors with their degree inside the final core
+    edges
+      .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("core_deg").desc, col("id"))
+  }
+
+  /** g15 query. */
+  def kcoreQ(s: SparkSession, dir: String): DataFrame = kcore(s, dir)
+
+  /** Unrolled DuckDB oracle: alive0..aliveN chained CTEs mirroring the
+    * synchronous peeling rounds op-for-op.
+    */
+  val kcoreQSql: String = {
+    val steps = (1 to KcoreRounds).map { i =>
+      s"""alive$i AS (
+         |  SELECT e.src AS id FROM edges e
+         |  JOIN alive${i - 1} a ON e.src = a.id
+         |  JOIN alive${i - 1} b ON e.dst = b.id
+         |  GROUP BY 1 HAVING count(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CoGraph.edgesCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |alive0 AS (SELECT id FROM vertices),
+       |$steps
+       |SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM edges e
+       |JOIN alive$KcoreRounds a ON e.src = a.id
+       |JOIN alive$KcoreRounds b ON e.dst = b.id
+       |GROUP BY 1
+       |ORDER BY core_deg DESC, id""".stripMargin
+  }
+
   /** Unrolled DuckDB oracle: lab0..labN chained CTEs; the arg-min is the
     * window spelling (`ORDER BY c DESC, label`) — semantically identical
     * to the engine's `min(struct(-cnt, label))` hash aggregate.

@@ -18,7 +18,8 @@ object GraphQueries {
     "g11_mules" -> (PageRankOps.mules _),
     "g12_triangles" -> (Components.triangles _),
     "g13_fraud_distance" -> (Components.fraudDistance _),
-    "g14_label_propagation" -> (Components.lpaQ _)
+    "g14_label_propagation" -> (Components.lpaQ _),
+    "g15_kcore" -> (Components.kcoreQ _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -37,6 +38,7 @@ object GraphQueries {
     "g11_mules" -> PageRankOps.mulesSql(),
     "g12_triangles" -> Components.trianglesSql,
     "g13_fraud_distance" -> Components.fraudDistanceSql,
-    "g14_label_propagation" -> Components.lpaQSql
+    "g14_label_propagation" -> Components.lpaQSql,
+    "g15_kcore" -> Components.kcoreQSql
   )
 }

@@ -328,13 +328,103 @@ object Corpus {
        |  WHERE quality_score > 0)
        |ORDER BY skey DESC, doc_id LIMIT $WSampleK""".stripMargin
 
+  /** Hash-shard fanout for the c07 curriculum manifest. */
+  private val CurriculumShards = 4L
+
+  /** c07 — curriculum staging + shard manifest: band every document into a
+    * quality QUARTILE (stage 1 = weakest quarter … stage 4 = strongest) and
+    * a deterministic hash shard, then emit the (stage, shard) manifest a
+    * curriculum-ordered training run consumes (count, token total, mean
+    * quality per cell).
+    *
+    * The interesting part is EXACT quantiles without a global sort: a
+    * naive `ntile(4)` is a single-partition total sort — the one shape
+    * that cannot scale. Here quartile thresholds come from the score
+    * HISTOGRAM: quality_score is 4-dp-snapped (TextOps contract), so its
+    * cardinality is ≤ 10⁴ regardless of corpus size; groupBy-count the
+    * scores (map-side combined), run the cumulative window on that tiny
+    * aggregate, take threshold p as the minimal score whose cumulative
+    * count reaches ⌈p·n/4⌉ (type-1 quantile), and broadcast the 1-row
+    * threshold frame back onto the corpus. Ties share a stage (no
+    * row-order dependence — ntile would split ties nondeterministically
+    * at scale). Shard = fingerprint mod k: stable under repartitioning,
+    * re-runs, and engines — `row_number() % k` is not.
+    *
+    * Scale: two narrow scans + one broadcast; the only window runs over
+    * the ≤10⁴-row histogram (bounded by construction, same argument as
+    * t05's vocabulary note). The manifest is k·4 rows.
+    */
+  def c07CurriculumShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.qualitySignals(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        charFingerprint(col("text")).as("h"))
+    val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    def thr(p: Int) = min(when(
+      col("cum") >= floor((col("n") * p + lit(3)) / lit(4.0)).cast("long"),
+      col("quality_score"))).as(s"q$p")
+    val thresholds = cum.crossJoin(broadcast(tot)).agg(thr(1), thr(2), thr(3))
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        (lit(1L) + (col("quality_score") > col("q1")).cast("long")
+          + (col("quality_score") > col("q2")).cast("long")
+          + (col("quality_score") > col("q3")).cast("long")).as("stage"),
+        (col("h") % lit(CurriculumShards)).as("shard"))
+      .groupBy("stage", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("tokens"),
+        r(Det.dsum(col("quality_score")) / count(lit(1)), 4)
+          .as("mean_quality"))
+      .orderBy("stage", "shard")
+  }
+
+  private val c07Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    ${charFingerprintSql("text")} AS h
+       |  FROM (${TextOps.qualitySignalsSql})),
+       |hist AS (SELECT quality_score, CAST(count(*) AS BIGINT) AS c
+       |         FROM scored GROUP BY 1),
+       |cum AS (SELECT quality_score, c,
+       |          sum(c) OVER (ORDER BY quality_score
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |        FROM hist),
+       |tot AS (SELECT sum(c) AS n FROM hist),
+       |thr AS (SELECT
+       |    min(CASE WHEN cum >= CAST(floor((n * 1 + 3) / 4.0) AS BIGINT)
+       |             THEN quality_score END) AS q1,
+       |    min(CASE WHEN cum >= CAST(floor((n * 2 + 3) / 4.0) AS BIGINT)
+       |             THEN quality_score END) AS q2,
+       |    min(CASE WHEN cum >= CAST(floor((n * 3 + 3) / 4.0) AS BIGINT)
+       |             THEN quality_score END) AS q3
+       |  FROM cum, tot)
+       |SELECT stage, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |  ${Det.sqlR(s"${Det.sqlDsum("quality_score")} / count(*)", 4)}
+       |    AS mean_quality
+       |FROM (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    1 + CAST(quality_score > q1 AS BIGINT)
+       |      + CAST(quality_score > q2 AS BIGINT)
+       |      + CAST(quality_score > q3 AS BIGINT) AS stage,
+       |    h % $CurriculumShards AS shard
+       |  FROM scored, thr)
+       |GROUP BY 1, 2
+       |ORDER BY stage, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_training_corpus" -> (c01TrainingCorpus _),
     "c02_corpus_budget" -> (c02CorpusBudget _),
     "c03_mixture_sample" -> (c03MixtureSample _),
     "c04_snapshot_merge" -> (c04SnapshotMerge _),
     "c05_weighted_sample" -> (c05WeightedSample _),
-    "c06_temperature_mix" -> (c06TemperatureMix _))
+    "c06_temperature_mix" -> (c06TemperatureMix _),
+    "c07_curriculum_shards" -> (c07CurriculumShards _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
@@ -342,5 +432,6 @@ object Corpus {
     "c03_mixture_sample" -> c03Sql,
     "c04_snapshot_merge" -> c04Sql,
     "c05_weighted_sample" -> c05Sql,
-    "c06_temperature_mix" -> c06Sql)
+    "c06_temperature_mix" -> c06Sql,
+    "c07_curriculum_shards" -> c07Sql)
 }

@@ -557,7 +557,144 @@ object TextOps {
        |ORDER BY cnt DESC, pair
        |LIMIT $BpeTopK""".stripMargin
 
+  /** t14 — character-diversity quality signals, one narrow per-row pass:
+    * distinct-char count, Simpson concentration index Σpᵢ² (1/Simpson is
+    * the "effective alphabet size" — keyboard-mash and repeated-char spam
+    * score near 1), and the top character's share. The log-free cousin of
+    * char entropy, chosen deliberately: `log` is NOT correctly-rounded
+    * IEEE (libm implementations disagree in the last ulp, poisoning an
+    * exact-hash oracle), while pᵢ = cᵢ/n and pᵢ·pᵢ are single IEEE ops —
+    * bit-identical in every engine.
+    *
+    * Determinism of the sum: `list_distinct` order is engine-defined, so
+    * the Σpᵢ² fold cannot add raw doubles (addition order would differ).
+    * Each term is snapped to a scaled LONG (floor(pᵢ²·1e8 + 0.5)) and the
+    * fold sums integers — order-independent, exact.
+    *
+    * Scale: pure per-row array math (distinct chars ≤ alphabet, so the
+    * inner filter is O(len·|Σ|)); zero shuffle, stays in codegen.
+    */
+  def t14CharDiversity(s: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    val nc = size(chars).cast("long")
+    val counts = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("long"))
+    val scaled = transform(counts, x => {
+      val p = x.cast("double") / nc.cast("double")
+      floor(p * p * lit(1e8) + lit(0.5)).cast("long")
+    })
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nc.as("n_chars"),
+        size(array_distinct(chars)).cast("long").as("n_distinct_chars"),
+        when(nc > 0,
+          aggregate(scaled, lit(0L), (acc, x) => acc + x).cast("double")
+            / lit(1e8)).otherwise(lit(null)).as("simpson"),
+        when(nc > 0, r(array_max(counts).cast("double") / nc, 4))
+          .otherwise(lit(null)).as("top_char_share"))
+      .orderBy("doc_id")
+  }
+
+  private def t14Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(chars) AS BIGINT) AS n_chars,
+       |  CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+       |  CASE WHEN len(chars) > 0 THEN
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(
+       |        list_transform(list_distinct(chars),
+       |          c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT)),
+       |        x -> CAST(floor(
+       |          (CAST(x AS DOUBLE) / CAST(len(chars) AS BIGINT))
+       |          * (CAST(x AS DOUBLE) / CAST(len(chars) AS BIGINT))
+       |          * 1e8 + 0.5) AS BIGINT))),
+       |      (acc, x) -> acc + x) AS DOUBLE) / 1e8
+       |  END AS simpson,
+       |  CASE WHEN len(chars) > 0 THEN
+       |    ${rSql(s"CAST(list_max(list_transform(list_distinct(chars), " +
+        s"c -> CAST(len(list_filter(chars, x -> x = c)) AS BIGINT))) " +
+        s"AS DOUBLE) / CAST(len(chars) AS BIGINT)", 4)}
+       |  END AS top_char_share
+       |FROM (SELECT doc_id,
+       |        list_filter(string_split(text, ''), c -> c <> '') AS chars
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Count-min sketch geometry + heavy-hitter threshold for e12. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+  val HhShare = 0.01
+
+  /** e12 — heavy hitters via a MERGEABLE count-min sketch + exact
+    * recount (the two-pass guarantee): (1) per SOURCE, count token
+    * occurrences into a fixed d×w cell grid (depth independent xxhash64
+    * rows); summing cells across sources IS the corpus sketch — the same
+    * re-aggregatable shape as e09's HLL union, sized d·w cells no matter
+    * how many tokens flow through; (2) probe the sketch for every
+    * distinct token (estimate = min over depth rows, which NEVER
+    * underestimates), keep candidates ≥ the threshold; (3) exactly
+    * recount ONLY the candidates and filter again.
+    *
+    * Because CMS overestimates, pass 2's candidate set is a superset of
+    * the true heavy hitters, and the final recount-filter emits EXACTLY
+    * the tokens with count ≥ ⌈share·total⌉ — so the oracle is the plain
+    * exact GROUP BY/HAVING, independent of hash choice or collisions
+    * (which is what lets the Spark side use native xxhash64 freely).
+    *
+    * Scale: the sketch build is one map-side-combined groupBy onto d·w
+    * cells; the probe joins the DISTINCT vocabulary (not occurrences)
+    * against a broadcast-size cell table; the recount semi-joins the
+    * candidate set (≤ 1/share tokens by Markov) back onto occurrences.
+    * At 100 TB the win is the incremental form: per-partition/day
+    * sketches persist tiny and merge by cell-sum without rescanning.
+    */
+  def e12HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .cache()
+    val tot = occ.agg(count(lit(1)).as("total"))
+    // per-source cell grids, merged by cell-sum (the mergeable sketch)
+    val perSource = occ
+      .select(col("source"), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          pmod(xxhash64(lit(j), col("w")), lit(CmsWidth.toLong)).as("b"))): _*))
+        .as("c"))
+      .groupBy(col("source"), col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cms = perSource.groupBy("j", "b").agg(sum("cnt").as("cnt"))
+    val probes = occ.select("w").distinct()
+      .select(col("w"), explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          pmod(xxhash64(lit(j), col("w")), lit(CmsWidth.toLong)).as("b"))): _*))
+        .as("c"))
+      .select(col("w"), col("c.j").as("j"), col("c.b").as("b"))
+    val candidates = probes.join(cms, Seq("j", "b"))
+      .groupBy("w").agg(min("cnt").as("est"))
+      .crossJoin(broadcast(tot))
+      .filter(col("est") >= ceil(col("total") * lit(HhShare)).cast("long"))
+      .select("w")
+    occ.join(candidates, Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") >= ceil(col("total") * lit(HhShare)).cast("long"))
+      .select(col("w").as("token"), col("cnt"),
+        r(col("cnt").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  private def e12Sql =
+    s"""WITH occ AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM occ)
+       |SELECT w AS token, CAST(count(*) AS BIGINT) AS cnt,
+       |  ${rSql("CAST(count(*) AS DOUBLE) / total", 6)} AS share
+       |FROM occ, tot
+       |GROUP BY w, total
+       |HAVING count(*) >= CAST(ceil(total * $HhShare) AS BIGINT)
+       |ORDER BY cnt DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_char_diversity" -> (t14CharDiversity _),
+    "e12_heavy_hitters" -> (e12HeavyHitters _),
     "t13_bpe_pairs" -> (t13BpePairs _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_lang_id" -> (t02LangId _),
@@ -570,6 +707,8 @@ object TextOps {
     "t09_pii_redact" -> (t09PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "t14_char_diversity" -> t14Sql,
+    "e12_heavy_hitters" -> e12Sql,
     "t13_bpe_pairs" -> t13Sql,
     "t01_token_stats" -> t01Sql,
     "t02_lang_id" -> t02Sql,

@@ -253,13 +253,82 @@ object WindowOps {
        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
        |ORDER BY event_id""".stripMargin
 
+  /** Interval length (seconds) for [[w07IntervalJoin]] — ALSO the bucket
+    * width, so every interval overlaps at most two buckets.
+    */
+  val IntervalSecs = 1800L
+
+  /** w07 — INTERVAL JOIN, bucketed: enrich every purchase event with the
+    * error windows covering it — each error event opens a half-open
+    * exposure window `[t0, t0 + IntervalSecs)` for its user, and a
+    * purchase inside ≥1 window reports how many cover it and the earliest
+    * covering window's start. The point-in-interval join Spark has no
+    * native operator for (the batch twin of the streaming interval join
+    * in `StreamPipeline`).
+    *
+    * A naive spelling is a range-predicate join — Catalyst can only plan
+    * BNLJ for it, quadratic per user. The scale spelling here makes it an
+    * EQUI-join: bucket time by the maximum interval length, explode each
+    * interval to the ≤2 buckets it overlaps, join on (user_id, bucket) —
+    * a plain shuffle-hash/SMJ with the range test left as a residual
+    * filter. Candidates per probe are bounded by the intervals in two
+    * buckets, so the join is linear in true matches + bucket collisions,
+    * never |probe|×|intervals|. The oracle is the naive range join —
+    * DuckDB's IEJoin handles it at sf0.01 — proving the bucketed
+    * rewrite LOSSLESS: exact-equal output.
+    *
+    * Scale: one shuffle each side keyed (user_id, bucket); AQE handles a
+    * hot user × hot bucket; widen the bucket only with the max interval
+    * length. Longer mixed-length intervals → `sequence(floor(t0/W),
+    * floor((t1-1)/W))` already emits every overlapped bucket.
+    */
+  def w07IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = IntervalSecs
+    val ev = Tables.events(s, dir)
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("t0"))
+      .withColumn("t1", col("t0") + lit(W))
+      .withColumn("bucket",
+        explode(sequence(floor(col("t0") / lit(W.toDouble)).cast("long"),
+          floor((col("t1") - 1) / lit(W.toDouble)).cast("long"))))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tp"))
+      .withColumn("bucket", floor(col("tp") / lit(W.toDouble)).cast("long"))
+    probes.alias("p")
+      .join(intervals.alias("i"),
+        col("p.user_id") === col("i.user_id")
+          && col("p.bucket") === col("i.bucket")
+          && col("p.tp") >= col("i.t0") && col("p.tp") < col("i.t1"))
+      .groupBy(col("p.event_id").as("event_id"),
+        col("p.user_id").as("user_id"), col("p.tp").as("epoch_s"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("i.t0")).as("first_window_start"))
+      .orderBy("event_id")
+  }
+
+  private val w07Sql =
+    s"""SELECT p.event_id, p.user_id, p.tp AS epoch_s,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  min(i.t0) AS first_window_start
+       |FROM (SELECT event_id, user_id,
+       |        CAST(floor(epoch(ts)) AS BIGINT) AS tp
+       |      FROM events WHERE event_type = 'purchase') p
+       |JOIN (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t0
+       |      FROM events WHERE event_type = 'error') i
+       |  ON p.user_id = i.user_id
+       | AND p.tp >= i.t0 AND p.tp < i.t0 + $IntervalSecs
+       |GROUP BY 1, 2, 3
+       |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
     "w03_running_total" -> (w03RunningTotal _),
     "w04_asof_join" -> (w04AsofJoin _),
     "w05_sessionize" -> (w05Sessionize _),
-    "w06_range_features" -> (w06RangeFeatures _))
+    "w06_range_features" -> (w06RangeFeatures _),
+    "w07_interval_join" -> (w07IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "w01_top_per_group" -> w01Sql,
@@ -267,5 +336,6 @@ object WindowOps {
     "w03_running_total" -> w03Sql,
     "w04_asof_join" -> w04Sql,
     "w05_sessionize" -> w05Sql,
-    "w06_range_features" -> w06Sql)
+    "w06_range_features" -> w06Sql,
+    "w07_interval_join" -> w07Sql)
 }

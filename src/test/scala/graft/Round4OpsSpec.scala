@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Components
+import graft.operators.{Corpus, TextOps, WindowOps}
+
+/** Contracts for the round-4 operators beyond their DuckDB oracles:
+  * losslessness of the bucketed interval join vs the naive range join,
+  * k-core fixpoint-within-budget + the degree invariant, CMS superset
+  * guarantee for the heavy-hitter candidates, Simpson-index bounds, and
+  * curriculum stage/shard accounting.
+  */
+class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("w07 bucketed interval join equals the naive range-join spelling") {
+    import WindowOps.IntervalSecs
+    val ev = Tables.events(spark, SfMid)
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("tp"))
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("iu"), unix_timestamp(col("ts")).as("t0"))
+    val naive = probes.join(intervals,
+        col("user_id") === col("iu")
+          && col("tp") >= col("t0") && col("tp") < col("t0") + lit(IntervalSecs))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_windows"), min("t0").as("first_window_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = WindowOps.w07IntervalJoin(spark, SfMid)
+      .select("event_id", "n_windows", "first_window_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == naive,
+      s"missing=${(naive -- bucketed).take(5)} extra=${(bucketed -- naive).take(5)}")
+    assert(bucketed.nonEmpty, "testdata must contain covered purchases")
+  }
+
+  test("w07 plan is an equi-join, not BNLJ/cartesian") {
+    val p = WindowOps.w07IntervalJoin(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("g15 k-core reaches its fixpoint within the round budget") {
+    val atBudget = Components.kcore(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onePast = Components.kcore(spark, SfMid,
+        rounds = Components.KcoreRounds + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atBudget == onePast,
+      s"peeling not converged in ${Components.KcoreRounds} rounds: " +
+        s"delta=${(atBudget -- onePast).take(5)} ${(onePast -- atBudget).take(5)}")
+    assert(atBudget.nonEmpty, "testdata graph must contain a 2-core")
+  }
+
+  test("g15 every surviving vertex meets the k-core degree invariant") {
+    val degs = Components.kcore(spark, SfMid).collect().map(_.getLong(1))
+    assert(degs.forall(_ >= Components.KcoreK),
+      s"core contains vertex with degree < ${Components.KcoreK}")
+  }
+
+  test("e12 CMS candidate estimates never underestimate (superset guarantee)") {
+    val exact = Tables.documents(spark, SfMid)
+      .select(explode(graft.operators.TextFn.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val hh = TextOps.e12HeavyHitters(spark, SfMid).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.nonEmpty, "testdata must contain heavy hitters at the share threshold")
+    // final output counts are EXACT (pass-2 recount), not estimates
+    hh.foreach { case (w, c) => assert(exact(w) == c, s"recount drift for $w") }
+    // and the output is exactly the set of tokens over the threshold
+    val total = exact.values.sum
+    val t = math.ceil(total * TextOps.HhShare).toLong
+    assert(hh.map(_._1).toSet == exact.filter(_._2 >= t).keySet)
+  }
+
+  test("t14 Simpson index is bounded by [1/|alphabet|, 1]") {
+    val rows = TextOps.t14CharDiversity(spark, SfMid)
+      .filter(col("n_chars") > 0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nd = r.getLong(2).toDouble
+      val simpson = r.getDouble(3)
+      assert(simpson >= 1.0 / nd - 1e-6 && simpson <= 1.0 + 1e-6,
+        s"simpson $simpson out of [1/$nd, 1] for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("c07 curriculum stages quarter the corpus and shards cover it") {
+    val m = Corpus.c07CurriculumShards(spark, SfMid).collect()
+    val total = m.map(_.getLong(2)).sum
+    val docs = Tables.documents(spark, SfMid).count()
+    assert(total == docs, s"manifest covers $total of $docs docs")
+    val byStage = m.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byStage.keys.toSet.subsetOf(Set(1L, 2L, 3L, 4L)))
+    // type-1 quantile staging: no stage may exceed half the corpus unless
+    // the score distribution is that degenerate (ties share a stage)
+    assert(byStage.values.forall(_ > 0))
+  }
+}
