@@ -60,6 +60,8 @@ object SparkEntry {
     "t09_pii_redact", "e10_quantile_rollup",
     "t10_line_dedup", "v05_ann_pq",
     "g14_label_propagation", "r01_record_linkage", "c06_temperature_mix",
-    "t13_bpe_pairs", "v06_kmeans_lloyd"
+    "t13_bpe_pairs", "v06_kmeans_lloyd",
+    "w07_interval_join", "g15_kcore", "c07_curriculum_shards",
+    "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank"
   ).filter(queries.contains)
 }

@@ -19,7 +19,8 @@ object GraphQueries {
     "g12_triangles" -> (Components.triangles _),
     "g13_fraud_distance" -> (Components.fraudDistance _),
     "g14_label_propagation" -> (Components.lpaQ _),
-    "g15_kcore" -> (Components.kcoreQ _)
+    "g15_kcore" -> (Components.kcoreQ _),
+    "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _))
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -39,6 +40,7 @@ object GraphQueries {
     "g12_triangles" -> Components.trianglesSql,
     "g13_fraud_distance" -> Components.fraudDistanceSql,
     "g14_label_propagation" -> Components.lpaQSql,
-    "g15_kcore" -> Components.kcoreQSql
+    "g15_kcore" -> Components.kcoreQSql,
+    "g16_personalized_pagerank" -> PageRankOps.pprSql()
   )
 }

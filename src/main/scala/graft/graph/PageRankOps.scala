@@ -177,6 +177,94 @@ object PageRankOps {
        |                 GROUP BY 1 HAVING count(*) >= $ConfirmedErrT)
        |ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
 
+  /** Result size for [[personalizedPageRank]]. */
+  val PprTopK = 20
+
+  /** g16 — PERSONALIZED PageRank from the confirmed-offender seed set:
+    * the teleport lands only on seeds (α/|S| each, zero elsewhere), so a
+    * vertex's score is its stationary probability of a random walk that
+    * always restarts AT KNOWN FRAUD — "guilt by association", the ranking
+    * a fraud analyst wants where global PageRank measures mere
+    * centrality. Complements g13's hop distance with a weighted,
+    * decay-aware version of the same question.
+    *
+    * Same deterministic loop shape as g06 (one shuffle per iteration
+    * against the cached pre-partitioned weight table, eager
+    * `localCheckpoint` lineage cuts), with two differences: the reset
+    * vector is a COLUMN of the cached vertex frame (not a global
+    * constant), and |S| arrives by broadcasting the 1-row seed count —
+    * no driver collect. Unreached vertices stay at exactly 0.0 and are
+    * filtered; output is the top-[[PprTopK]].
+    */
+  def personalizedPageRank(s: SparkSession, dir: String,
+      iterations: Int = Iterations): DataFrame = {
+    val w = CoGraph.normalizedWeights(s, dir).repartition(col("src")).cache()
+    val seeds = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= ConfirmedErrT)
+      .select("id")
+    val nSeeds = seeds.agg(count(lit(1)).as("ns"))
+    // (id, reset, pr0): reset = α/|S| on seeds else 0 — cached once,
+    // partitioned on the join key like g06's vertex frame
+    val base = Components.vertices(s, dir)
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("id"), "left_outer")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("id"),
+        when(col("is_seed").isNotNull, lit(Alpha) / col("ns"))
+          .otherwise(lit(0.0)).as("reset"),
+        when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("pagerank"))
+      .repartition(col("id")).cache()
+    var pr = base.select(col("id"), col("pagerank"))
+    for (_ <- 1 to iterations) {
+      val contribs = pr.alias("p").join(w.alias("w"),
+          col("p.id") === col("w.src"))
+        .select(col("w.dst").as("id"),
+          (col("p.pagerank") * col("w.weight")).as("contrib"))
+        .groupBy(col("id"))
+        .agg(sum(col("contrib")).as("sum_contribution"))
+      pr = base.join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
+            + col("reset")).as("pagerank"))
+        .localCheckpoint(true)
+    }
+    pr.filter(col("pagerank") > 0)
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("id"))
+      .limit(PprTopK)
+  }
+
+  def pprSql(iterations: Int = Iterations): String = {
+    val ns = "(SELECT count(*) FROM seeds)"
+    val levels = (1 to iterations).map { k =>
+      s"""ppr$k AS (
+         |  SELECT b.id,
+         |         0.85 * coalesce(c.contrib, 0) + b.reset AS pagerank
+         |  FROM base b LEFT JOIN (
+         |    SELECT w.dst AS id, sum(p.pagerank * w.weight) AS contrib
+         |    FROM ppr${k - 1} p JOIN weights w ON p.id = w.src
+         |    GROUP BY 1) c ON b.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CoGraph.weightsCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |seeds AS (SELECT user_id AS id FROM events
+       |          WHERE event_type = 'error'
+       |          GROUP BY 1 HAVING count(*) >= $ConfirmedErrT),
+       |base AS (
+       |  SELECT v.id,
+       |    CASE WHEN s.id IS NOT NULL THEN 0.15 / $ns ELSE 0.0 END AS reset,
+       |    CASE WHEN s.id IS NOT NULL THEN 1.0 / $ns ELSE 0.0 END AS pagerank
+       |  FROM vertices v LEFT JOIN seeds s ON v.id = s.id),
+       |ppr0 AS (SELECT id, pagerank FROM base),
+       |$levels
+       |SELECT id, round(pagerank, 10) AS pagerank
+       |FROM ppr$iterations WHERE pagerank > 0
+       |ORDER BY pagerank DESC, id LIMIT $PprTopK""".stripMargin
+  }
+
   /** The idiomatic GraphX alternative (`staticPageRank`) — registered as a
     * rows-only query (different normalization ⇒ no SQL oracle).
     */

@@ -87,6 +87,21 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("g16 PPR mass stays on the seed-reachable set and seeds keep reset mass") {
+    import graft.graph.PageRankOps
+    val ppr = PageRankOps.personalizedPageRank(spark, SfMid).collect()
+    assert(ppr.nonEmpty && ppr.length <= PageRankOps.PprTopK)
+    assert(ppr.forall(_.getDouble(1) > 0))
+    // seeds always retain at least their own teleport mass α/|S| — the
+    // top-k must therefore contain at least one confirmed offender
+    val seeds = Tables.events(spark, SfMid)
+      .filter(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= PageRankOps.ConfirmedErrT)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(ppr.map(_.getLong(0)).exists(seeds.contains))
+  }
+
   test("c07 curriculum stages quarter the corpus and shards cover it") {
     val m = Corpus.c07CurriculumShards(spark, SfMid).collect()
     val total = m.map(_.getLong(2)).sum
