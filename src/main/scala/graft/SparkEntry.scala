@@ -62,6 +62,7 @@ object SparkEntry {
     "g14_label_propagation", "r01_record_linkage", "c06_temperature_mix",
     "t13_bpe_pairs", "v06_kmeans_lloyd",
     "w07_interval_join", "g15_kcore", "c07_curriculum_shards",
-    "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank"
+    "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank",
+    "v07_ann_ivfpq"
   ).filter(queries.contains)
 }

@@ -580,7 +580,13 @@ object Similarity {
     * before the argmin/sum; the ADC total re-aggregates the snapped terms
     * through DECIMAL(38,8) (order-free), so both engines rank identically.
     */
-  def v05AnnPq(s: SparkSession, dir: String): DataFrame = {
+  /** PQ building blocks shared by v05 (corpus-wide ADC) and v07 (ADC
+    * restricted to IVF-probed cells): `codes` = (vec_id, m, code) — the
+    * M-byte encoding of every corpus vector; `dt` = (query_id, m, code,
+    * dist) — each query's per-subspace exact distance to every codeword
+    * (the asymmetric distance table, |Q|·M·K rows, broadcast-sized).
+    */
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = maxDim(s, dir)
     val subLen = (d + PqSubspaces - 1) / PqSubspaces
     def subSlices(v: Column) = explode(array((0 until PqSubspaces).map(m =>
@@ -615,11 +621,15 @@ object Similarity {
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel")
         .as("code"))
     val dt = distsOf(subs.filter(col("vec_id") < NQueries))
-      .select(col("vec_id").as("query_id"), col("m").as("qm"),
-        col("clabel").as("qcode"), col("dist"))
-    codes.join(broadcast(dt),
-        col("m") === col("qm") && col("code") === col("qcode")
-          && col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("clabel").as("code"), col("dist"))
+    (codes, dt)
+  }
+
+  def v05AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val (codes, dt) = pqParts(s, dir)
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(r(sum(col("dist").cast("decimal(38,8)")).cast("double"), 6)
         .as("adist"))
@@ -630,11 +640,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  private def v05Sql = {
+  /** PQ CTE fragment (the SQL mirror of [[pqParts]]) — assumes a CTE `e`
+    * with (vec_id, embedding) is already in scope.
+    */
+  private def pqCtes = {
     val ms = (0 until PqSubspaces).mkString(", ")
     val sub = "embedding[(m * sl + 1):((m + 1) * sl)]"
-    s"""WITH e AS ($withNormSql),
-       |dims_g AS (SELECT CAST((max(len(embedding)) + $PqSubspaces - 1)
+    s"""dims_g AS (SELECT CAST((max(len(embedding)) + $PqSubspaces - 1)
        |                       // $PqSubspaces AS BIGINT) AS sl
        |           FROM embeddings),
        |cb AS (SELECT m, vec_id AS clabel, $sub AS csub,
@@ -655,7 +667,12 @@ object Similarity {
        |            ORDER BY dist, clabel) AS rk
        |        FROM dists) WHERE rk = 1),
        |dt AS (SELECT vec_id AS query_id, m, clabel, dist
-       |       FROM dists WHERE vec_id < $NQueries),
+       |       FROM dists WHERE vec_id < $NQueries)""".stripMargin
+  }
+
+  private def v05Sql =
+    s"""WITH e AS ($withNormSql),
+       |$pqCtes,
        |adc AS (SELECT dt.query_id, c.vec_id AS neighbor_id,
        |    ${rSql("CAST(sum(CAST(dt.dist AS DECIMAL(38,8))) AS DOUBLE)", 6)}
        |      AS adist
@@ -668,7 +685,69 @@ object Similarity {
        |  FROM adc)
        |SELECT query_id, rank, neighbor_id, adist
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** v07 — IVF-PQ, the composed billion-scale ANN layout: v04's coarse
+    * quantizer bounds WHERE to look (each query probes its top-NProbe
+    * centroid cells), v05's product quantization bounds WHAT is read
+    * there (M byte codes per vector + a broadcast per-query distance
+    * table, never the corpus floats). This is the index structure of
+    * production vector search (IVFADC in the FAISS taxonomy) expressed
+    * declaratively: cells are the partition key, codes are the narrow
+    * scored columns, the ADC sum is a map-side-combinable aggregate.
+    *
+    * Scale: probe cost = |probed cells| · (M joins against a broadcast
+    * table) — independent of corpus size; the only corpus-wide passes
+    * are the one-time cell assignment and encoding scans. Both building
+    * blocks are already oracle-exact, so their composition is too — the
+    * full plan (argmax cell, top-NProbe probes, argmin codes, snapped
+    * ADC re-aggregation) is deterministic arithmetic on both engines.
+    */
+  def v07AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val ranked = centroidRanked(s, dir).cache()
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val cand = cells.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val (codes, dt) = pqParts(s, dir)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(r(sum(col("dist").cast("decimal(38,8)")).cast("double"), 6)
+        .as("adist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "adist")
+      .orderBy("query_id", "rank")
   }
+
+  private def v07Sql =
+    s"""WITH $centroidCtes,
+       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
+       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
+       |         WHERE c.vec_id <> p.query_id),
+       |$pqCtes,
+       |adc AS (SELECT cd.query_id, c.vec_id AS neighbor_id,
+       |    ${rSql("CAST(sum(CAST(dt.dist AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+       |      AS adist
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN dt ON dt.query_id = cd.query_id AND dt.m = c.m
+       |    AND dt.clabel = c.code
+       |  GROUP BY 1, 2),
+       |rankedq AS (SELECT query_id, neighbor_id, adist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, neighbor_id, adist
+       |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   /** Cluster count and superstep count for [[v06KmeansLloyd]]. */
   private val KmK = 4
@@ -793,6 +872,7 @@ object Similarity {
     "v03_centroid_assign" -> (v03CentroidAssign _),
     "v04_ann_ivf" -> (v04AnnIvf _),
     "v05_ann_pq" -> (v05AnnPq _),
+    "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
@@ -803,6 +883,7 @@ object Similarity {
     "v03_centroid_assign" -> v03Sql,
     "v04_ann_ivf" -> v04Sql,
     "v05_ann_pq" -> v05Sql,
+    "v07_ann_ivfpq" -> v07Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

@@ -76,6 +76,37 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     info(s"PQ recall@5 vs exact L2 top-5: $recall")
   }
 
+  test("v07 IVF-PQ recall tracks its building blocks and candidates stay in probed cells") {
+    import org.apache.spark.sql.expressions.Window
+    // fair baseline = exact L2 (same metric as the PQ ADC ranking)
+    val e = Tables.embeddings(spark, SfMid)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.vecDot(a, a) +
+        graft.functions.VectorFunctions.vecDot(b, b) -
+        lit(2.0) * graft.functions.VectorFunctions.vecDot(a, b)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2(col("qe"), col("embedding")).as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.v07AnnIvfPq(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    // composed index: cell pruning can only REMOVE candidates relative to
+    // v05's corpus-wide ADC, so the floor sits below the PQ floor; record
+    // the number so either component's regression shows up
+    assert(recall >= 0.25, s"IVF-PQ recall@5 $recall below floor")
+    info(s"IVF-PQ recall@5 vs exact L2 top-5: $recall")
+    assert(ivfpq.nonEmpty && ivfpq.size <= 50)
+  }
+
   test("e09 unioned daily sketches estimate the period distinct within 5%") {
     val exact = Tables.events(spark, SfMid)
       .select("user_id").distinct().count()
