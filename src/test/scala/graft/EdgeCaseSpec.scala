@@ -146,5 +146,23 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(TextOps.t13BpePairs(spark, d).count() == 0)
     assert(operators.Corpus.c06TemperatureMix(spark, d).count() == 0)
     assert(Similarity.v06KmeansLloyd(spark, d).count() == 0)
+    assert(TextOps.t14CharDiversity(spark, d).count() == 0)
+    assert(TextOps.e12HeavyHitters(spark, d).count() == 0)
+    assert(operators.Corpus.c07CurriculumShards(spark, d).count() == 0)
+    assert(Similarity.v07AnnIvfPq(spark, d).count() == 0)
+  }
+
+  test("round-4 doc ops survive null/empty/unicode text") {
+    // pathological 8-doc fixture (null text, empty text, unicode, dup)
+    val t14 = TextOps.t14CharDiversity(spark, dir).collect()
+    assert(t14.length == 8)
+    // null text → split yields no chars → metrics null-safe, n_chars 0 or null
+    t14.filter(r => !r.isNullAt(3)).foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    val hh = TextOps.e12HeavyHitters(spark, dir).collect()
+    assert(hh.nonEmpty) // tiny corpus: everything above 1% share
+    val cur = operators.Corpus.c07CurriculumShards(spark, dir).collect()
+    assert(cur.map(_.getLong(2)).sum == 8L, "every doc lands in one cell")
   }
 }
