@@ -421,7 +421,56 @@ object RelationalExt {
        |ORDER BY chk""".stripMargin
   }
 
+  /** e13 — CUBE + grouping_id: revenue and order counts over every subset
+    * of (nation, orderstatus) — the full 2^k lattice (rollup's e03 covers
+    * only the hierarchy prefix), with `grouping_id` disambiguating which
+    * dimensions are aggregated-away in each row. Spark expands the cube
+    * into a single Expand + one aggregate pass — k dims cost 2^k grouping
+    * combinations in ONE shuffle, not 2^k jobs.
+    *
+    * The oracle spells gid as the IS NULL bit-sum (first cube column =
+    * MSB, Spark's `grouping_id` bit order) — portable across engines and
+    * valid here because both dimensions are non-null in the data; with
+    * nullable dims the SQL mirror would need native GROUPING(), which is
+    * exactly why the op keeps non-null grouping keys.
+    *
+    * Scale: the fact side joins customer (shuffle) and broadcast nation
+    * BEFORE the Expand, so the 2^k row multiplication happens on already-
+    * joined rows inside the aggregate's map side — partial aggregation
+    * still applies per grouping set.
+    */
+  /** ONE literal SQL body for both engines (table names parameterized):
+    * the Det fragments are ANSI-portable, the gid is the IS NULL bit-sum,
+    * and `GROUP BY CUBE` parses identically in Spark SQL and DuckDB — the
+    * strongest no-drift guarantee in the codebase. (The DataFrame `.cube`
+    * spelling is avoided deliberately: sorting on grouping columns after
+    * `.cube` trips Spark's ambiguous-self-join check, a known DataFrame
+    * API sharp edge; `spark.sql` is the same Catalyst plan without it.)
+    */
+  private def e13Body(o: String, c: String, n: String) =
+    s"""SELECT n_name AS nation, o_orderstatus AS status,
+       |  CAST(CASE WHEN n_name IS NULL THEN 2 ELSE 0 END
+       |     + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS gid,
+       |  CAST(count(*) AS BIGINT) AS cnt,
+       |  ${Det.sqlR(Det.sqlDsum("o_totalprice"), 2)} AS revenue
+       |FROM $o
+       |JOIN $c ON o_custkey = c_custkey
+       |JOIN $n ON c_nationkey = n_nationkey
+       |GROUP BY CUBE (n_name, o_orderstatus)
+       |ORDER BY gid, nation NULLS FIRST, status NULLS FIRST""".stripMargin
+
+  def e13Cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("e13_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("e13_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("e13_nation")
+    s.sql(e13Body("e13_orders", "e13_customer", "e13_nation"))
+  }
+
+  private val e13Sql = e13Body("orders", "customer", "nation")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_cube" -> (e13Cube _),
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
     "e02_set_ops" -> (e02SetOps _),
     "e03_rollup" -> (e03Rollup _),
@@ -434,6 +483,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e13_cube" -> e13Sql,
     "e01_semi_anti_join" -> e01Sql,
     "e02_set_ops" -> e02Sql,
     "e03_rollup" -> e03Sql,
