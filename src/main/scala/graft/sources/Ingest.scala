@@ -71,6 +71,30 @@ object Ingest {
       .partitionBy(key)
       .parquet(path)
 
+  /** Dynamic partition overwrite — the idempotent BACKFILL primitive: with
+    * `partitionOverwriteMode=dynamic`, an overwrite replaces ONLY the
+    * partitions present in the incoming frame and leaves every other
+    * directory untouched. The default (static) mode would truncate the
+    * whole table first — the classic backfill footgun at 100 TB, where
+    * "re-run one bad day" must never mean "rewrite three years". Set as a
+    * writer option so it cannot leak session-wide.
+    */
+  def backfillPartition(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 5000000)
+      .partitionBy(key)
+      .parquet(path)
+
+  /** Schema-evolution read: `mergeSchema` unions the footer schemas of all
+    * files, so batches written before a column existed read back as NULL in
+    * that column — additive evolution without rewriting history. Off by
+    * default in Spark because footer-merging costs a file-listing pass;
+    * turn it on per-read exactly where evolution is expected, not globally.
+    */
+  def readParquetMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", true).parquet(path)
+
   /** Small-file compaction — the maintenance job every partitioned 100 TB
     * table needs: rewrite a directory to ~`targetFileMB` files computed from
     * the actual data size (many tiny files → namenode pressure + per-task

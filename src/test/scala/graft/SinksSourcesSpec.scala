@@ -84,6 +84,46 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(q.count() == expected)
   }
 
+  test("dynamic partition overwrite backfills one day without touching the others") {
+    val tmp = java.nio.file.Files.createTempDirectory("backfill_spec").toString + "/ev"
+    val df = Tables.events(spark, Sf)
+      .withColumn("day", to_date(col("ts")))
+      .select("event_id", "user_id", "value", "day")
+    Ingest.writePartitioned(df, tmp, "day")
+    val days = df.select("day").distinct().collect().map(_.getDate(0)).sorted
+    assert(days.length > 1)
+    val target = days.head
+    val before = spark.read.parquet(tmp)
+    val otherCountBefore = before.filter(col("day") =!= lit(target)).count()
+    // backfill: re-run the target day only, with corrected values
+    val corrected = df.filter(col("day") === lit(target))
+      .withColumn("value", coalesce(col("value"), lit(0.0)) + 1000.0)
+    Ingest.backfillPartition(corrected, tmp, "day")
+    val after = spark.read.parquet(tmp)
+    // untouched partitions: identical row count and content
+    assert(after.filter(col("day") =!= lit(target)).count() == otherCountBefore)
+    // target partition: fully replaced by the corrected frame
+    val vals = after.filter(col("day") === lit(target)).select("value")
+    assert(vals.count() == corrected.count())
+    assert(vals.agg(min("value")).head.getDouble(0) >= 1000.0,
+      "backfilled day must contain only corrected rows")
+  }
+
+  test("mergeSchema reads additive schema evolution with NULL backfill") {
+    val tmp = java.nio.file.Files.createTempDirectory("evolve_spec").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v1")
+      .write.mode("overwrite").parquet(tmp)
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(tmp)
+    val merged = Ingest.readParquetMerged(spark, tmp)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2"))
+    assert(merged.count() == 4)
+    // rows from the pre-evolution batch surface v2 as NULL
+    assert(merged.filter(col("v2").isNull).count() == 2)
+    assert(merged.filter(col("v2").isNotNull).count() == 2)
+  }
+
   test("compaction rewrites a fragmented table into the computed file count") {
     val base = java.nio.file.Files.createTempDirectory("compact_spec").toString
     // fragment: 64 tiny files
