@@ -648,6 +648,16 @@ object TextOps {
     * At 100 TB the win is the incremental form: per-partition/day
     * sketches persist tiny and merge by cell-sum without rescanning.
     */
+  /** The d CMS (row, bucket) coordinates of a token — ONE definition for
+    * the batch sketch (e12), its probes, and the streaming twin
+    * (`CorpusStream.cmsCells`), so the grids they build are mergeable
+    * with each other by construction.
+    */
+  private[graft] def cmsBuckets(w: Column): Column =
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"),
+        pmod(xxhash64(lit(j), w), lit(CmsWidth.toLong)).as("b"))): _*)
+
   def e12HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
@@ -655,18 +665,12 @@ object TextOps {
     val tot = occ.agg(count(lit(1)).as("total"))
     // per-source cell grids, merged by cell-sum (the mergeable sketch)
     val perSource = occ
-      .select(col("source"), explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"),
-          pmod(xxhash64(lit(j), col("w")), lit(CmsWidth.toLong)).as("b"))): _*))
-        .as("c"))
+      .select(col("source"), explode(cmsBuckets(col("w"))).as("c"))
       .groupBy(col("source"), col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
     val cms = perSource.groupBy("j", "b").agg(sum("cnt").as("cnt"))
     val probes = occ.select("w").distinct()
-      .select(col("w"), explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"),
-          pmod(xxhash64(lit(j), col("w")), lit(CmsWidth.toLong)).as("b"))): _*))
-        .as("c"))
+      .select(col("w"), explode(cmsBuckets(col("w"))).as("c"))
       .select(col("w"), col("c.j").as("j"), col("c.b").as("b"))
     val candidates = probes.join(cms, Seq("j", "b"))
       .groupBy("w").agg(min("cnt").as("est"))

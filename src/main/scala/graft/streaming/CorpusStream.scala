@@ -93,4 +93,27 @@ object CorpusStream {
 
   /** Output mode contract: mapGroupsWithState requires update mode. */
   val ProfileOutputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming count-min sketch — the streaming twin of the batch e12
+    * heavy-hitter sketch, and the cleanest demonstration that the CMS is
+    * the RIGHT state shape for an unbounded stream: the sketch IS a
+    * plain streaming aggregation over the (row, bucket) grid, so the
+    * state store holds AT MOST d·w rows (256 here) no matter how many
+    * tokens flow through — fixed-size state with no watermark, no
+    * timeout, no custom state class. Cell coordinates come from the ONE
+    * shared [[graft.operators.TextOps.cmsBuckets]] definition, so the
+    * streaming grid is cell-mergeable with any batch grid (union by
+    * cell-sum) and honors the same never-underestimates probe contract.
+    */
+  def cmsCells(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextFn.tokens(col("text"))).as("w"))
+      .select(explode(graft.operators.TextOps.cmsBuckets(col("w"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Output mode contract: an unwindowed running aggregate emits its
+    * updated cells per batch.
+    */
+  val CmsOutputMode: OutputMode = OutputMode.Update()
 }

@@ -47,4 +47,44 @@ class CorpusStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(crawlFinal._3 == 11L, s"token total 5+6: $crawlFinal")
     assert(rows.exists(r => r._1 == "books" && r._2 == 1L))
   }
+
+  test("streaming CMS accumulates across batches and equals the batch sketch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val docs = ms.toDF().select(col("value").as("text"))
+    val q = CorpusStream.cmsCells(docs)
+      .writeStream.format("memory").queryName("cms_t")
+      .outputMode(CorpusStream.CmsOutputMode).start()
+    ms.addData("alpha beta alpha", "gamma beta")
+    q.processAllAvailable()
+    ms.addData("alpha gamma gamma delta")
+    q.processAllAvailable(); q.stop()
+    // update mode re-emits changed cells; latest value per cell is the state
+    val streamed = spark.table("cms_t")
+      .groupBy("j", "b").agg(max("cnt").as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // batch-built sketch over the SAME corpus must be cell-identical
+    val batch = CorpusStream.cmsCells(
+        Seq("alpha beta alpha", "gamma beta", "alpha gamma gamma delta")
+          .toDF("text"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"stream/batch cell drift: ${streamed.toSet.diff(batch.toSet).take(5)}")
+    // fixed-size state: never more than d*w cells
+    assert(streamed.size <= graft.operators.TextOps.CmsDepth
+      * graft.operators.TextOps.CmsWidth)
+    // probe contract: min-over-rows estimate never underestimates a token
+    val exact = Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 3L, "delta" -> 1L)
+    exact.foreach { case (w, c) =>
+      val est = (0 until graft.operators.TextOps.CmsDepth).map { j =>
+        val probe = Seq(w).toDF("text")
+        // reuse the shared bucket spelling via a 1-row frame
+        val cell = CorpusStream.cmsCells(probe)
+          .filter(col("j") === j).head()
+        streamed((cell.getInt(0), cell.getLong(1)))
+      }.min
+      assert(est >= c, s"CMS underestimates $w: $est < $c")
+    }
+  }
 }

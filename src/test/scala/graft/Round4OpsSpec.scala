@@ -53,6 +53,15 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(atBudget.nonEmpty, "testdata graph must contain a 2-core")
   }
 
+  test("g15 cores nest: the 3-core is a subgraph of the 2-core") {
+    val core2 = Components.kcore(spark, SfMid, k = 2).collect()
+      .map(_.getLong(0)).toSet
+    val core3 = Components.kcore(spark, SfMid, k = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(core3.subsetOf(core2),
+      s"nesting violated: ${(core3 -- core2).take(5)}")
+  }
+
   test("g15 every surviving vertex meets the k-core degree invariant") {
     val degs = Components.kcore(spark, SfMid).collect().map(_.getLong(1))
     assert(degs.forall(_ >= Components.KcoreK),
