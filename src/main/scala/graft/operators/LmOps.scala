@@ -265,13 +265,86 @@ object LmOps {
        |WHERE rk <= $TfidfTopK ORDER BY doc_id, rk""".stripMargin
   }
 
+  /** t15 — cross-snapshot novelty rate: for every document in the DELTA
+    * snapshot (the re-crawl, `doc_id % 3 = 0` — c04's convention), the
+    * fraction of its distinct word-3-gram shingles that do NOT appear
+    * anywhere in the BASE snapshot (`doc_id % 5 <> 0`), plus a one-row
+    * corpus rollup appended (doc_id NULL). The dataset-iteration metric a
+    * curation team tracks release over release: novelty ≈ 0 means the
+    * crawl is stale; novelty ≈ 1 means the distribution moved.
+    *
+    * Scale: base's distinct shingle set is the big side — the membership
+    * test is a LEFT ANTI equi-join on the shingle (shuffle bounded by
+    * distinct shingles, map-side pre-distinct on both sides), never a
+    * broadcast (unlike t07's probe set, the base corpus does not fit).
+    * The per-doc rate is a groupBy on the delta's doc_id; the rollup
+    * re-aggregates the per-doc counts, not the shingles.
+    */
+  def t15NoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
+    val base = shingled.filter(col("doc_id") % 5 =!= 0)
+      .select("sh").distinct()
+    val delta = shingled.filter(col("doc_id") % 3 === 0)
+    val novel = delta.join(base, Seq("sh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    val perDoc = delta.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty", r(col("n_novel").cast("double")
+        / col("n_shingles"), 4))
+    val rollup = perDoc.agg(
+      lit(null).cast("long").as("doc_id"),
+      sum(col("n_shingles")).as("n_shingles"),
+      sum(col("n_novel")).as("n_novel"),
+      r(sum(col("n_novel")).cast("double")
+        / sum(col("n_shingles")), 4).as("novelty"))
+    perDoc.unionByName(rollup).orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  private def t15Sql = {
+    val t = tokensSql("text")
+    s"""WITH shingled AS (
+       |  SELECT doc_id, unnest(${shingles3Sql("t")}) AS sh
+       |  FROM (SELECT doc_id, $t AS t FROM documents)
+       |  WHERE len(t) >= 3),
+       |base AS (SELECT DISTINCT sh FROM shingled WHERE doc_id % 5 <> 0),
+       |delta AS (SELECT * FROM shingled WHERE doc_id % 3 = 0),
+       |novel AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       |  FROM delta WHERE sh NOT IN (SELECT sh FROM base)
+       |  GROUP BY 1),
+       |per_doc AS (
+       |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |    coalesce(any_value(n.n_novel), 0) AS n_novel
+       |  FROM delta d LEFT JOIN novel n ON d.doc_id = n.doc_id
+       |  GROUP BY 1),
+       |with_rate AS (
+       |  SELECT doc_id, n_shingles, n_novel,
+       |    ${rSql("CAST(n_novel AS DOUBLE) / n_shingles", 4)} AS novelty
+       |  FROM per_doc)
+       |SELECT * FROM with_rate
+       |UNION ALL
+       |SELECT CAST(NULL AS BIGINT), CAST(sum(n_shingles) AS BIGINT),
+       |  CAST(sum(n_novel) AS BIGINT),
+       |  ${rSql("CAST(sum(n_novel) AS DOUBLE) / sum(n_shingles)", 4)}
+       |FROM with_rate
+       |ORDER BY doc_id NULLS LAST""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_line_dedup" -> (t10LineDedup _),
     "t11_lm_score" -> (t11LmScore _),
-    "t12_tfidf" -> (t12Tfidf _))
+    "t12_tfidf" -> (t12Tfidf _),
+    "t15_novelty_rate" -> (t15NoveltyRate _))
 
   val oracles: Map[String, String] = Map(
     "t10_line_dedup" -> t10Sql,
     "t11_lm_score" -> t11Sql,
-    "t12_tfidf" -> t12Sql)
+    "t12_tfidf" -> t12Sql,
+    "t15_novelty_rate" -> t15Sql)
 }

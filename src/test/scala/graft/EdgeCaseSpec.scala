@@ -149,6 +149,9 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(TextOps.t14CharDiversity(spark, d).count() == 0)
     assert(TextOps.e12HeavyHitters(spark, d).count() == 0)
     assert(operators.Corpus.c07CurriculumShards(spark, d).count() == 0)
+    // t15 on an empty corpus: only the rollup row (all-NULL counts) remains
+    val t15 = operators.LmOps.t15NoveltyRate(spark, d).collect()
+    assert(t15.length == 1 && t15.head.isNullAt(0))
     assert(Similarity.v07AnnIvfPq(spark, d).count() == 0)
   }
 
