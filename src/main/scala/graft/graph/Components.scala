@@ -213,13 +213,8 @@ object Components {
     */
   def fraudDistance(s: SparkSession, dir: String): DataFrame = {
     val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
-    val seeds = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "error")
-      .groupBy(col("user_id").as("id"))
-      .agg(count(lit(1)).as("n_err"))
-      .filter(col("n_err") >= PageRankOps.ConfirmedErrT)
+    var dist = PageRankOps.confirmedOffenders(s, dir)
       .select(col("id"), lit(0L).as("hops"))
-    var dist = seeds
     for (k <- 1 to MaxHops) {
       val frontier = dist.alias("d")
         .join(edges.alias("e"), col("d.id") === col("e.src"))
@@ -233,9 +228,7 @@ object Components {
 
   val fraudDistanceSql: String =
     s"""WITH RECURSIVE ${CoGraph.edgesCte},
-       |seeds AS (SELECT user_id AS id FROM events
-       |          WHERE event_type = 'error'
-       |          GROUP BY 1 HAVING count(*) >= ${PageRankOps.ConfirmedErrT}),
+       |seeds AS (${PageRankOps.confirmedSeedsSql}),
        |reach(id, hops) AS (
        |  SELECT id, 0 FROM seeds
        |  UNION
@@ -317,31 +310,35 @@ object Components {
     * reported core degree is ≥ k (the k-core invariant), so the fixed
     * count is verified sufficient, not assumed.
     *
-    * Scale: each round is two semi-joins keyed by vertex id against the
-    * statically-cached symmetric edge set + one map-side-combined degree
-    * count — all equi-shuffles, no BNLJ; `localCheckpoint` cuts lineage
-    * per round like the PR/LPA loops. Rounds needed at 100 TB is the
-    * peeling depth (typically ≤ tens even on web graphs); for full
-    * coreness numbers (not one k) run the same loop per k or switch to
-    * the GraphX Pregel spelling.
+    * Scale: the static edge cache is partitioned on DST, so each round's
+    * first semi-join (dst alive) is exchange-free on the edge side; the
+    * second semi-join (src alive) shuffles only the SURVIVING edge subset
+    * — which shrinks monotonically as peeling proceeds — and lands it
+    * src-partitioned, which the degree count then reuses without another
+    * exchange. One shuffle of a shrinking set per round is the floor for
+    * a both-endpoint filter with static caches (the two keys cannot share
+    * one distribution); `localCheckpoint` cuts lineage per round like the
+    * PR/LPA loops. Rounds needed at 100 TB is the peeling depth
+    * (typically ≤ tens even on web graphs); for full coreness numbers
+    * (not one k) run the same loop per k or switch to the GraphX Pregel
+    * spelling.
     */
   def kcore(s: SparkSession, dir: String, k: Int = KcoreK,
       rounds: Int = KcoreRounds): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    val edges = CoGraph.edges(s, dir).repartition(col("dst")).cache()
+    def survivors(alive: DataFrame): DataFrame = edges
+      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
     var alive = vertices(s, dir)
     for (_ <- 1 to rounds) {
-      alive = edges
-        .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-        .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      alive = survivors(alive)
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
         .localCheckpoint(true)
     }
     // report survivors with their degree inside the final core
-    edges
-      .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-      .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+    survivors(alive)
       .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
       .orderBy(col("core_deg").desc, col("id"))
   }

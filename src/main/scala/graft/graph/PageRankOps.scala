@@ -134,6 +134,24 @@ object PageRankOps {
     */
   val ConfirmedErrT = 13
 
+  /** THE confirmed-offender seed set — single definition shared by mules
+    * (exclusion), fraudDistance (BFS seeds) and personalized PageRank
+    * (teleport targets), with [[confirmedSeedsSql]] as its one SQL mirror.
+    */
+  def confirmedOffenders(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_err"))
+      .filter(col("n_err") >= ConfirmedErrT)
+      .select("id")
+
+  /** DuckDB fragment: the seed-set subquery body (`SELECT … id`). */
+  val confirmedSeedsSql: String =
+    s"""SELECT user_id AS id FROM events
+       |          WHERE event_type = 'error'
+       |          GROUP BY 1 HAVING count(*) >= $ConfirmedErrT""".stripMargin
+
   /** g11 — "mules" (reference `4_graphx.ipynb:1059-1104`, SURVEY §2.10 G7):
     * entities connected to the fraud graph but BELOW the confirmed-offender
     * threshold, ranked by PageRank — high centrality without heavy direct
@@ -143,12 +161,7 @@ object PageRankOps {
     * id sort. The threshold split keeps the centrality ranking meaningful.)
     */
   def mules(s: SparkSession, dir: String): DataFrame = {
-    val confirmed = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "error")
-      .groupBy(col("user_id").as("id"))
-      .agg(count(lit(1)).as("n_err"))
-      .filter(col("n_err") >= ConfirmedErrT)
-      .select("id")
+    val confirmed = confirmedOffenders(s, dir)
     // In-graph membership is STRUCTURAL — a semi-join against the edge
     // set's distinct sources (the directed edge set carries both
     // orientations, so src ∪ dst = src) — not an epsilon over the α/N
@@ -172,9 +185,7 @@ object PageRankOps {
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations
        |WHERE id IN (SELECT DISTINCT src FROM edge_amount)
-       |  AND id NOT IN (SELECT user_id FROM events
-       |                 WHERE event_type = 'error'
-       |                 GROUP BY 1 HAVING count(*) >= $ConfirmedErrT)
+       |  AND id NOT IN ($confirmedSeedsSql)
        |ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
 
   /** Result size for [[personalizedPageRank]]. */
@@ -199,12 +210,7 @@ object PageRankOps {
   def personalizedPageRank(s: SparkSession, dir: String,
       iterations: Int = Iterations): DataFrame = {
     val w = CoGraph.normalizedWeights(s, dir).repartition(col("src")).cache()
-    val seeds = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "error")
-      .groupBy(col("user_id").as("id"))
-      .agg(count(lit(1)).as("n_err"))
-      .filter(col("n_err") >= ConfirmedErrT)
-      .select("id")
+    val seeds = confirmedOffenders(s, dir)
     val nSeeds = seeds.agg(count(lit(1)).as("ns"))
     // (id, reset, pr0): reset = α/|S| on seeds else 0 — cached once,
     // partitioned on the join key like g06's vertex frame
@@ -250,9 +256,7 @@ object PageRankOps {
     }.mkString(",\n")
     s"""WITH ${CoGraph.weightsCte},
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
-       |seeds AS (SELECT user_id AS id FROM events
-       |          WHERE event_type = 'error'
-       |          GROUP BY 1 HAVING count(*) >= $ConfirmedErrT),
+       |seeds AS ($confirmedSeedsSql),
        |base AS (
        |  SELECT v.id,
        |    CASE WHEN s.id IS NOT NULL THEN 0.15 / $ns ELSE 0.0 END AS reset,

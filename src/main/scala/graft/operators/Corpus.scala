@@ -356,11 +356,20 @@ object Corpus {
     */
   def c07CurriculumShards(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: feeds both the histogram and the final staging pass (the
+    // scale note's "two narrow scans" must not silently become four)
     val scored = TextOps.qualitySignals(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         charFingerprint(col("text")).as("h"))
-    val hist = scored.groupBy("quality_score").agg(count(lit(1)).as("c"))
+      .cache()
+    // NULL scores (the zero-token 'drop' band) are EXCLUDED from the
+    // quantile histogram and assigned stage 0 below: Spark windows order
+    // NULLS FIRST while DuckDB orders NULLS LAST, so letting NULLs into
+    // the cumulative curve would shift every threshold between engines.
+    val hist = scored.filter(col("quality_score").isNotNull)
+      .groupBy("quality_score").agg(count(lit(1)).as("c"))
+      .cache()
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy("quality_score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -371,9 +380,11 @@ object Corpus {
     val thresholds = cum.crossJoin(broadcast(tot)).agg(thr(1), thr(2), thr(3))
     scored.crossJoin(broadcast(thresholds))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
-        (lit(1L) + (col("quality_score") > col("q1")).cast("long")
-          + (col("quality_score") > col("q2")).cast("long")
-          + (col("quality_score") > col("q3")).cast("long")).as("stage"),
+        when(col("quality_score").isNull, lit(0L)) // drop band → stage 0
+          .otherwise(lit(1L)
+            + (col("quality_score") > col("q1")).cast("long")
+            + (col("quality_score") > col("q2")).cast("long")
+            + (col("quality_score") > col("q3")).cast("long")).as("stage"),
         (col("h") % lit(CurriculumShards)).as("shard"))
       .groupBy("stage", "shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -389,7 +400,7 @@ object Corpus {
        |    ${charFingerprintSql("text")} AS h
        |  FROM (${TextOps.qualitySignalsSql})),
        |hist AS (SELECT quality_score, CAST(count(*) AS BIGINT) AS c
-       |         FROM scored GROUP BY 1),
+       |         FROM scored WHERE quality_score IS NOT NULL GROUP BY 1),
        |cum AS (SELECT quality_score, c,
        |          sum(c) OVER (ORDER BY quality_score
        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -409,9 +420,10 @@ object Corpus {
        |    AS mean_quality
        |FROM (
        |  SELECT doc_id, n_tokens, quality_score,
-       |    1 + CAST(quality_score > q1 AS BIGINT)
-       |      + CAST(quality_score > q2 AS BIGINT)
-       |      + CAST(quality_score > q3 AS BIGINT) AS stage,
+       |    CASE WHEN quality_score IS NULL THEN 0
+       |         ELSE 1 + CAST(quality_score > q1 AS BIGINT)
+       |            + CAST(quality_score > q2 AS BIGINT)
+       |            + CAST(quality_score > q3 AS BIGINT) END AS stage,
        |    h % $CurriculumShards AS shard
        |  FROM scored, thr)
        |GROUP BY 1, 2

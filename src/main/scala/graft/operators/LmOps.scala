@@ -281,10 +281,13 @@ object LmOps {
     * re-aggregates the per-doc counts, not the shingles.
     */
   def t15NoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    // cached: the tokenize+shingle explode feeds base, novel AND perDoc —
+    // without the cache the corpus scan runs three times
     val shingled = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
+      .cache()
     val base = shingled.filter(col("doc_id") % 5 =!= 0)
       .select("sh").distinct()
     val delta = shingled.filter(col("doc_id") % 3 === 0)

@@ -620,9 +620,16 @@ object TextOps {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
-  /** Count-min sketch geometry + heavy-hitter threshold for e12. */
+  /** Count-min sketch geometry + heavy-hitter threshold for e12. Width
+    * must be a small multiple of 1/share for the candidate filter to
+    * PRUNE: expected cell load is total/width, and with width ≲ 1/share
+    * every cell already exceeds the share·total threshold, so the probe
+    * admits the whole vocabulary and pass 2 degenerates into a full
+    * recount. 1024 = 10× the 1/share=100 line → expected load ≈ 0.1% of
+    * total per cell, an order under the 1% threshold.
+    */
   val CmsDepth = 4
-  val CmsWidth = 64
+  val CmsWidth = 1024
   val HhShare = 0.01
 
   /** e12 — heavy hitters via a MERGEABLE count-min sketch + exact
@@ -644,7 +651,9 @@ object TextOps {
     * Scale: the sketch build is one map-side-combined groupBy onto d·w
     * cells; the probe joins the DISTINCT vocabulary (not occurrences)
     * against a broadcast-size cell table; the recount semi-joins the
-    * candidate set (≤ 1/share tokens by Markov) back onto occurrences.
+    * candidate set (true heavy hitters are ≤ 1/share by Markov; FALSE
+    * candidates are governed by width — see the CmsWidth note — so the
+    * set stays near that line) back onto occurrences.
     * At 100 TB the win is the incremental form: per-partition/day
     * sketches persist tiny and merge by cell-sum without rescanning.
     */
