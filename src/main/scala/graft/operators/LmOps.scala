@@ -339,15 +339,141 @@ object LmOps {
        |ORDER BY doc_id NULLS LAST""".stripMargin
   }
 
+  /** Merge rounds for [[t16BpeMerges]]. */
+  val BpeMergeRounds = 3
+
+  /** t16 — the BPE MERGE LOOP (tokenizer training, not just pair stats):
+    * starting from character symbols, each round (1) counts adjacent
+    * symbol pairs over word TYPES weighted by corpus frequency, (2) picks
+    * the most frequent pair (ties → lexicographically smallest), and
+    * (3) merges that pair into one symbol everywhere — the exact
+    * Sennrich et al. algorithm, with the merge table (rank, left, right,
+    * merged, cnt) as output: the artifact a tokenizer ships.
+    *
+    * Words are spaced symbol strings (" h e l l o ") and a merge is a
+    * LEFT FOLD over the symbol list: append each symbol, but when the
+    * accumulator ends with exactly " l" and the next symbol is r, splice
+    * them into the merged symbol — greedy left-to-right non-overlapping
+    * pairing, exactly Sennrich's scan ("a a a" → "aa a", and after a
+    * merge the new symbol cannot immediately re-merge). A string
+    * `replace(' l r ' → ' lr ')` was rejected: adjacent disjoint pairs
+    * SHARE their separator space, so non-overlapping string search skips
+    * every second occurrence in runs — a silent deviation from BPE. The
+    * fold is plain string ops (right/left/length/||) with a string
+    * accumulator, identical in both engines, so the loop is exactly
+    * oracle-checkable with [[BpeMergeRounds]] rounds unrolled as CTEs.
+    * (Suffix check " l" cannot false-match a just-merged "…lr": symbols
+    * are space-delimited, and "lr" ends in r's chars, not " l".)
+    *
+    * Scale: the corpus is touched ONCE (word-type frequencies — vocab-
+    * bounded, map-side combined); every round then runs on the word-TYPE
+    * table (|vocab| rows), counting pairs via a per-row transform and
+    * merging via one broadcast 1-row best-pair join. This is why BPE
+    * training is tractable at 100 TB: round cost scales with vocabulary,
+    * not corpus.
+    */
+  def t16BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        concat_ws(" ", filter(split(col("w"), ""), c => c =!= "")),
+        lit(" ")).as("seq"), col("freq"))
+      .cache()
+    def pairCounts(seqs: DataFrame): DataFrame = {
+      val sym = split(trim(col("seq")), " ")
+      // zip_with over two shifted slices, not transform(sequence(1, n-1)):
+      // Spark's sequence DESCENDS when start > stop, so a single-symbol
+      // word (n-1 = 0) would emit [1, 0] and hit index 0; slice length 0
+      // is just empty
+      val pairs = zip_with(
+        slice(sym, lit(1), size(sym) - 1), slice(sym, lit(2), size(sym) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      seqs
+        .select(explode(pairs).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+    }
+    var seqs = words
+    val merges = (1 to BpeMergeRounds).map { rank =>
+      // eager-checkpointed: consumed by THIS round's merge AND the final
+      // union — without it the pair count over the previous round runs twice
+      val best = pairCounts(seqs)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .select(col("l"), col("r"), col("cnt"))
+        .localCheckpoint(true)
+      seqs = seqs.crossJoin(broadcast(best))
+        .select(expr(
+          """aggregate(
+            |  filter(split(trim(seq), ' '), x -> x != ''),
+            |  '',
+            |  (acc, x) -> CASE
+            |    WHEN right(acc, length(l) + 1) = ' ' || l AND x = r
+            |    THEN left(acc, length(acc) - length(l) - 1) || ' ' || l || r
+            |    ELSE acc || ' ' || x END,
+            |  acc -> acc || ' ')""".stripMargin).as("seq"), col("freq"))
+        .localCheckpoint(true)
+      best.select(lit(rank.toLong).as("merge_rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+    }
+    merges.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
+  private def t16Sql = {
+    def pairCte(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(list_transform(
+         |          range(1, greatest(len(sym), 1)),
+         |          i -> {'l': sym[i], 'r': sym[i + 1]})) AS p, freq
+         |        FROM (SELECT string_split(trim(seq), ' ') AS sym, freq
+         |              FROM $from))
+         |  GROUP BY 1, 2)""".stripMargin
+    def bestCte(cnts: String, out: String) =
+      s"""$out AS (SELECT l, r, cnt FROM $cnts
+         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def mergeCte(from: String, best: String, out: String) =
+      s"""$out AS (
+         |  SELECT list_reduce(
+         |    list_prepend('', list_filter(string_split(trim(seq), ' '),
+         |                                 x -> x <> '')),
+         |    (acc, x) -> CASE
+         |      WHEN right(acc, length(b.l) + 1) = ' ' || b.l AND x = b.r
+         |      -- no leading '||' on continuation lines: this fragment is
+         |      -- re-embedded under the OUTER stripMargin, which would eat
+         |      -- one pipe
+         |      THEN left(acc, length(acc) - length(b.l) - 1) || ' ' || b.l || b.r
+         |      ELSE acc || ' ' || x END) || ' ' AS seq, freq
+         |  FROM $from, $best b)""".stripMargin
+    val rounds = (1 to BpeMergeRounds).map { k =>
+      Seq(pairCte(s"seq${k - 1}", s"cnt$k"), bestCte(s"cnt$k", s"best$k"),
+        mergeCte(s"seq${k - 1}", s"best$k", s"seq$k")).mkString(",\n")
+    }.mkString(",\n")
+    val out = (1 to BpeMergeRounds).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l, r, l || r AS merged, cnt FROM best$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH seq0 AS (
+       |  SELECT ' ' || array_to_string(list_filter(string_split(w, ''),
+       |           c -> c <> ''), ' ') || ' ' AS seq,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS w FROM documents)
+       |  GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_line_dedup" -> (t10LineDedup _),
     "t11_lm_score" -> (t11LmScore _),
     "t12_tfidf" -> (t12Tfidf _),
-    "t15_novelty_rate" -> (t15NoveltyRate _))
+    "t15_novelty_rate" -> (t15NoveltyRate _),
+    "t16_bpe_merges" -> (t16BpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "t10_line_dedup" -> t10Sql,
     "t11_lm_score" -> t11Sql,
     "t12_tfidf" -> t12Sql,
-    "t15_novelty_rate" -> t15Sql)
+    "t15_novelty_rate" -> t15Sql,
+    "t16_bpe_merges" -> t16Sql)
 }

@@ -126,4 +126,32 @@ class LmOpsSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("doc_id") % 5 =!= 0 || col("doc_id") % 3 === 0).count()
     assert(rows.length == n, "merge must emit base ∪ delta exactly")
   }
+
+  test("t16 BPE merge loop matches the hand-computed greedy golden") {
+    // corpus: banana ×2, bandana ×1 — chosen because "anana" makes the
+    // greedy/overlap distinction observable:
+    //   r1: (a,n)=6 → "an"; banana → [b,an,an,a] (BOTH pairs merge —
+    //       a shared-separator string replace would merge only the first)
+    //   r2: (b,an)=3 ties (an,a)=3 → lexicographic "an" wins → "ana"
+    //   r3: (b,an)=3 → "ban"
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val d = java.nio.file.Files.createTempDirectory("bpe_golden").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(R(1L, "banana banana bandana", "en", "s", 21L)), 1), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = LmOps.t16BpeMerges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val want = Seq(
+      (1L, "a", "n", "an", 6L),
+      (2L, "an", "a", "ana", 3L),
+      (3L, "b", "an", "ban", 3L))
+    assert(got.toSeq == want, s"got ${got.mkString(", ")}")
+  }
 }
