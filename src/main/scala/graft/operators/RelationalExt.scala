@@ -469,8 +469,41 @@ object RelationalExt {
 
   private val e13Sql = e13Body("orders", "customer", "nation")
 
+  /** Fold count for e14. */
+  private val CvFolds = 5L
+
+  /** e14 — DETERMINISTIC k-fold assignment (the scale-correct CV split):
+    * fold = multiplicative hash of the stable row key, mod k. Unlike
+    * `randomSplit` (whose assignment depends on partition layout — the
+    * reason m02 is a rows-only check), hash folds are a pure row
+    * function: stable across partitionings, re-runs, engines, and data
+    * arrivals (a re-appended row lands in the same fold), which makes CV
+    * reproducible on a cluster and the whole assignment exactly
+    * oracle-checkable. Output is the per-(fold, class) census a
+    * stratification sanity check reads.
+    *
+    * Scale: one narrow scan + a ≤ k·|classes| map-combined aggregate.
+    * Same Knuth-hash spelling as e05/e08 — portable integer arithmetic,
+    * no engine-specific hash.
+    */
+  def e14CvFolds(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select((pmod(col("o_orderkey") * 2654435761L, lit(1000000007L))
+        % lit(CvFolds)).as("fold"), col("o_orderstatus"))
+      .groupBy("fold", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("fold", "o_orderstatus")
+
+  private val e14Sql =
+    s"""SELECT (o_orderkey * 2654435761 % 1000000007) % $CvFolds AS fold,
+       |  o_orderstatus, CAST(count(*) AS BIGINT) AS n
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY fold, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e13_cube" -> (e13Cube _),
+    "e14_cv_folds" -> (e14CvFolds _),
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
     "e02_set_ops" -> (e02SetOps _),
     "e03_rollup" -> (e03Rollup _),
@@ -484,6 +517,7 @@ object RelationalExt {
 
   val oracles: Map[String, String] = Map(
     "e13_cube" -> e13Sql,
+    "e14_cv_folds" -> e14Sql,
     "e01_semi_anti_join" -> e01Sql,
     "e02_set_ops" -> e02Sql,
     "e03_rollup" -> e03Sql,

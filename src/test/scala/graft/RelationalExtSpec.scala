@@ -107,6 +107,19 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     assert(ivfpq.nonEmpty && ivfpq.size <= 50)
   }
 
+  test("e14 hash folds partition completely and stay balanced") {
+    val rows = RelationalExt.e14CvFolds(spark, SfMid).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.orders(spark, SfMid).count(),
+      "every order lands in exactly one (fold, class) cell")
+    val byFold = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byFold.size == 5)
+    val mean = total.toDouble / 5
+    byFold.values.foreach(n =>
+      assert(math.abs(n - mean) / mean < 0.1,
+        s"fold imbalance: $n vs mean $mean"))
+  }
+
   test("e09 unioned daily sketches estimate the period distinct within 5%") {
     val exact = Tables.events(spark, SfMid)
       .select("user_id").distinct().count()
