@@ -245,11 +245,96 @@ object MartPipeline {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id))
       |ORDER BY user_id, version""".stripMargin
 
+  /** p03 — TEMPORAL DIMENSION LOOKUP (the consumption side of SCD2):
+    * enrich every purchase event with the dimension version active AT
+    * THAT EVENT'S TIME. The dimension is an SCD2 built from a DISJOINT
+    * signal — each user's error-severity band (minor/major by value),
+    * versioned at band change-points — so the lookup is a genuine
+    * cross-stream point-in-validity-range join; purchases before a
+    * user's first error version resolve to NULL (left semantics).
+    *
+    * Spelled as the union-window AS-OF (w04's shape), not a range join:
+    * version-start rows and probes union, one (user, time) sort, and
+    * `last(attr, ignoreNulls)` carries the active version forward. Tie
+    * discipline at equal seconds: versions sort before probes (tag),
+    * and among same-second versions the HIGHEST version wins — exactly
+    * the zero-length-version exclusion the range-join oracle applies
+    * via `valid_from <= t < valid_to`. ONE shuffle on user_id; a range
+    * join would BNLJ.
+    */
+  def p03TemporalLookup(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("value") < 50.0, "minor").otherwise("major")
+    val errs = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        band.as("attr"))
+    val byU = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"), col("event_id"))
+    val changes = errs
+      .withColumn("prev", lag(col("attr"), 1).over(byU))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+    val versions = changes
+      .withColumn("version", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("epoch_s"), col("event_id"))).cast("long"))
+    val probes = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("epoch_s"))
+    val unioned = versions
+      .select(col("user_id"), col("epoch_s"), lit(0).as("tag"),
+        col("version"), col("attr"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(probes.select(col("user_id"), col("epoch_s"),
+        lit(1).as("tag"), lit(null).cast("long").as("version"),
+        lit(null).cast("string").as("attr"), col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"), col("tag"),
+        coalesce(col("version"), lit(Long.MaxValue)), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("cur_version",
+        last(col("version"), ignoreNulls = true).over(w))
+      .withColumn("cur_attr", last(col("attr"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        col("cur_version").as("version"), col("cur_attr").as("attr"))
+      .orderBy("event_id")
+  }
+
+  private val p03Sql =
+    """WITH versions AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    attr, epoch_s AS valid_from,
+      |    lead(epoch_s, 1) OVER w AS valid_to
+      |  FROM (
+      |    SELECT event_id, user_id, epoch_s, attr,
+      |      lag(attr, 1) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_s, event_id) AS prev
+      |    FROM (SELECT event_id, user_id,
+      |            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |            CASE WHEN value < 50.0 THEN 'minor' ELSE 'major' END AS attr
+      |          FROM events WHERE event_type = 'error'))
+      |  WHERE prev IS NULL OR prev <> attr
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s, event_id)),
+      |probes AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.epoch_s, v.version, v.attr
+      |FROM probes p LEFT JOIN versions v
+      |  ON p.user_id = v.user_id
+      | AND v.valid_from <= p.epoch_s
+      | AND (v.valid_to IS NULL OR p.epoch_s < v.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_mart_pipeline" -> (p01MartPipeline _),
-    "p02_scd2_dimension" -> (p02Scd2Dimension _))
+    "p02_scd2_dimension" -> (p02Scd2Dimension _),
+    "p03_temporal_lookup" -> (p03TemporalLookup _))
 
   val oracles: Map[String, String] = Map(
     "p01_mart_pipeline" -> p01Sql,
-    "p02_scd2_dimension" -> p02Sql)
+    "p02_scd2_dimension" -> p02Sql,
+    "p03_temporal_lookup" -> p03Sql)
 }
