@@ -71,6 +71,25 @@ object Ingest {
       .partitionBy(key)
       .parquet(path)
 
+  /** Write with SINGLE-PASS quality metrics via the `Observation` API:
+    * row count, null-key count and an exact decimal value total are
+    * collected ON THE WRITE JOB's pass over the data — no second scan.
+    * The production pattern for emit-metrics-while-writing: at 100 TB a
+    * separate audit query doubles the pipeline's scan cost, while an
+    * observation is a free piggyback aggregate. Returns the metrics row.
+    */
+  def writeObserved(df: DataFrame, path: String, keyCol: String,
+      valueCol: String): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation("write_metrics")
+    df.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col(keyCol).isNull.cast("long")).as("null_keys"),
+        sum(col(valueCol).cast("decimal(28,4)")).cast("double")
+          .as("value_total"))
+      .write.mode("overwrite").parquet(path)
+    obs.get
+  }
+
   /** Dynamic partition overwrite — the idempotent BACKFILL primitive: with
     * `partitionOverwriteMode=dynamic`, an overwrite replaces ONLY the
     * partitions present in the incoming frame and leaves every other

@@ -84,6 +84,20 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(q.count() == expected)
   }
 
+  test("observed write collects exact metrics in the write pass itself") {
+    val tmp = java.nio.file.Files.createTempDirectory("obs_spec").toString + "/li"
+    val df = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_extendedprice")
+    val m = Ingest.writeObserved(df, tmp, "l_orderkey", "l_extendedprice")
+    assert(m("n_rows") == df.count())
+    assert(m("null_keys") == 0L)
+    val recount = df.agg(sum(col("l_extendedprice").cast("decimal(28,4)"))
+      .cast("double")).head.getDouble(0)
+    assert(m("value_total") == recount, "metrics must equal a recount")
+    // and the write itself landed intact
+    assert(spark.read.parquet(tmp).count() == df.count())
+  }
+
   test("dynamic partition overwrite backfills one day without touching the others") {
     val tmp = java.nio.file.Files.createTempDirectory("backfill_spec").toString + "/ev"
     val df = Tables.events(spark, Sf)
