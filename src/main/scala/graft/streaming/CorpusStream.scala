@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 import graft.operators.TextFn
 
@@ -116,4 +118,50 @@ object CorpusStream {
     * updated cells per batch.
     */
   val CmsOutputMode: OutputMode = OutputMode.Update()
+
+  /** The Spark 4 `transformWithState` spelling of [[sourceProfiles]] — the
+    * operator that REPLACES `mapGroupsWithState` going forward: typed
+    * named state handles (`ValueState`/`ListState`/`MapState`) created in
+    * `init`, optional per-state TTL, timers, and schema evolution of
+    * state, all backed by the RocksDB state store (the provider the
+    * operator requires, and the one a 100 TB stateful deployment runs
+    * anyway: state spills off-heap instead of living on the executor
+    * heap like the HDFS-backed store). Semantics here are identical to
+    * [[sourceProfiles]] — one evolving profile row per source — so the
+    * spec can assert old-vs-new operator equivalence batch for batch.
+    */
+  class SourceProfileProcessor
+      extends StatefulProcessor[String, DocTokens, SourceProfile] {
+    @transient private var profile: ValueState[SourceProfile] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getValueState[SourceProfile]("profile",
+        Encoders.product[SourceProfile], TTLConfig.NONE)
+
+    override def handleInputRows(source: String, rows: Iterator[DocTokens],
+        timerValues: TimerValues): Iterator[SourceProfile] = {
+      val prev =
+        if (profile.exists()) profile.get()
+        else SourceProfile(source, 0L, 0L, 0L)
+      val next = rows.foldLeft(prev) { (p, r) =>
+        SourceProfile(source, p.docs + 1, p.tokens + r.n_tokens,
+          math.max(p.maxTokens, r.n_tokens))
+      }
+      profile.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[pipeline]]'s profile stage on the new operator (gate + dedup are
+    * unchanged — stateless/built-in stages don't care which stateful
+    * operator follows them).
+    */
+  def sourceProfilesV2(deduped: DataFrame)(
+      implicit s: SparkSession): Dataset[SourceProfile] = {
+    import s.implicits._
+    deduped.select(col("source"), col("n_tokens")).as[DocTokens]
+      .groupByKey(_.source)
+      .transformWithState(new SourceProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

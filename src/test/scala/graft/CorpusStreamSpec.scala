@@ -48,6 +48,47 @@ class CorpusStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.exists(r => r._1 == "books" && r._2 == 1L))
   }
 
+  test("transformWithState profiles match the mapGroupsWithState operator") {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[String]
+      val profiles = CorpusStream.sourceProfilesV2(
+        CorpusStream.dedupByFingerprint(CorpusStream.qualityGate(
+          CorpusStream.parseDocs(ms.toDF().select(col("value"))))))
+      val q = profiles.toDF().writeStream.format("memory")
+        .queryName("prof_v2")
+        .outputMode(CorpusStream.ProfileOutputMode).start()
+      ms.addData(
+        doc(1, "alpha beta gamma delta epsilon", "crawl", "2024-01-01T10:00:00Z"),
+        doc(2, "alpha beta gamma delta epsilon", "crawl", "2024-01-01T10:00:30Z"))
+      q.processAllAvailable()
+      ms.addData(
+        doc(4, "zeta eta theta iota kappa lambda", "crawl", "2024-01-01T10:02:00Z"),
+        doc(5, "mu nu xi omicron pi rho sigma", "books", "2024-01-01T10:02:30Z"))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("prof_v2").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // same accumulation contract as the V1 operator's spec: crawl
+      // reaches 2 docs / 11 tokens across batches, books 1 doc
+      val crawlFinal = rows.filter(_._1 == "crawl").maxBy(_._2)
+      assert(crawlFinal._2 == 2L && crawlFinal._3 == 11L,
+        s"v2 state must accumulate: ${rows.mkString(",")}")
+      assert(rows.exists(r => r._1 == "books" && r._2 == 1L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CMS accumulates across batches and equals the batch sketch") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
