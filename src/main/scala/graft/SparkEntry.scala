@@ -63,6 +63,7 @@ object SparkEntry {
     "t13_bpe_pairs", "v06_kmeans_lloyd",
     "w07_interval_join", "g15_kcore", "c07_curriculum_shards",
     "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank",
-    "v07_ann_ivfpq", "e13_cube", "t15_novelty_rate", "t16_bpe_merges"
+    "v07_ann_ivfpq", "e13_cube", "t15_novelty_rate", "t16_bpe_merges",
+    "v08_ann_binary"
   ).filter(queries.contains)
 }

@@ -749,6 +749,80 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, adist
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** v08 — BINARY (1-bit sign) quantization ANN: every embedding collapses
+    * to d/32 packed words (bit i = dim i's sign), queries rank
+    * candidates by Hamming distance — `bit_count(xor)` per word, summed.
+    * The extreme end of the quantization ladder (float32 → PQ bytes →
+    * sign bits: 32× smaller than v05's codes, 256× smaller than raw),
+    * and the cheapest distance kernel that exists: one XOR + popcount
+    * per candidate, no floats anywhere, so the oracle is PURE INTEGER
+    * arithmetic — no rounding discipline needed at all.
+    *
+    * Scale: signatures are a narrow long column (10^9 vectors ≈ 8 GB —
+    * memory-resident on a modest cluster); the ranking here is the brute
+    * baseline over signatures, and the sub-linear path is exactly d04b's
+    * 16-bit-chunk pigeonhole banding — same signature shape, same band
+    * join, already proven lossless at radius < bands.
+    */
+  def v08AnnBinary(s: SparkSession, dir: String): DataFrame = {
+    // 32-bit words packed in BIGINTs (shift ≤ 31): DuckDB range-checks
+    // `1 << 63`, and word-packing is how any-dimension signatures pack
+    // anyway — the signature is an ARRAY of words, hamming sums per-word
+    // popcounts
+    val sig = expr(
+      """transform(
+        |  sequence(0, CAST(ceil(size(embedding) / 32.0) AS INT) - 1),
+        |  w -> aggregate(sequence(1, 32), CAST(0 AS BIGINT),
+        |    (acc, i) -> acc | CASE
+        |      WHEN w * 32 + i <= size(embedding)
+        |        AND element_at(embedding, w * 32 + i) > 0
+        |      THEN shiftleft(CAST(1 AS BIGINT), i - 1)
+        |      ELSE CAST(0 AS BIGINT) END))""".stripMargin)
+    val e = withNorm(s, dir).select(col("vec_id"), sig.as("sig"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("""aggregate(sequence(1, size(sig)), CAST(0 AS BIGINT),
+          |  (acc, i) -> acc + CAST(bit_count(
+          |    element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))"""
+          .stripMargin).as("hamming"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "hamming")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v08Sql = {
+    val sig =
+      "list_transform(range(0, CAST(ceil(len(embedding) / 32.0) AS BIGINT)), " +
+        "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, 33), " +
+        "i -> CASE WHEN w * 32 + i <= len(embedding) " +
+        "AND embedding[CAST(w * 32 + i AS INT)] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc | x))"
+    val ham =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, len(e.sig) + 1), " +
+        "i -> CAST(bit_count(xor(e.sig[CAST(i AS INT)], " +
+        "q.qsig[CAST(i AS INT)])) AS BIGINT))), (acc, x) -> acc + x)"
+    s"""WITH base AS ($withNormSql),
+       |e AS (SELECT vec_id, $sig AS sig FROM base),
+       |q AS (SELECT vec_id AS query_id, sig AS qsig
+       |      FROM e WHERE vec_id < $NQueries),
+       |d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        $ham AS hamming
+       |      FROM e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming, neighbor_id) AS BIGINT) AS rank
+       |  FROM d)
+       |SELECT query_id, rank, neighbor_id, hamming
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Cluster count and superstep count for [[v06KmeansLloyd]]. */
   private val KmK = 4
   private val KmIters = 2
@@ -873,6 +947,7 @@ object Similarity {
     "v04_ann_ivf" -> (v04AnnIvf _),
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
+    "v08_ann_binary" -> (v08AnnBinary _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
@@ -884,6 +959,7 @@ object Similarity {
     "v04_ann_ivf" -> v04Sql,
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
+    "v08_ann_binary" -> v08Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }
