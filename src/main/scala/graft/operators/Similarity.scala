@@ -783,7 +783,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        expr("""aggregate(sequence(1, size(sig)), CAST(0 AS BIGINT),
+        // least(): common-word prefix, the module's dotSql convention —
+        // ragged dims would ANSI-throw here and NULL the DuckDB fold
+        expr("""aggregate(sequence(1, least(size(sig), size(qsig))),
+          |  CAST(0 AS BIGINT),
           |  (acc, i) -> acc + CAST(bit_count(
           |    element_at(sig, i) ^ element_at(qsig, i)) AS BIGINT))"""
           .stripMargin).as("hamming"))
@@ -805,7 +808,7 @@ object Similarity {
         "ELSE CAST(0 AS BIGINT) END)), (acc, x) -> acc | x))"
     val ham =
       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(range(1, len(e.sig) + 1), " +
+        "list_transform(range(1, least(len(e.sig), len(q.qsig)) + 1), " +
         "i -> CAST(bit_count(xor(e.sig[CAST(i AS INT)], " +
         "q.qsig[CAST(i AS INT)])) AS BIGINT))), (acc, x) -> acc + x)"
     s"""WITH base AS ($withNormSql),
