@@ -826,6 +826,109 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** v09 — SCALAR (int8) quantization ANN, the ladder rung between raw
+    * floats and v05's PQ codes: per-DIMENSION min/max over the corpus
+    * define a 256-level affine grid, every value quantizes to one byte
+    * (4× compression, no codebook training at all), and queries rank by
+    * exact L2 against the DEQUANTIZED grid points — asymmetric, like
+    * v05's ADC: the query side stays float. The practical default for
+    * embedding compression when PQ's codebook maintenance isn't wanted.
+    *
+    * Determinism: the quantize→dequantize chain is (x−mn)/step, floor,
+    * clamp, mn+code·step — every op an identical IEEE double op in both
+    * engines (floor(+0.5), not round); the per-dim fold runs in ARRAY
+    * ORDER, which is the same on both sides, so the L2 sum needs no
+    * decimal carrier. Ragged dims: the common prefix, dotSql convention.
+    *
+    * Scale: the stats pass is one map-combined groupBy to d rows; the
+    * (mns, mxs) grid broadcasts; encoding is a narrow scan. Brute over
+    * codes here is the baseline — the sub-linear path is v04's cells
+    * with these codes inside (IVF-SQ), same composition as v07.
+    */
+  def v09AnnSq(s: SparkSession, dir: String): DataFrame = {
+    val e0 = withNorm(s, dir)
+    val stats = e0
+      .select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select((col("pos0") + 1).as("pos"), col("v").cast("double").as("v"))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+    val grid = stats.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        x => x.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        x => x.getField("mx")).as("mxs"))
+    val enc = e0.crossJoin(broadcast(grid))
+      .select(col("vec_id"), col("mns"), col("mxs"),
+        expr("""transform(sequence(1, size(embedding)), i ->
+          |  CASE WHEN element_at(mxs, i) > element_at(mns, i)
+          |  THEN CAST(least(greatest(floor(
+          |    (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
+          |    / ((element_at(mxs, i) - element_at(mns, i)) / 255.0)
+          |    + 0.5), CAST(0 AS BIGINT)), CAST(255 AS BIGINT)) AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("codes"))
+    val q = e0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r(expr("""aggregate(
+          |  transform(sequence(1, least(size(codes), size(qe))), i ->
+          |    CAST(element_at(qe, i) AS DOUBLE)
+          |    - (element_at(mns, i)
+          |       + CAST(element_at(codes, i) AS DOUBLE)
+          |         * (CASE WHEN element_at(mxs, i) > element_at(mns, i)
+          |            THEN (element_at(mxs, i) - element_at(mns, i)) / 255.0
+          |            ELSE CAST(0.0 AS DOUBLE) END))),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)""".stripMargin),
+          6).as("dist"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist"), col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v09Sql = {
+    val code =
+      "CASE WHEN mxs[i] > mns[i] THEN CAST(least(greatest(floor(" +
+        "(CAST(embedding[i] AS DOUBLE) - mns[i]) " +
+        "/ ((mxs[i] - mns[i]) / 255.0) + 0.5), " +
+        "CAST(0 AS BIGINT)), CAST(255 AS BIGINT)) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END"
+    val diff =
+      "CAST(q.qe[CAST(i AS INT)] AS DOUBLE) " +
+        "- (e.mns[CAST(i AS INT)] + CAST(e.codes[CAST(i AS INT)] AS DOUBLE) " +
+        "* (CASE WHEN e.mxs[CAST(i AS INT)] > e.mns[CAST(i AS INT)] " +
+        "THEN (e.mxs[CAST(i AS INT)] - e.mns[CAST(i AS INT)]) / 255.0 " +
+        "ELSE CAST(0.0 AS DOUBLE) END))"
+    s"""WITH base AS ($withNormSql),
+       |dims AS (SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+       |           unnest(list_transform(range(1, len(embedding) + 1),
+       |             i -> CAST(embedding[i] AS DOUBLE))) AS v
+       |         FROM base),
+       |stats AS (SELECT pos, min(v) AS mn, max(v) AS mx
+       |          FROM dims GROUP BY 1),
+       |grid AS (SELECT array_agg(mn ORDER BY pos) AS mns,
+       |                array_agg(mx ORDER BY pos) AS mxs
+       |         FROM stats),
+       |enc AS (SELECT vec_id, mns, mxs,
+       |          list_transform(range(1, len(embedding) + 1),
+       |            i -> $code) AS codes
+       |        FROM base, grid),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe
+       |      FROM base WHERE vec_id < $NQueries),
+       |d AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        ${rSql(
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(1, least(len(e.codes), len(q.qe)) + 1), " +
+        s"i -> ($diff) * ($diff))), (acc, x) -> acc + x)", 6)} AS dist
+       |      FROM enc e JOIN q ON e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM d)
+       |SELECT query_id, rank, neighbor_id, dist
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Cluster count and superstep count for [[v06KmeansLloyd]]. */
   private val KmK = 4
   private val KmIters = 2
@@ -951,6 +1054,7 @@ object Similarity {
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "v08_ann_binary" -> (v08AnnBinary _),
+    "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
@@ -963,6 +1067,7 @@ object Similarity {
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
     "v08_ann_binary" -> v08Sql,
+    "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

@@ -107,6 +107,34 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
     assert(ivfpq.nonEmpty && ivfpq.size <= 50)
   }
 
+  test("v09 int8 scalar quantization keeps high recall vs exact L2") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, SfMid)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val d2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.vecDot(a, a) +
+        graft.functions.VectorFunctions.vecDot(b, b) -
+        lit(2.0) * graft.functions.VectorFunctions.vecDot(a, b)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        d2(col("qe"), col("embedding")).as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.v09AnnSq(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // a 256-level grid loses far less than PQ's 64-codeword subspaces:
+    // the recall floor sits well above the coarser quantizers'
+    assert(recall >= 0.7, s"int8 SQ recall@5 $recall below floor")
+    info(s"int8 SQ recall@5 vs exact L2 top-5: $recall")
+  }
+
   test("e14 hash folds partition completely and stay balanced") {
     val rows = RelationalExt.e14CvFolds(spark, SfMid).collect()
     val total = rows.map(_.getLong(2)).sum
