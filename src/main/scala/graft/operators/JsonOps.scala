@@ -49,9 +49,35 @@ object JsonOps {
       |      FROM events)
       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  /** j02 — Spark 4 VARIANT path for the same extraction: `parse_json`
+    * builds the binary variant encoding ONCE, `variant_get` then reads
+    * typed paths without re-tokenizing the text — the open-schema
+    * semi-structured story Spark 4 ships for exactly the "props bag with
+    * no fixed schema" shape. Same answer as j01's `from_json` (asserted
+    * by sharing j01's oracle SQL shape), different engine path: variant
+    * scales to heterogeneous keys where a `StructType` schema can't —
+    * at 100 TB the win is shredding + lazy path access instead of a
+    * full JSON re-parse per field read.
+    */
+  def j02VariantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .withColumn("k_bucket",
+        when(col("k").isNull, lit(-1L)).otherwise(col("k") - col("k") % lit(10L)))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("k_bucket")
+
+  // deliberately j01's oracle: the variant path must give the SAME answer
+  private val j02Sql = j01Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j01_json_extract" -> (j01JsonExtract _))
+    "j01_json_extract" -> (j01JsonExtract _),
+    "j02_variant_extract" -> (j02VariantExtract _))
 
   val oracles: Map[String, String] = Map(
-    "j01_json_extract" -> j01Sql)
+    "j01_json_extract" -> j01Sql,
+    "j02_variant_extract" -> j02Sql)
 }

@@ -493,7 +493,35 @@ object Relational {
       |       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch
       |FROM events ORDER BY event_id LIMIT 1000""".stripMargin
 
+  /** q17 — Spark 4 SQL PIPE syntax (`|>`): the same filter → aggregate →
+    * order chain q01-style queries write, in the linear top-to-bottom
+    * form Spark 4 added (each `|>` stage consumes the previous table —
+    * no inside-out nesting). Same Catalyst plan as the classic spelling;
+    * the oracle IS the classic spelling, proving the equivalence. The
+    * aggregate rides the exact decimal carrier like every money sum.
+    */
+  def q17PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+    s.sql(
+      s"""FROM q17_lineitem
+         ||> WHERE l_quantity > 10
+         ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+         |     ${Det.sqlR(Det.sqlDsum("l_extendedprice"), 2)} AS revenue
+         |     GROUP BY l_returnflag
+         ||> ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val q17Sql =
+    s"""SELECT l_returnflag,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.sqlR(Det.sqlDsum("l_extendedprice"), 2)} AS revenue
+       |FROM lineitem
+       |WHERE l_quantity > 10
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_pipe_syntax" -> (q17PipeSyntax _),
     "q01_price_histogram_2d" -> (q01PriceHistogram2d _),
     "q02_class_distribution" -> (q02ClassDistribution _),
     "q03_multi_agg_stats" -> (q03MultiAggStats _),
@@ -513,6 +541,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_pipe_syntax" -> q17Sql,
     "q01_price_histogram_2d" -> q01Sql,
     "q02_class_distribution" -> q02Sql,
     "q03_multi_agg_stats" -> q03Sql,
