@@ -520,8 +520,37 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  /** ONE literal SQL body for both engines (e13's no-drift pattern):
+    * correlated EXISTS + two correlated scalar subqueries. Catalyst
+    * DECORRELATES all three into joins (left-semi for EXISTS, aggregated
+    * left-outer for the scalars) — the rewrite that makes correlated SQL
+    * scale-safe: the naive per-row re-execution a row engine does would
+    * be |customer| scans of orders; the decorrelated plan is two shuffles.
+    */
+  private def q18Body(customer: String, orders: String) =
+    s"""SELECT c.c_custkey, c.c_name,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM $orders o
+       |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       |  (SELECT max(o_totalprice) FROM $orders o
+       |   WHERE o.o_custkey = c.c_custkey) AS max_order
+       |FROM $customer c
+       |WHERE EXISTS (SELECT 1 FROM $orders o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_orderpriority = '1-URGENT')
+       |ORDER BY c.c_custkey""".stripMargin
+
+  /** q18 — correlated subqueries (EXISTS + scalar), decorrelated. */
+  def q18CorrelatedSubqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q18_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q18_orders")
+    s.sql(q18Body("q18_customer", "q18_orders"))
+  }
+
+  private val q18Sql = q18Body("customer", "orders")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_pipe_syntax" -> (q17PipeSyntax _),
+    "q18_correlated_subqueries" -> (q18CorrelatedSubqueries _),
     "q01_price_histogram_2d" -> (q01PriceHistogram2d _),
     "q02_class_distribution" -> (q02ClassDistribution _),
     "q03_multi_agg_stats" -> (q03MultiAggStats _),
@@ -542,6 +571,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q17_pipe_syntax" -> q17Sql,
+    "q18_correlated_subqueries" -> q18Sql,
     "q01_price_histogram_2d" -> q01Sql,
     "q02_class_distribution" -> q02Sql,
     "q03_multi_agg_stats" -> q03Sql,

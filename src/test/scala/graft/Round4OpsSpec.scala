@@ -111,6 +111,17 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ppr.map(_.getLong(0)).exists(seeds.contains))
   }
 
+  test("q18 correlated subqueries decorrelate to joins, no per-row re-execution") {
+    val p = graft.operators.Relational
+      .q18CorrelatedSubqueries(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    // EXISTS → left-semi, scalar subqueries → aggregated outer joins;
+    // nothing nested-loop and no surviving per-row subquery execution
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"), "decorrelation must surface as joins")
+  }
+
   test("c07 curriculum stages quarter the corpus and shards cover it") {
     val m = Corpus.c07CurriculumShards(spark, SfMid).collect()
     val total = m.map(_.getLong(2)).sum
