@@ -321,7 +321,81 @@ object WindowOps {
        |GROUP BY 1, 2, 3
        |ORDER BY p.event_id""".stripMargin
 
+  /** User-id cap bounding the w09 demo grid (span × users is the output
+    * size; the operator itself is per-key linear).
+    */
+  private val GapFillMaxUser = 20L
+
+  /** w09 — time-series RESAMPLE: gap-fill each user's hourly activity
+    * series onto a complete per-user hour grid (missing hours appear
+    * with n_events = 0) and FORWARD-FILL the last observed hourly value
+    * across the gaps — the regularization step before any window-based
+    * feature or sequence model consumes event data ("the model expects
+    * one row per hour", but events don't arrive that way).
+    *
+    * The grid is PER-USER (first..last active hour via
+    * `sequence(h0, h1, 3600)` + explode): a global-span × users grid
+    * cross join would materialize mostly-dead rows for sparse users —
+    * per-key spans bound the fill to each key's own activity window.
+    * Forward fill is `last(value, ignoreNulls)` over the (user, hour)
+    * window; the first grid row is always observed (h0 comes from the
+    * data), so no leading-null edge case exists.
+    *
+    * Scale: one groupBy to hourly cells (map-combined), one tiny span
+    * aggregate per key, explode bounded by span/granularity, one
+    * left join + one window — all keyed on user_id, ONE shuffle
+    * distribution reused end-to-end.
+    */
+  def w09GapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("user_id") < GapFillMaxUser)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+      .withColumn("hour_epoch", col("es") - col("es") % lit(3600L))
+      .groupBy("user_id", "hour_epoch")
+      .agg(count(lit(1)).as("n"),
+        Det.r(Det.dsum(col("v")), 2).as("value_sum"))
+    val spans = hourly.groupBy("user_id")
+      .agg(min("hour_epoch").as("h0"), max("hour_epoch").as("h1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_epoch"))
+    val w = Window.partitionBy("user_id").orderBy("hour_epoch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_epoch"), "left_outer")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("is_gap", col("n").isNull)
+      .withColumn("value_ffill",
+        last(col("value_sum"), ignoreNulls = true).over(w))
+      .select("user_id", "hour_epoch", "n_events", "is_gap", "value_ffill")
+      .orderBy("user_id", "hour_epoch")
+  }
+
+  private val w09Sql =
+    s"""WITH hourly AS (
+       |  SELECT user_id, es - es % 3600 AS hour_epoch,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    ${Det.sqlR(Det.sqlDsum("v"), 2)} AS value_sum
+       |  FROM (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+       |          coalesce(value, 0.0) AS v
+       |        FROM events WHERE user_id < $GapFillMaxUser)
+       |  GROUP BY 1, 2),
+       |spans AS (SELECT user_id, min(hour_epoch) AS h0, max(hour_epoch) AS h1
+       |          FROM hourly GROUP BY 1),
+       |grid AS (SELECT user_id, unnest(range(h0, h1 + 1, 3600)) AS hour_epoch
+       |         FROM spans)
+       |SELECT g.user_id, g.hour_epoch,
+       |  coalesce(h.n, 0) AS n_events,
+       |  h.n IS NULL AS is_gap,
+       |  last_value(h.value_sum IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.hour_epoch
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+       |FROM grid g LEFT JOIN hourly h
+       |  ON g.user_id = h.user_id AND g.hour_epoch = h.hour_epoch
+       |ORDER BY g.user_id, g.hour_epoch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w09_gap_fill" -> (w09GapFill _),
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
     "w03_running_total" -> (w03RunningTotal _),
@@ -331,6 +405,7 @@ object WindowOps {
     "w07_interval_join" -> (w07IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "w09_gap_fill" -> w09Sql,
     "w01_top_per_group" -> w01Sql,
     "w02_lag_delta" -> w02Sql,
     "w03_running_total" -> w03Sql,

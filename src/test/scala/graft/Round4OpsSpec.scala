@@ -111,6 +111,28 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(ppr.map(_.getLong(0)).exists(seeds.contains))
   }
 
+  test("w09 gap-filled grid tiles each user's span exactly, gaps carry the fill") {
+    val rows = WindowOps.w09GapFill(spark, SfMid).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val hours = rs.map(_.getLong(1)).sorted
+      // complete hourly tiling: span/3600 + 1 rows, consecutive steps
+      assert(hours.length == (hours.last - hours.head) / 3600 + 1,
+        s"user $u grid not complete")
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L })
+      // first row observed; every gap row repeats the last observed value
+      val sortedRs = rs.sortBy(_.getLong(1))
+      assert(!sortedRs.head.getBoolean(3), s"user $u leading gap")
+      sortedRs.sliding(2).foreach {
+        case Array(prev, cur) if cur.getBoolean(3) =>
+          assert(cur.getDouble(4) == prev.getDouble(4),
+            s"user $u gap at ${cur.getLong(1)} broke the forward fill")
+        case _ =>
+      }
+    }
+    assert(rows.exists(_.getBoolean(3)), "testdata must contain gap hours")
+  }
+
   test("q18 correlated subqueries decorrelate to joins, no per-row re-execution") {
     val p = graft.operators.Relational
       .q18CorrelatedSubqueries(spark, SfMid)
