@@ -249,7 +249,66 @@ object Analytics {
        |  ${Det.sqlR("CAST((SELECT count(*) FROM s2) AS DOUBLE) / (SELECT count(*) FROM s1)", 4)} AS conv_view,
        |  ${Det.sqlR("CAST((SELECT count(*) FROM s3) AS DOUBLE) / (SELECT count(*) FROM s2)", 4)} AS conv_purchase""".stripMargin
 
+  /** a06 — behavior co-occurrence LIFT (market-basket over event types):
+    * for every event-type pair, how much more often do both appear in
+    * the SAME user's history than independence predicts —
+    * lift = P(a∧b) / (P(a)·P(b)) over the user population. Lift > 1 is
+    * the cross-sell / risk-bundle signal; the graph layer's edges count
+    * co-occurrence, this NORMALIZES it by marginal prevalence.
+    *
+    * Scale: the self-join runs on the user×type DISTINCT set (≤ |users|
+    * × |type domain|, tiny vs events), type marginals and the user total
+    * are broadcast one-row/few-row frames, and the division is one
+    * deterministic double op snapped at 4 dp. The event scan happens
+    * once, map-side combined into the distinct.
+    */
+  def a06CooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct().cache()
+    val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.alias("a")
+      .join(ut.alias("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        Det.r(col("n_both").cast("double") * col("n_users")
+          / (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val a06Sql =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |totals AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |           FROM ut),
+       |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+       |         FROM ut GROUP BY 1),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |            CAST(count(*) AS BIGINT) AS n_both
+       |          FROM ut a JOIN ut b ON a.user_id = b.user_id
+       |            AND a.event_type < b.event_type
+       |          GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_both, ma.n AS n_a, mb.n AS n_b,
+       |  ${Det.sqlR(
+      "CAST(n_both AS DOUBLE) * n_users / (ma.n * mb.n)", 4)} AS lift
+       |FROM pairs
+       |JOIN marg ma ON ma.event_type = type_a
+       |JOIN marg mb ON mb.event_type = type_b
+       |CROSS JOIN totals
+       |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a06_cooccurrence_lift" -> (a06CooccurrenceLift _),
     "a01_shipping_priority" -> (a01ShippingPriority _),
     "a02_local_supplier_volume" -> (a02LocalSupplierVolume _),
     "a03_pricing_summary" -> (a03PricingSummary _),
@@ -257,6 +316,7 @@ object Analytics {
     "a05_funnel" -> (a05Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "a06_cooccurrence_lift" -> a06Sql,
     "a01_shipping_priority" -> a01Sql,
     "a02_local_supplier_volume" -> a02Sql,
     "a03_pricing_summary" -> a03Sql,
