@@ -215,7 +215,45 @@ object FraudML {
       .orderBy("max_depth")
   }
 
+  /** m06 — LogisticRegression baseline + CALIBRATION table: the linear
+    * model every tree ensemble should be benchmarked against (when the
+    * lift over LR is small, ship LR — faster to train, monotone,
+    * explainable), plus the 10-bin reliability table (mean predicted
+    * probability vs observed positive rate per bin) that tells a
+    * consumer whether the scores are usable AS probabilities — GBT
+    * margins notoriously aren't without calibration.
+    *
+    * Scale: LR trains via L-BFGS on `treeAggregate`d gradients — one
+    * pass per iteration, no driver-side data; the calibration table is
+    * one bounded groupBy over predictions. Rows-only like m02–m04
+    * (training is partitioning-sensitive); the spec pins bin coverage
+    * and probability bounds instead.
+    */
+  def m06LrCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    val (train, test) = split(s, dir)
+    val lr = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(20)
+      .fit(train.cache())
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
+      .getItem(1)
+    lr.transform(test)
+      .select(col("label"), p1.as("p"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Det.r(
+          sum(col("p").cast("decimal(38,8)")).cast("double")
+            / count(lit(1)), 4).as("mean_pred"),
+        graft.operators.Det.r(
+          sum(col("label").cast("decimal(38,8)")).cast("double")
+            / count(lit(1)), 4).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_lr_calibration" -> (m06LrCalibration _),
     "m01_feature_vectors" -> (m01FeatureVectors _),
     "m02_split_sizes" -> (m02SplitSizes _),
     "m03_gbt_confusion" -> (m03GbtConfusion _),

@@ -92,6 +92,22 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.count(_.getBoolean(2)) == 1, "exactly one best grid point")
   }
 
+  test("m06 LR calibration bins are well-formed and cover the test set") {
+    val rows = FraudML.m06LrCalibration(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val (_, test) = FraudML.split(spark, dir)
+    assert(rows.map(_.getLong(1)).sum == test.count(),
+      "bins must partition the test set")
+    rows.foreach { r =>
+      val (bin, mp, pr) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      assert(bin >= 0 && bin <= 9)
+      assert(mp >= 0.0 && mp <= 1.0 && pr >= 0.0 && pr <= 1.0)
+      // mean predicted probability lies inside its own bin's range
+      assert(mp >= bin / 10.0 - 1e-9 && mp <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_pred $mp outside bin range")
+    }
+  }
+
   test("M8 save/load round-trip predicts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
     val loaded = FraudML.saveLoad(spark, dir, tmp)
