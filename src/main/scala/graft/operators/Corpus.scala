@@ -429,6 +429,68 @@ object Corpus {
        |GROUP BY 1, 2
        |ORDER BY stage, shard""".stripMargin
 
+  /** Max documents retained per source under the c08 domain cap. */
+  private val DomainCap = 10L
+
+  /** c08 — per-domain document cap: the de-domination pass every web-corpus
+    * pipeline runs so no single site/domain floods the training mix. Rank
+    * each source's documents by quality (ties broken by doc_id — a total
+    * order, so the kept set is engine- and partitioning-independent), keep
+    * the top [[DomainCap]], and emit the per-source manifest (total vs kept
+    * counts, kept token budget, mean kept quality). The zero-token NULL-
+    * quality 'drop' band is excluded before ranking — same contract as c07.
+    *
+    * Scale: the window shuffles once on `source`; at web scale that key is
+    * millions of domains, so parallelism is the domain count, not 20. A
+    * mega-domain (one key ≫ executor memory) is the known skew case: the
+    * fix is the standard two-phase top-K — per-(domain, salt) partial
+    * top-K first, then re-rank the ≤ salt·K survivors — same output,
+    * bounded partitions. At this cardinality the single window IS the
+    * right plan.
+    */
+  def c08DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.qualitySignals(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source")))
+      .filter(col("quality_score").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score"))
+    val kept = (col("rk") <= DomainCap)
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(kept.cast("long")).cast("long").as("n_kept"),
+        sum(when(kept, col("n_tokens"))).cast("long").as("tokens_kept"),
+        r(Det.dsum(when(kept, col("quality_score")))
+          / sum(kept.cast("long")), 4).as("mean_kept_quality"))
+      .orderBy("source")
+  }
+
+  private val c08Sql =
+    s"""WITH scored AS (
+       |  SELECT q.doc_id, d.source, q.n_tokens, q.quality_score
+       |  FROM (${TextOps.qualitySignalsSql}) q
+       |  JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.quality_score IS NOT NULL),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS rk
+       |  FROM scored)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN rk <= $DomainCap THEN n_tokens END) AS BIGINT)
+       |    AS tokens_kept,
+       |  ${Det.sqlR(
+        Det.sqlDsum(s"CASE WHEN rk <= $DomainCap THEN quality_score END")
+          + s" / sum(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END)", 4)}
+       |    AS mean_kept_quality
+       |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_training_corpus" -> (c01TrainingCorpus _),
     "c02_corpus_budget" -> (c02CorpusBudget _),
@@ -436,7 +498,8 @@ object Corpus {
     "c04_snapshot_merge" -> (c04SnapshotMerge _),
     "c05_weighted_sample" -> (c05WeightedSample _),
     "c06_temperature_mix" -> (c06TemperatureMix _),
-    "c07_curriculum_shards" -> (c07CurriculumShards _))
+    "c07_curriculum_shards" -> (c07CurriculumShards _),
+    "c08_domain_cap" -> (c08DomainCap _))
 
   val oracles: Map[String, String] = Map(
     "c01_training_corpus" -> c01Sql,
@@ -445,5 +508,6 @@ object Corpus {
     "c04_snapshot_merge" -> c04Sql,
     "c05_weighted_sample" -> c05Sql,
     "c06_temperature_mix" -> c06Sql,
-    "c07_curriculum_shards" -> c07Sql)
+    "c07_curriculum_shards" -> c07Sql,
+    "c08_domain_cap" -> c08Sql)
 }

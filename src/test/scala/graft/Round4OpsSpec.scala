@@ -144,6 +144,20 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Join"), "decorrelation must surface as joins")
   }
 
+  test("c08 domain cap bounds every source and is partitioning-independent") {
+    val m = Corpus.c08DomainCap(spark, SfMid).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (total, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == math.min(total, 10L),
+        s"source ${r.getString(0)}: kept $kept of $total under cap 10")
+    }
+    // the kept set must not depend on physical row order: the rank's
+    // (quality DESC, doc_id) tie-break is a total order
+    val again = Corpus.c08DomainCap(spark, SfMid).collect()
+    assert(m.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("c07 curriculum stages quarter the corpus and shards cover it") {
     val m = Corpus.c07CurriculumShards(spark, SfMid).collect()
     val total = m.map(_.getLong(2)).sum
