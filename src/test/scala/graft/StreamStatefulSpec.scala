@@ -61,6 +61,39 @@ class StreamStatefulSpec extends AnyFunSuite with SparkTestSession {
     assert(rows == Set((1L, "gold"), (2L, "basic"), (3L, "unknown")), s"got $rows")
   }
 
+  test("flatMapGroupsWithState emits velocity alerts and timer-driven silence alerts") {
+    implicit val ctx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    import graft.streaming.AlertStream
+    val ms = MemoryStream[String]
+    // user 1 (ids 1,8,15 → 1%7=1): 3 events → velocity; user 2 (id 2): one
+    ms.addData(
+      jsonEvent(1, "click", 1.0, "2024-01-01T10:00:00Z"),
+      jsonEvent(8, "click", 2.0, "2024-01-01T10:00:10Z"),
+      jsonEvent(15, "purchase", 4.0, "2024-01-01T10:00:20Z"),
+      jsonEvent(2, "click", 7.0, "2024-01-01T10:00:30Z"))
+    val q = AlertStream.alerts(
+        StreamPipeline.parse(ms.toDF().select(col("value"))))
+      .writeStream.format("memory").queryName("alerts_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark past both users' 2-min silence horizon…
+    ms.addData(jsonEvent(3, "click", 1.0, "2024-01-01T10:10:00Z"))
+    q.processAllAvailable()
+    // …then one more batch so the armed timers are evaluated against it
+    ms.addData(jsonEvent(4, "click", 1.0, "2024-01-01T10:12:00Z"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("alerts_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.contains((1L, "velocity", 3L, 7.0)), s"got $rows")
+    assert(rows.contains((1L, "went_silent", 3L, 7.0)), s"got $rows")
+    assert(rows.contains((2L, "went_silent", 1L, 7.0)), s"got $rows")
+    // users 3/4 are still inside their horizon: no silence alert for them
+    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L), s"got $rows")
+  }
+
   test("event-time stream-stream inner join within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
