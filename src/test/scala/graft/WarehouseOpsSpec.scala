@@ -10,6 +10,31 @@ import graft.sinks.MartPipeline
   */
 class WarehouseOpsSpec extends AnyFunSuite with SparkTestSession {
 
+  test("writeTo V2 lifecycle: create partitioned, append, overwrite one day") {
+    import graft.sinks.CatalogTables
+    import spark.implicits._
+    val t = "graft_v2_days"
+    val day1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
+      .toDF("id", "day", "v")
+    val day2 = Seq((3L, "2024-01-02", 30.0)).toDF("id", "day", "v")
+    CatalogTables.replaceWith(day1, t, "day")
+    CatalogTables.appendTo(day2, t)
+    assert(spark.table(t).count() == 3)
+    // catalog carries the partitioning: the table is day-partitioned
+    val parts = spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0))
+    assert(parts.toSet == Set("day=2024-01-01", "day=2024-01-02"), parts.toSeq)
+    // backfill day 1 only: day 2 must be untouched (dynamic overwrite)
+    val fix = Seq((9L, "2024-01-01", 99.0)).toDF("id", "day", "v")
+    CatalogTables.overwriteDay(fix, t)
+    val rows = spark.table(t).select("id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((9L, "2024-01-01"), (3L, "2024-01-02")), rows)
+    // partition pruning reaches the file scan when filtering on day
+    val pruned = spark.table(t).filter(col("day") === "2024-01-02")
+    assert(pruned.count() == 1)
+    CatalogTables.dropWithLocation(spark, t)
+  }
+
   test("w06 trailing-hour features match a brute-force recompute per user") {
     val busiest = Tables.events(spark, SfMid)
       .groupBy("user_id").agg(count(lit(1)).as("n"))
