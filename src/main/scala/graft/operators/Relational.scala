@@ -548,9 +548,36 @@ object Relational {
 
   private val q18Sql = q18Body("customer", "orders")
 
+  /** ONE literal SQL body for both engines: a correlated LATERAL subquery
+    * with ORDER BY … LIMIT — "top-2 customers per nation" written the way
+    * an analyst writes it, per-nation. Catalyst DECORRELATES the lateral
+    * limit into a window rank over one joined scan (DomainJoin rewrite) —
+    * so the plan is one shuffle + one bounded per-key sort, not |nation|
+    * re-executions of the inner query; that rewrite is what makes lateral
+    * SQL admissible at 100 TB. Inner lateral: nations with no customers
+    * drop out, identically in both engines.
+    */
+  private def q19Body(nation: String, customer: String) =
+    s"""SELECT n.n_name, t.c_name, t.c_acctbal
+       |FROM $nation n, LATERAL (
+       |  SELECT c_name, c_acctbal FROM $customer c
+       |  WHERE c.c_nationkey = n.n_nationkey
+       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  /** q19 — lateral top-n per group, decorrelated. */
+  def q19LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("q19_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("q19_customer")
+    s.sql(q19Body("q19_nation", "q19_customer"))
+  }
+
+  private val q19Sql = q19Body("nation", "customer")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_pipe_syntax" -> (q17PipeSyntax _),
     "q18_correlated_subqueries" -> (q18CorrelatedSubqueries _),
+    "q19_lateral_topn" -> (q19LateralTopn _),
     "q01_price_histogram_2d" -> (q01PriceHistogram2d _),
     "q02_class_distribution" -> (q02ClassDistribution _),
     "q03_multi_agg_stats" -> (q03MultiAggStats _),
@@ -572,6 +599,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q17_pipe_syntax" -> q17Sql,
     "q18_correlated_subqueries" -> q18Sql,
+    "q19_lateral_topn" -> q19Sql,
     "q01_price_histogram_2d" -> q01Sql,
     "q02_class_distribution" -> q02Sql,
     "q03_multi_agg_stats" -> q03Sql,

@@ -506,7 +506,44 @@ object RelationalExt {
        |GROUP BY 1, 2
        |ORDER BY fold, o_orderstatus""".stripMargin
 
+  /** e15 — unpivot (wide → long): the four lineitem measures melt into
+    * (measure, val) rows, then per-(returnflag, measure) stats — the
+    * reshape every metrics warehouse does before a generic "stats by
+    * metric" layer, and `e04_pivot`'s inverse. Spark's `unpivot` is a
+    * zero-shuffle narrow op (each input row expands to 4 in place); the
+    * only exchange is the final aggregation's. The oracle spells the same
+    * reshape as the portable UNION ALL — which IS the relational meaning
+    * of unpivot, so the comparison is definitional, not incidental.
+    */
+  def e15Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(col("val")).as("n"),
+        min(col("val")).as("mn"), max(col("val")).as("mx"),
+        Det.r(Det.dsum(col("val")), 4).as("total"))
+      .orderBy("l_returnflag", "measure")
+
+  private val e15Sql = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(m => s"SELECT l_returnflag, '$m' AS measure, $m AS val FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH long AS (
+       |  $arms)
+       |SELECT l_returnflag, measure, CAST(count(val) AS BIGINT) AS n,
+       |  min(val) AS mn, max(val) AS mx,
+       |  ${Det.sqlR(Det.sqlDsum("val"), 4)} AS total
+       |FROM long GROUP BY 1, 2
+       |ORDER BY l_returnflag, measure""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_unpivot" -> (e15Unpivot _),
     "e13_cube" -> (e13Cube _),
     "e14_cv_folds" -> (e14CvFolds _),
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
@@ -521,6 +558,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e15_unpivot" -> e15Sql,
     "e13_cube" -> e13Sql,
     "e14_cv_folds" -> e14Sql,
     "e01_semi_anti_join" -> e01Sql,

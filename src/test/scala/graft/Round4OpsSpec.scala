@@ -158,6 +158,16 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(m.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q19 lateral limit decorrelates to a windowed join, no nested loop") {
+    val p = graft.operators.Relational
+      .q19LateralTopn(spark, SfMid)
+      .queryExecution.executedPlan.toString()
+    // the LATERAL ... LIMIT must rewrite to a rank-style window over one
+    // joined scan, never a per-nation re-execution (nested-loop shape)
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("Window"), "lateral limit should surface as a window rank")
+  }
+
   test("c07 curriculum stages quarter the corpus and shards cover it") {
     val m = Corpus.c07CurriculumShards(spark, SfMid).collect()
     val total = m.map(_.getLong(2)).sum
