@@ -238,6 +238,68 @@ object Components {
        |SELECT id, CAST(min(hops) AS BIGINT) AS hops
        |FROM reach GROUP BY 1 ORDER BY hops, id""".stripMargin
 
+  /** Relaxation rounds (= max path edges) for [[fraudCostDistance]]. */
+  val CostHops = 3
+
+  /** g17 — min-COST distance to confirmed fraud: [[fraudDistance]]'s
+    * weighted twin. Runs [[CostHops]] Bellman–Ford relaxation rounds over
+    * the amount-weighted co-occurrence edges (g05), so a vertex's value
+    * is the cheapest total edge amount over any path of ≤ 3 edges from a
+    * seed — hop count says "how close to known bad", path cost says "how
+    * much fraud value flows along the cheapest route there", the feature
+    * pair a risk model wants together.
+    *
+    * Edge cost is INTEGER CENTS (`round(amount·100)` on g05's 2-dp
+    * amounts): path costs are bigint sums, so min() comparisons are
+    * exact in both engines — no float-accumulation drift along paths.
+    * The oracle unrolls the same three rounds as chained CTEs (d1..d3),
+    * each a min-merge of the previous round with one edge extension:
+    * Bellman–Ford IS that recurrence, so the comparison is definitional.
+    *
+    * Scale: identical shape to [[fraudDistance]] — per round one shuffle
+    * keyed by vertex id against the statically-partitioned edge cache,
+    * per-vertex min with map-side partial aggregation, lineage cut per
+    * round. Rounds are fixed, not data-dependent.
+    */
+  def fraudCostDistance(s: SparkSession, dir: String): DataFrame = {
+    val edges = CoGraph.weightedEdges(s, dir)
+      .select(col("src"), col("dst"),
+        round(col("amount") * 100).cast("long").as("cost"))
+      .repartition(col("src")).cache()
+    var dist = PageRankOps.confirmedOffenders(s, dir)
+      .select(col("id"), lit(0L).as("cost"))
+    for (_ <- 1 to CostHops) {
+      val relaxed = dist.alias("d")
+        .join(edges.alias("e"), col("d.id") === col("e.src"))
+        .select(col("e.dst").as("id"), (col("d.cost") + col("e.cost")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("id").agg(min(col("cost")).as("cost"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("cost", "id")
+  }
+
+  val fraudCostDistanceSql: String = {
+    val steps = (1 to CostHops).map { k =>
+      s"""d$k AS (
+         |  SELECT id, min(cost) AS cost FROM (
+         |    SELECT id, cost FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.cost + e.cost AS cost
+         |    FROM d${k - 1} d JOIN wedges e ON d.id = e.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CoGraph.weightsCte},
+       |wedges AS (
+       |  SELECT src, dst,
+       |         CAST(round(round(amount, 2) * 100) AS BIGINT) AS cost
+       |  FROM weights),
+       |seeds AS (${PageRankOps.confirmedSeedsSql}),
+       |d0 AS (SELECT id, CAST(0 AS BIGINT) AS cost FROM seeds),
+       |$steps
+       |SELECT id, cost FROM d$CostHops ORDER BY cost, id""".stripMargin
+  }
+
   /** Fixed superstep count for [[labelPropagation]]. */
   val LpaIterations = 3
 

@@ -20,7 +20,8 @@ object GraphQueries {
     "g13_fraud_distance" -> (Components.fraudDistance _),
     "g14_label_propagation" -> (Components.lpaQ _),
     "g15_kcore" -> (Components.kcoreQ _),
-    "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _))
+    "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
+    "g17_fraud_cost_distance" -> (Components.fraudCostDistance _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -41,6 +42,7 @@ object GraphQueries {
     "g13_fraud_distance" -> Components.fraudDistanceSql,
     "g14_label_propagation" -> Components.lpaQSql,
     "g15_kcore" -> Components.kcoreQSql,
-    "g16_personalized_pagerank" -> PageRankOps.pprSql()
+    "g16_personalized_pagerank" -> PageRankOps.pprSql(),
+    "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql
   )
 }

@@ -542,7 +542,51 @@ object RelationalExt {
        |ORDER BY l_returnflag, measure""".stripMargin
   }
 
+  /** e16 — collation-aware aggregation (Spark 4 COLLATE): group mixed-case
+    * segment labels under UTF8_LCASE so "BUILDING" and "building" land in
+    * ONE group at the STRING TYPE level — no lower() rewrite sprinkled
+    * over every predicate and join the way pre-collation pipelines do.
+    * Case variance is synthesized deterministically (even keys upper, odd
+    * lower) since the testdata is single-case. The projected group label
+    * is `lower(seg)` cast back to a plain string: a collated group's
+    * "representative" value is whichever the engine saw first — not
+    * deterministic across partitionings — so the output normalizes it,
+    * and the result parquet carries no collation in its schema.
+    *
+    * Scale: collation-aware grouping hashes the COLLATION KEY, so the
+    * exchange partitions case-variants together by construction — same
+    * shuffle count as the lower() spelling, but the intent lives in the
+    * type where every downstream join/distinct inherits it.
+    */
+  def e16Collation(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("e16_customer")
+    s.sql(
+      s"""SELECT CAST(lower(seg) AS STRING) AS segment,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Det.sqlR(Det.sqlDsum("c_acctbal"), 2)} AS total_bal
+         |FROM (
+         |  SELECT (CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+         |               ELSE lower(c_mktsegment) END) COLLATE UTF8_LCASE
+         |           AS seg,
+         |         c_acctbal
+         |  FROM e16_customer)
+         |GROUP BY seg
+         |ORDER BY segment""".stripMargin)
+  }
+
+  private val e16Sql =
+    s"""SELECT lower(seg) AS segment, CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.sqlR(Det.sqlDsum("c_acctbal"), 2)} AS total_bal
+       |FROM (
+       |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+       |              ELSE lower(c_mktsegment) END AS seg,
+       |         c_acctbal
+       |  FROM customer)
+       |GROUP BY lower(seg)
+       |ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_collation" -> (e16Collation _),
     "e15_unpivot" -> (e15Unpivot _),
     "e13_cube" -> (e13Cube _),
     "e14_cv_folds" -> (e14CvFolds _),
@@ -558,6 +602,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e16_collation" -> e16Sql,
     "e15_unpivot" -> e15Sql,
     "e13_cube" -> e13Sql,
     "e14_cv_folds" -> e14Sql,
