@@ -94,6 +94,46 @@ class StreamStatefulSpec extends AnyFunSuite with SparkTestSession {
     assert(!rows.exists(r => r._1 == 3L || r._1 == 4L), s"got $rows")
   }
 
+  test("stream-stream LEFT OUTER join emits the null row only after the watermark closes the window") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[String]
+    val buys = MemoryStream[String]
+    clicks.addData(
+      jsonEvent(10, "click", 1.0, "2024-01-01T10:00:00Z"),  // converts
+      jsonEvent(11, "click", 1.0, "2024-01-01T10:01:00Z"))  // never buys
+    buys.addData(
+      jsonEvent(10, "purchase", 9.0, "2024-01-01T10:04:00Z"))
+    def side(ms: MemoryStream[String], prefix: String) =
+      StreamPipeline.parse(ms.toDF().select(col("value")))
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"), col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "10 minutes")
+    val joined = side(clicks, "c").join(side(buys, "b"),
+      expr("c_user = b_user AND b_ts BETWEEN c_ts AND c_ts + INTERVAL 5 MINUTES"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssoj_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // the matched pair can emit now; the unmatched click CANNOT — a buy
+    // might still arrive until the watermark passes c_ts + 5 min + delay
+    val early = spark.table("ssoj_t").collect()
+      .map(r => (r.getLong(0), r.isNullAt(3))).toSet
+    assert(early == Set((10L, false)), s"got $early")
+    // push both watermarks far past the horizon, then one more batch so
+    // the outer state is evaluated against the advanced watermark
+    clicks.addData(jsonEvent(12, "click", 1.0, "2024-01-01T11:00:00Z"))
+    buys.addData(jsonEvent(13, "purchase", 1.0, "2024-01-01T11:00:00Z"))
+    q.processAllAvailable()
+    clicks.addData(jsonEvent(14, "click", 1.0, "2024-01-01T11:30:00Z"))
+    buys.addData(jsonEvent(15, "purchase", 1.0, "2024-01-01T11:30:00Z"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssoj_t").collect()
+      .map(r => (r.getLong(0), r.isNullAt(3))).toSet
+    // click 11 now appears, with a NULL buy side
+    assert(rows.contains((11L, true)), s"got $rows")
+  }
+
   test("event-time stream-stream inner join within the watermark horizon") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
