@@ -9,6 +9,40 @@ import graft.sources.Ingest
 /** Mart pipeline (SURVEY.md §2.11) and source/sink surface (§2.1). */
 class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
 
+  test("line-protocol V2 connector round-trips, prunes columns, pushes tag filters") {
+    import graft.sources.LineProtocolSource
+    import graft.streaming.StreamPipeline.lineProtocol
+    val dir = java.nio.file.Files.createTempDirectory("lp_spec")
+    def put(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        String.join("\n", lines: _*).getBytes)
+    put("batch0.lp", Seq(
+      lineProtocol("transactions", "error", 1L, 5.5, 1704103200000000L),
+      lineProtocol("transactions", "click", 2L, 1.0, 1704103260000000L),
+      "garbage line that must be skipped"))
+    put("batch1.lp", Seq(
+      lineProtocol("transactions", "error", 3L, 7.25, 1704103320000000L)))
+    val fmt = classOf[LineProtocolSource].getName
+    val df = spark.read.format(fmt).load(dir.toString)
+    // one partition per file; malformed lines dropped, values round-trip
+    assert(df.rdd.getNumPartitions == 2)
+    val rows = df.orderBy("event_id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(5.5, 1.0, 7.25))
+    // ns on the wire → micros in TimestampType, exactly
+    assert(rows.head.getTimestamp(4).getTime == 1704103200000L)
+    // column pruning reaches the scan: the leaf outputs only 2 columns
+    val pruned = spark.read.format(fmt).load(dir.toString)
+      .select("event_id", "value")
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("event_id", "value"), leaf.output)
+    // tag-equality pushdown filters before row materialization; a
+    // non-pushable predicate still applies as the residual
+    val errs = spark.read.format(fmt).load(dir.toString)
+      .filter(col("type_tag") === "error").filter(col("value") > 6.0)
+    assert(errs.collect().map(_.getLong(2)).toSeq == Seq(3L))
+  }
+
   test("mart pipeline writes six tables and the mart reconciles with level 1") {
     val tmp = java.nio.file.Files.createTempDirectory("mart_spec").toString
     val sink = new ParquetSink(tmp)
