@@ -252,7 +252,32 @@ object FraudML {
       .orderBy("bin")
   }
 
+  /** m07 — GBT feature importances: the per-feature impurity-gain shares
+    * (Hastie et al. §10.13 as MLlib computes them — summed over every
+    * split that uses the feature, normalized to 1) joined back to the
+    * feature NAMES, because an importance vector without names is the
+    * table nobody can read. The model-introspection export every fraud
+    * team publishes next to the AUC: which signals the ensemble actually
+    * uses. Rows-only like every training-dependent query (same memoized
+    * model as m03/m04); the spec pins the invariants (simplex: all ≥ 0,
+    * sum = 1, one row per feature).
+    *
+    * Scale: the importance vector is `numFeatures` long and lives on the
+    * driver — this is a metadata query; only training was distributed.
+    */
+  def m07FeatureImportances(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (model, _) = trained(s, dir)
+    val imp = model.featureImportances.toArray
+    FeatureCols.zip(imp).toSeq.toDF("feature", "importance")
+      .select(col("feature"),
+        org.apache.spark.sql.functions.round(col("importance"), 6)
+          .as("importance"))
+      .orderBy(col("importance").desc, col("feature"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_feature_importances" -> (m07FeatureImportances _),
     "m06_lr_calibration" -> (m06LrCalibration _),
     "m01_feature_vectors" -> (m01FeatureVectors _),
     "m02_split_sizes" -> (m02SplitSizes _),

@@ -108,6 +108,18 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("m07 feature importances form a named simplex over the feature set") {
+    val rows = FraudML.m07FeatureImportances(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq
+      == FraudML.FeatureCols.sorted.toSeq, "one row per named feature")
+    val imps = rows.map(_.getDouble(1))
+    assert(imps.forall(_ >= 0.0))
+    // 6-dp rounding: the simplex sum holds to rounding tolerance
+    assert(math.abs(imps.sum - 1.0) < 1e-5, s"sum ${imps.sum}")
+    // descending order with name tie-break
+    assert(imps.sameElements(imps.sortBy(-_)), "must be sorted by weight")
+  }
+
   test("M8 save/load round-trip predicts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
     val loaded = FraudML.saveLoad(spark, dir, tmp)
