@@ -50,12 +50,30 @@ object FraudML {
       .select("l_orderkey", "l_linenumber", "features", "label")
   }
 
-  /** M2: the reference's 80/20 seed-42 split. */
-  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val Array(train, test) = assemble(s, dir)
-      .randomSplit(Array(0.8, 0.2), seed = Seed)
-    (train, test)
-  }
+  /** M2: the reference's 80/20 seed-42 split — memoized AND materialized
+    * per (session, dir). `randomSplit` is seeded but PARTITIONING-
+    * sensitive (the m02 rows-only contract): two evaluations under
+    * different cache/AQE states can deal rows differently, so handing
+    * callers lazy frames would let "the split" silently change between a
+    * trainer and its evaluator. The pin is an EAGER `localCheckpoint`,
+    * not `cache()`: cached frames live in the catalog's cache manager,
+    * where any concurrent `clearCache()` evicts them and the next action
+    * silently re-deals — a checkpoint cuts the lineage, so the deal can
+    * never be recomputed, only read. Every consumer (m02–m07, specs)
+    * observes the same train/test sets.
+    */
+  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    splitMemo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(dir, _ => {
+        val Array(train, test) = assemble(s, dir)
+          .randomSplit(Array(0.8, 0.2), seed = Seed)
+        (train.localCheckpoint(true), test.localCheckpoint(true))
+      })
+
+  private val splitMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]())
 
   /** One trained model + its test predictions per (session, dir) — the m*
     * queries share a single training run, like the reference notebook keeps
@@ -232,13 +250,23 @@ object FraudML {
   def m06LrCalibration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.classification.LogisticRegression
     val (train, test) = split(s, dir)
-    val lr = new LogisticRegression()
+    val fitted = new LogisticRegression()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxIter(20)
       .fit(train.cache())
-    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))
-      .getItem(1)
-    lr.transform(test)
+    // score via NATIVE expressions from the model's coefficients instead of
+    // model.transform: the fitted model object carries its trainingSummary
+    // (copy() re-attaches it), whose captured SparkSession makes any task
+    // closure shipping the model fail "Task not serializable". A binary-LR
+    // probability is just sigmoid(coef·x + b) — spelled in Catalyst it
+    // stays whole-stage-codegen'd and ships ~6 doubles, not a JVM object,
+    // which is also the right scoring shape at 100 TB
+    val fa = org.apache.spark.ml.functions.vector_to_array(col("features"))
+    val margin = fitted.coefficients.toArray.zipWithIndex
+      .map { case (c, i) => fa.getItem(i) * lit(c) }
+      .reduce(_ + _) + lit(fitted.intercept)
+    val p1 = lit(1.0) / (lit(1.0) + exp(-margin))
+    test
       .select(col("label"), p1.as("p"))
       .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
       .groupBy("bin")
