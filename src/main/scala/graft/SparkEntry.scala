@@ -65,6 +65,6 @@ object SparkEntry {
     "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank",
     "v07_ann_ivfpq", "e13_cube", "t15_novelty_rate", "t16_bpe_merges",
     "v08_ann_binary", "v09_ann_sq", "w09_gap_fill", "a06_cooccurrence_lift",
-    "c08_domain_cap", "g17_fraud_cost_distance"
+    "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup"
   ).filter(queries.contains)
 }

@@ -463,17 +463,112 @@ object LmOps {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** Rolling-window width (tokens) for [[t17SpanDedup]]. */
+  val SpanW = 8
+
+  /** t17 — duplicated-SUBSTRING accounting (the ExactSubstr shape of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): slide a [[SpanW]]-token window over every document, find
+    * windows that occur in ≥ 2 DISTINCT documents, and report per document
+    * how much of its text sits under at least one such duplicated window —
+    * window counts, covered-token count (the exact interval-union of the
+    * duplicated windows' spans, via the sorted-starts `least(W, next−s)`
+    * telescope) and the covered fraction. Document-level near-dedup (d03)
+    * misses partial overlap — a quote, a syndicated paragraph — which is
+    * exactly what this catches; the coverage column is what ExactSubstr
+    * would cut.
+    *
+    * Scale: the window table is n_tokens rows per doc (the same order as
+    * the shingle tables d02–d06 already carry); the df aggregate is the
+    * word-count shape with map-side combine. The duplicated-window set is
+    * NOT broadcast (unlike t10's frequent lines it is corpus-sized in the
+    * worst case) — membership is a shuffle equi-join on the window text,
+    * bounded by distinct windows; at 100 TB hash the window to 8 bytes
+    * first (xxhash64, exactly d06's dictionary-free trick). The coverage
+    * window partitions by doc_id — per-task state is one doc's dup starts.
+    */
+  def t17SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .cache()
+    val wins = toks.filter(col("n_tokens") >= SpanW)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - lit(SpanW - 1))).as("s"),
+        col("t"))
+      .select(col("doc_id"), col("s"),
+        concat_ws(" ", slice(col("t"), col("s"), lit(SpanW))).as("win"))
+      .cache()
+    val dup = wins.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("win")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val cov = wins.join(dup, Seq("win"))
+      .withColumn("nxt", lead(col("s"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(least(lit(SpanW.toLong),
+          coalesce(col("nxt") - col("s"), lit(SpanW.toLong))))
+          .cast("long").as("covered_tokens"))
+    toks.select("doc_id", "n_tokens")
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - lit(SpanW - 1L), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          r(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"), 4)).otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private def t17Sql = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, $t AS t FROM documents)),
+       |wins AS (
+       |  SELECT doc_id, s, array_to_string(t[s:s + ${SpanW - 1}], ' ') AS win
+       |  FROM (SELECT doc_id, t,
+       |          unnest(range(1, len(t) - ${SpanW - 2})) AS s
+       |        FROM toks WHERE n_tokens >= $SpanW)),
+       |dup AS (SELECT win FROM (
+       |          SELECT win, count(DISTINCT doc_id) AS df
+       |          FROM wins GROUP BY 1)
+       |        WHERE df >= 2),
+       |cov AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+       |    CAST(sum(least($SpanW, coalesce(nxt - s, $SpanW))) AS BIGINT)
+       |      AS covered_tokens
+       |  FROM (SELECT w.doc_id, w.s,
+       |          lead(w.s) OVER (PARTITION BY w.doc_id ORDER BY w.s) AS nxt
+       |        FROM wins w JOIN dup d ON w.win = d.win)
+       |  GROUP BY 1)
+       |SELECT t.doc_id, t.n_tokens,
+       |  greatest(t.n_tokens - ${SpanW - 1}, 0) AS n_windows,
+       |  coalesce(c.dup_windows, 0) AS dup_windows,
+       |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+       |  CASE WHEN t.n_tokens > 0 THEN
+       |    ${rSql("coalesce(c.covered_tokens, 0) / CAST(t.n_tokens AS DOUBLE)", 4)}
+       |  ELSE 0.0 END AS dup_frac
+       |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_line_dedup" -> (t10LineDedup _),
     "t11_lm_score" -> (t11LmScore _),
     "t12_tfidf" -> (t12Tfidf _),
     "t15_novelty_rate" -> (t15NoveltyRate _),
-    "t16_bpe_merges" -> (t16BpeMerges _))
+    "t16_bpe_merges" -> (t16BpeMerges _),
+    "t17_span_dedup" -> (t17SpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "t10_line_dedup" -> t10Sql,
     "t11_lm_score" -> t11Sql,
     "t12_tfidf" -> t12Sql,
     "t15_novelty_rate" -> t15Sql,
-    "t16_bpe_merges" -> t16Sql)
+    "t16_bpe_merges" -> t16Sql,
+    "t17_span_dedup" -> t17Sql)
 }

@@ -154,4 +154,54 @@ class LmOpsSpec extends AnyFunSuite with SparkTestSession {
       (3L, "b", "an", "ban", 3L))
     assert(got.toSeq == want, s"got ${got.mkString(", ")}")
   }
+
+  test("t17 span dedup matches the hand-computed coverage golden") {
+    // W = 8. doc 1 and doc 4 are byte-identical (10 tokens → all 3 windows
+    // duplicated, interval union 1+1+8 = 10 = full coverage); doc 2 embeds
+    // doc 1's first 8-token span mid-text (1 dup window → 8 of 10 tokens
+    // covered); doc 3 is below W (no windows at all).
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val d = java.nio.file.Files.createTempDirectory("span_golden").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val texts = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x a b c d e f g h y",
+      3L -> "p q r s t u v",
+      4L -> "a b c d e f g h i j")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          texts.map { case (id, tx) => R(id, tx, "en", "s", tx.length.toLong) }, 2),
+        schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = LmOps.t17SpanDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val want = Seq(
+      (1L, 10L, 3L, 3L, 10L, 1.0),
+      (2L, 10L, 3L, 1L, 8L, 0.8),
+      (3L, 7L, 0L, 0L, 0L, 0.0),
+      (4L, 10L, 3L, 3L, 10L, 1.0))
+    assert(got.toSeq == want, s"got ${got.mkString(", ")}")
+  }
+
+  test("t17 coverage invariants hold corpus-wide") {
+    val rows = LmOps.t17SpanDedup(spark, SfMid).collect()
+    assert(rows.length == Tables.documents(spark, SfMid).count().toInt,
+      "every document must get a row")
+    rows.foreach { r =>
+      val (id, n, nw, dw, cov) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(dw <= nw, s"doc $id: dup windows exceed window count")
+      assert(cov <= n, s"doc $id: coverage exceeds document length")
+      assert(cov <= dw * LmOps.SpanW, s"doc $id: coverage exceeds dw*W")
+      assert(dw == 0 || cov >= LmOps.SpanW,
+        s"doc $id: a dup window must cover at least W tokens")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0,
+        s"doc $id: dup_frac out of [0,1]")
+    }
+  }
 }
