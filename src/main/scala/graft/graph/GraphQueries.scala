@@ -21,7 +21,8 @@ object GraphQueries {
     "g14_label_propagation" -> (Components.lpaQ _),
     "g15_kcore" -> (Components.kcoreQ _),
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
-    "g17_fraud_cost_distance" -> (Components.fraudCostDistance _)
+    "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
+    "g18_hits" -> (PageRankOps.g18Hits _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -43,6 +44,7 @@ object GraphQueries {
     "g14_label_propagation" -> Components.lpaQSql,
     "g15_kcore" -> Components.kcoreQSql,
     "g16_personalized_pagerank" -> PageRankOps.pprSql(),
-    "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql
+    "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
+    "g18_hits" -> PageRankOps.g18Sql
   )
 }

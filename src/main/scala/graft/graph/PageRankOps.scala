@@ -286,4 +286,75 @@ object PageRankOps {
       .orderBy(col("pagerank").desc, col("id"))
       .limit(50)
   }
+
+  /** Top-k per role for [[g18Hits]]. */
+  val HitsTopK = 10
+
+  /** g18 — HITS hub/authority scores (Kleinberg) over the customer →
+    * supplier purchase bipartite (distinct `(o_custkey, l_suppkey)` pairs
+    * from orders ⋈ lineitem): hubs are customers who buy from many
+    * authoritative suppliers; authorities are suppliers bought from by
+    * many strong hubs. The mutually-recursive complement of g06/g16's
+    * single-score PageRank family — the right lens on BIPARTITE structure,
+    * where PageRank's one score conflates the two roles.
+    *
+    * Two sweeps UNNORMALIZED with unit edge weights and hub₀ = 1, so every
+    * score is an INTEGER path count (auth₁ = in-degree, hub₁ = Σ auth₁,
+    * auth₂ = Σ hub₁, hub₂ = Σ auth₂): per-iteration normalization only
+    * rescales the ranking, and dropping it makes the whole loop exact
+    * BIGINT arithmetic — no float summation discipline needed, unlike the
+    * PageRank oracles' round(…,10) envelope.
+    *
+    * Scale: the edge list is cached and pre-partitioned on `src` once;
+    * each sweep is two shuffle aggregates over it (the g06 discipline);
+    * the per-role top-k plans TakeOrderedAndProject, never a global sort.
+    */
+  def g18Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+      .repartition(col("src")).cache()
+    val auth1 = edges.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("a"))
+    val hub1 = edges.join(auth1, col("dst") === col("id"))
+      .groupBy("src").agg(sum(col("a")).as("h"))
+    val auth2 = edges.join(hub1, Seq("src"))
+      .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+    val hub2 = edges.join(auth2, col("dst") === col("id"))
+      .groupBy("src").agg(sum(col("a")).as("h"))
+    val topHubs = hub2
+      .select(lit("hub").as("role"), col("src").as("id"),
+        col("h").cast("long").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(HitsTopK)
+    val topAuths = auth2
+      .select(lit("authority").as("role"), col("id"),
+        col("a").cast("long").as("score"))
+      .orderBy(col("score").desc, col("id")).limit(HitsTopK)
+    topHubs.unionByName(topAuths)
+      .orderBy(col("role"), col("score").desc, col("id"))
+  }
+
+  val g18Sql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |auth1 AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS a
+       |          FROM edges GROUP BY 1),
+       |hub1 AS (SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h
+       |         FROM edges e JOIN auth1 a ON e.dst = a.id GROUP BY 1),
+       |auth2 AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+       |          FROM edges e JOIN hub1 h ON e.src = h.src GROUP BY 1),
+       |hub2 AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+       |         FROM edges e JOIN auth2 a ON e.dst = a.id GROUP BY 1)
+       |SELECT * FROM (
+       |  SELECT 'hub' AS role, id, h AS score FROM (
+       |    SELECT id, h FROM hub2 ORDER BY h DESC, id LIMIT $HitsTopK)
+       |  UNION ALL
+       |  SELECT 'authority' AS role, id, a AS score FROM (
+       |    SELECT id, a FROM auth2 ORDER BY a DESC, id LIMIT $HitsTopK))
+       |ORDER BY role, score DESC, id""".stripMargin
 }

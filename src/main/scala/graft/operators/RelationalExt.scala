@@ -469,6 +469,40 @@ object RelationalExt {
 
   private val e13Sql = e13Body("orders", "customer", "nation")
 
+  /** e17 — explicit GROUPING SETS: the two marginal profiles
+    * `(priority)`, `(status)` plus the grand total, WITHOUT the joint
+    * `(priority, status)` cell — a lattice neither ROLLUP (e03) nor CUBE
+    * (e13) can spell, which is exactly what the verb is for: the analyst
+    * picks the subset of aggregation levels worth paying for. One literal
+    * SQL body runs on BOTH engines (same zero-mirror-drift contract as
+    * e13); `gid` disambiguates each row's grouping set from the NULL
+    * pattern (both columns are non-null in the data, e13's trick).
+    *
+    * Scale: Catalyst compiles the three sets into ONE Expand (3 rows per
+    * input row, only the grouped columns retained) feeding a single
+    * partial+final aggregate — the fact table is scanned once, not three
+    * times; cost scales with |sets|, and unneeded lattice cells (the
+    * joint cell dominating a cube's output at high cardinality) are
+    * never materialized.
+    */
+  private def e17Body(o: String) =
+    s"""SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       |  CAST(CASE WHEN o_orderpriority IS NULL THEN 2 ELSE 0 END
+       |     + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS gid,
+       |  CAST(count(*) AS BIGINT) AS cnt,
+       |  ${Det.sqlR(Det.sqlDsum("o_totalprice"), 2)} AS revenue
+       |FROM $o
+       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin
+
+  def e17GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("e17_orders")
+    s.sql(e17Body("e17_orders"))
+  }
+
+  private val e17Sql = e17Body("orders")
+
   /** Fold count for e14. */
   private val CvFolds = 5L
 
@@ -590,6 +624,7 @@ object RelationalExt {
     "e15_unpivot" -> (e15Unpivot _),
     "e13_cube" -> (e13Cube _),
     "e14_cv_folds" -> (e14CvFolds _),
+    "e17_grouping_sets" -> (e17GroupingSets _),
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
     "e02_set_ops" -> (e02SetOps _),
     "e03_rollup" -> (e03Rollup _),
@@ -606,6 +641,7 @@ object RelationalExt {
     "e15_unpivot" -> e15Sql,
     "e13_cube" -> e13Sql,
     "e14_cv_folds" -> e14Sql,
+    "e17_grouping_sets" -> e17Sql,
     "e01_semi_anti_join" -> e01Sql,
     "e02_set_ops" -> e02Sql,
     "e03_rollup" -> e03Sql,

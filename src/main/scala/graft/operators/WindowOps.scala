@@ -153,6 +153,66 @@ object WindowOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** w10 — FORWARD as-of join (w04's time-mirror): each purchase enriched
+    * with the FIRST error at-or-after it — "time to next failure", the
+    * survival-analysis / alert-latency twin of w04's "state as of now".
+    * Same union-window spelling: union both event kinds into ONE stream,
+    * sort once per user, and take `first(ignoreNulls)` over the
+    * current-row-to-unbounded-FOLLOWING frame — one shuffle, no range
+    * join, no BroadcastNestedLoop. Tie order (ts, event_type, event_id)
+    * is shared with w04: at an equal timestamp 'error' sorts before
+    * 'purchase', so a same-instant error is w04's business (already
+    * happened), not a future one — the two operators partition time
+    * consistently.
+    *
+    * Scale: identical to w04 — the frame is evaluated in one backward
+    * pass per partition, state is one (value, ts) pair, and the sort is
+    * the same (user, ts) sort every other per-user operator reuses.
+    */
+  def w10AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("err_value",
+        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
+      .withColumn("err_ts",
+        when(col("event_type") === "error", col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("next_err_value", first(col("err_value"), ignoreNulls = true).over(w))
+      .withColumn("next_err_ts", first(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("purchase_value"),
+        col("next_err_value"),
+        (unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts")))
+          .as("secs_to_error"))
+      .orderBy("event_id")
+  }
+
+  private val w10Sql =
+    """SELECT event_id, user_id,
+      |  coalesce(value, 0.0) AS purchase_value, next_err_value,
+      |  -- floor, not CAST: Spark's unix_timestamp TRUNCATES sub-second
+      |  -- parts while DuckDB's BIGINT cast rounds-to-nearest
+      |  CAST(floor(epoch(next_err_ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT)
+      |    AS secs_to_error
+      |FROM (
+      |  SELECT event_id, user_id, event_type, value, ts,
+      |    first_value(err_value IGNORE NULLS) OVER w AS next_err_value,
+      |    first_value(err_ts IGNORE NULLS) OVER w AS next_err_ts
+      |  FROM (
+      |    SELECT event_id, user_id, event_type, value, ts,
+      |      CASE WHEN event_type = 'error' THEN coalesce(value, 0.0) END AS err_value,
+      |      CASE WHEN event_type = 'error' THEN ts END AS err_ts
+      |    FROM events WHERE event_type IN ('purchase', 'error'))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   /** w05 — sessionization: split each user's event stream into sessions at
     * >30-minute gaps (lag → gap flag → running sum as session index), then
     * aggregate per session. The canonical two-window shape: both windows
@@ -402,7 +462,8 @@ object WindowOps {
     "w04_asof_join" -> (w04AsofJoin _),
     "w05_sessionize" -> (w05Sessionize _),
     "w06_range_features" -> (w06RangeFeatures _),
-    "w07_interval_join" -> (w07IntervalJoin _))
+    "w07_interval_join" -> (w07IntervalJoin _),
+    "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
     "w09_gap_fill" -> w09Sql,
@@ -412,5 +473,6 @@ object WindowOps {
     "w04_asof_join" -> w04Sql,
     "w05_sessionize" -> w05Sql,
     "w06_range_features" -> w06Sql,
-    "w07_interval_join" -> w07Sql)
+    "w07_interval_join" -> w07Sql,
+    "w10_asof_forward" -> w10Sql)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Similarity}
 
 /** Contracts for the 100 TB scale variants of the all-pairs dedup
@@ -138,6 +139,58 @@ class ScalePathSpec extends AnyFunSuite with SparkTestSession {
     val known = rows.filter(!_.isNullAt(0)).map(_.getLong(0))
     assert(known.nonEmpty, "testdata must contain purchases after errors")
     assert(known.forall(_ >= 0), "an as-of match may never come from the future")
+  }
+
+  test("w10 forward as-of only ever looks forward, never plans a join") {
+    val df = operators.WindowOps.w10AsofForward(spark, SfMid)
+    val rows = df.select("secs_to_error").collect()
+    val known = rows.filter(!_.isNullAt(0)).map(_.getLong(0))
+    assert(known.nonEmpty, "testdata must contain errors after purchases")
+    assert(known.forall(_ >= 0), "a forward match may never come from the past")
+    assert(!df.queryExecution.executedPlan.toString().contains("Join"),
+      "the union-window forward as-of must never plan a join")
+  }
+
+  test("e17 grouping sets: marginals re-add to the grand total, one Expand") {
+    val df = operators.RelationalExt.e17GroupingSets(spark, SfMid)
+    val rows = df.collect()
+    val total = Tables.orders(spark, SfMid).count()
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1 && grand.head.getLong(3) == total)
+    Seq(1L, 2L).foreach { gid =>
+      val cnt = rows.filter(_.getLong(2) == gid).map(_.getLong(3)).sum
+      assert(cnt == total, s"gid=$gid marginal cells must partition all orders")
+    }
+    // ONE Expand feeding ONE relation — counted on the optimized LOGICAL
+    // plan (stable node identity; the executed-plan string can render a
+    // node more than once under AQE)
+    val logical = df.queryExecution.optimizedPlan
+    val expands = logical.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e }
+    val scans = logical.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(expands.size == 1, "the three sets must ride ONE Expand")
+    assert(scans.size == 1, "grouping sets must scan orders ONCE")
+  }
+
+  test("g18 HITS authorities dominate their first-sweep in-degree") {
+    val rows = graph.PageRankOps.g18Hits(spark, SfMid).collect()
+    assert(rows.length == 2 * graph.PageRankOps.HitsTopK)
+    assert(rows.forall(_.getLong(2) > 0), "integer HITS scores must be positive")
+    // auth2(v) = Σ_{u→v} hub1(u) with hub1(u) ≥ outdeg(u)·1 ≥ 1 per edge,
+    // so every authority's sweep-2 score ≥ its in-degree (= auth1)
+    val indeg = Tables.orders(spark, SfMid)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, SfMid)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getString(0) == "authority").foreach { r =>
+      assert(r.getLong(2) >= indeg(r.getLong(1)),
+        s"authority ${r.getLong(1)} scored below its in-degree")
+    }
   }
 
   test("t07 contamination fractions are well-formed and probe docs excluded") {
