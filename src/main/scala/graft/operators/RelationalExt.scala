@@ -503,6 +503,65 @@ object RelationalExt {
 
   private val e17Sql = e17Body("orders")
 
+  /** e18 — EXACT grouped percentiles (p50/p90/p99 of order value per
+    * priority) as type-1 (discrete) quantiles: the answer is always an
+    * actual data value — `min(v WHERE cum_count ≥ ⌈p·n⌉)` off the
+    * per-group value histogram — so both engines return bit-identical
+    * doubles with ZERO interpolation arithmetic (`quantile_cont`-style
+    * linear interpolation carries last-ulp divergence across engines;
+    * type-1 carries none). ⌈k·n/100⌉ is computed as
+    * `floor((k·n + 99) / 100)` on exact-integer doubles (< 2^53 — exact
+    * for any realistic n), never a float `ceil(p·n)` whose product can
+    * land an ulp above an integer.
+    *
+    * Scale: c07's exact-quantile trick generalized — 2-dp prices make the
+    * per-group value histogram BOUNDED regardless of row count, so the
+    * cumulative window runs on the tiny (group, value)-histogram, never a
+    * global sort of raw rows. The exact baseline next to e10's mergeable
+    * approximate rollup (same three probes): e10 when values are
+    * continuous, this when they're discrete.
+    */
+  def e18ExactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("priority").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.groupBy("priority").agg(sum(col("c")).as("n"))
+    def q(k: Int) = min(when(
+      col("cum") >= floor((col("n") * k + lit(99)) / lit(100.0)).cast("long"),
+      col("v"))).as(s"p$k")
+    cum.join(tot, Seq("priority"))
+      .groupBy("priority")
+      .agg(max(col("n")).as("n"), q(50), q(90), q(99))
+      .orderBy("priority")
+  }
+
+  private val e18Sql =
+    """WITH hist AS (
+      |  SELECT o_orderpriority AS priority, o_totalprice AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT priority, v, c,
+      |    sum(c) OVER (PARTITION BY priority ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n
+      |        FROM hist GROUP BY 1)
+      |SELECT priority, max(n) AS n,
+      |  min(CASE WHEN cum >= CAST(floor((n * 50 + 99) / 100.0) AS BIGINT)
+      |           THEN v END) AS p50,
+      |  min(CASE WHEN cum >= CAST(floor((n * 90 + 99) / 100.0) AS BIGINT)
+      |           THEN v END) AS p90,
+      |  min(CASE WHEN cum >= CAST(floor((n * 99 + 99) / 100.0) AS BIGINT)
+      |           THEN v END) AS p99
+      |FROM cum JOIN tot USING (priority)
+      |GROUP BY priority ORDER BY priority""".stripMargin
+
   /** Fold count for e14. */
   private val CvFolds = 5L
 
@@ -625,6 +684,7 @@ object RelationalExt {
     "e13_cube" -> (e13Cube _),
     "e14_cv_folds" -> (e14CvFolds _),
     "e17_grouping_sets" -> (e17GroupingSets _),
+    "e18_exact_percentiles" -> (e18ExactPercentiles _),
     "e01_semi_anti_join" -> (e01SemiAntiJoin _),
     "e02_set_ops" -> (e02SetOps _),
     "e03_rollup" -> (e03Rollup _),
@@ -642,6 +702,7 @@ object RelationalExt {
     "e13_cube" -> e13Sql,
     "e14_cv_folds" -> e14Sql,
     "e17_grouping_sets" -> e17Sql,
+    "e18_exact_percentiles" -> e18Sql,
     "e01_semi_anti_join" -> e01Sql,
     "e02_set_ops" -> e02Sql,
     "e03_rollup" -> e03Sql,

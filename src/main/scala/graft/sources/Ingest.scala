@@ -142,6 +142,23 @@ object Ingest {
   def readOrc(s: SparkSession, path: String): DataFrame =
     s.read.orc(path)
 
+  /** JSON-lines sink/source — the interchange format of the reference's
+    * streaming layer (its Kafka values are JSON objects,
+    * `streaming/kafka_producer.py`; here as a batch file format). Schema
+    * is passed EXPLICITLY on read: like the streaming path's `from_json`,
+    * an explicit StructType skips sampling-based inference (a full extra
+    * pass at 100 TB) and pins types the way
+    * `kafka_to_influxdb.py:33-65` does; column pruning still reaches the
+    * JSON parser (Jackson only materializes requested fields), which
+    * SinksSourcesSpec asserts via ReadSchema.
+    */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonLines(s: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    s.read.schema(schema).json(path)
+
   /** S12 — seeded synthetic transaction generator (the reference's
     * `spark.range(0,50)` + `rand()` frame, `spark_to_postgres.py:11-21`).
     * `rand(seed)`/`randn(seed)` are deterministic per (seed, partition

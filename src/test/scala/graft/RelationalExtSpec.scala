@@ -180,6 +180,26 @@ class RelationalExtSpec extends AnyFunSuite with SparkTestSession {
       "quantiles must be monotone: p50 <= p90 <= p99")
   }
 
+  test("e18 exact percentiles are monotone actual data values") {
+    import org.apache.spark.sql.functions.col
+    val rows = RelationalExt.e18ExactPercentiles(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    val byPriority = Tables.orders(spark, SfMid)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val (pr, n) = (r.getString(0), r.getLong(1))
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val vs = byPriority(pr)
+      assert(n == vs.length, s"$pr group size")
+      assert(p50 <= p90 && p90 <= p99, s"$pr quantiles not monotone")
+      // type-1 quantile = the ⌈p·n⌉-th smallest actual value, bit-exact
+      def want(k: Int) = vs(((n * k + 99) / 100 - 1).toInt)
+      assert(p50 == want(50) && p90 == want(90) && p99 == want(99),
+        s"$pr: ($p50,$p90,$p99) != (${want(50)},${want(90)},${want(99)})")
+    }
+  }
+
   test("e05 hash sample is reproducible and ~10% sized") {
     val n = Tables.lineitem(spark, SfMid).count()
     val s1 = RelationalExt.e05HashSample(spark, SfMid)

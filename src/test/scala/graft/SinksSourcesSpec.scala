@@ -100,6 +100,27 @@ class SinksSourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"))
   }
 
+  test("JSON-lines round-trip with explicit schema prunes the parsed fields") {
+    val df = Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("json_spec").toString + "/out"
+    Ingest.writeJsonLines(df, tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType)))
+    val back = Ingest.readJsonLines(spark, schema, tmp)
+    assert(back.count() == df.count())
+    assert(back.agg(sum("l_extendedprice")).head.getDouble(0)
+      == df.agg(sum("l_extendedprice")).head.getDouble(0),
+      "doubles must survive the JSON round-trip exactly")
+    // column pruning reaches the JSON parser: a 2-column projection reads
+    // a 2-field schema, not all four
+    val plan = back.filter(col("l_returnflag") === "R")
+      .select("l_orderkey").queryExecution.executedPlan.toString()
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"),
+      plan.linesIterator.take(12).mkString("\n"))
+  }
+
   test("partitionBy layout prunes partitions at read time") {
     val tmp = java.nio.file.Files.createTempDirectory("part_spec").toString + "/ev"
     val df = Tables.events(spark, Sf)
