@@ -529,13 +529,17 @@ object RelationalExt {
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("priority").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(w))
-    val tot = hist.groupBy("priority").agg(sum(col("c")).as("n"))
+    // group total as a WHOLE-PARTITION window on the same partitioning —
+    // rides the cum window's one exchange+sort, so the raw table is
+    // scanned ONCE (a separate groupBy-total + join would scan it twice)
+    val wAll = Window.partitionBy("priority")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
     def q(k: Int) = min(when(
       col("cum") >= floor((col("n") * k + lit(99)) / lit(100.0)).cast("long"),
       col("v"))).as(s"p$k")
-    cum.join(tot, Seq("priority"))
-      .groupBy("priority")
+    cum.groupBy("priority")
       .agg(max(col("n")).as("n"), q(50), q(90), q(99))
       .orderBy("priority")
   }
@@ -547,11 +551,10 @@ object RelationalExt {
       |  FROM orders GROUP BY 1, 2),
       |cum AS (
       |  SELECT priority, v, c,
-      |    sum(c) OVER (PARTITION BY priority ORDER BY v
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |  FROM hist),
-      |tot AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n
-      |        FROM hist GROUP BY 1)
+      |    CAST(sum(c) OVER (PARTITION BY priority ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM hist)
       |SELECT priority, max(n) AS n,
       |  min(CASE WHEN cum >= CAST(floor((n * 50 + 99) / 100.0) AS BIGINT)
       |           THEN v END) AS p50,
@@ -559,7 +562,7 @@ object RelationalExt {
       |           THEN v END) AS p90,
       |  min(CASE WHEN cum >= CAST(floor((n * 99 + 99) / 100.0) AS BIGINT)
       |           THEN v END) AS p99
-      |FROM cum JOIN tot USING (priority)
+      |FROM cum
       |GROUP BY priority ORDER BY priority""".stripMargin
 
   /** Fold count for e14. */
