@@ -24,7 +24,7 @@ object SparkEntry {
       operators.JsonOps.queries ++ operators.SkewOps.queries ++
       operators.RelationalExt.queries ++ operators.Analytics.queries ++
       operators.Corpus.queries ++ operators.ZOrder.queries ++
-      operators.LmOps.queries
+      operators.LmOps.queries ++ operators.DriftOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,7 +38,7 @@ object SparkEntry {
       operators.JsonOps.oracles ++ operators.SkewOps.oracles ++
       operators.RelationalExt.oracles ++ operators.Analytics.oracles ++
       operators.Corpus.oracles ++ operators.ZOrder.oracles ++
-      operators.LmOps.oracles
+      operators.LmOps.oracles ++ operators.DriftOps.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —
@@ -65,6 +65,7 @@ object SparkEntry {
     "t14_char_diversity", "e12_heavy_hitters", "g16_personalized_pagerank",
     "v07_ann_ivfpq", "e13_cube", "t15_novelty_rate", "t16_bpe_merges",
     "v08_ann_binary", "v09_ann_sq", "w09_gap_fill", "a06_cooccurrence_lift",
-    "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup"
+    "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup",
+    "f01_tvd_drift", "f02_ks_drift"
   ).filter(queries.contains)
 }

@@ -22,7 +22,8 @@ object GraphQueries {
     "g15_kcore" -> (Components.kcoreQ _),
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
     "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
-    "g18_hits" -> (PageRankOps.g18Hits _)
+    "g18_hits" -> (PageRankOps.g18Hits _),
+    "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -45,6 +46,7 @@ object GraphQueries {
     "g15_kcore" -> Components.kcoreQSql,
     "g16_personalized_pagerank" -> PageRankOps.pprSql(),
     "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
-    "g18_hits" -> PageRankOps.g18Sql
+    "g18_hits" -> PageRankOps.g18Sql,
+    "g19_neighbor_features" -> NeighborAgg.g19Sql
   )
 }

@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Det
+
+/** GNN-style neighborhood feature aggregation over the fraud
+  * co-occurrence graph — the message-passing primitive (mean of neighbor
+  * features at 1 and 2 hops) that graph-ML feature pipelines run before
+  * any model sees a node. The reference stops at per-node analytics
+  * (degrees, PageRank, components, `notebooks/4_graphx.ipynb`); risk
+  * propagation FROM a node's neighborhood is the natural next feature a
+  * fraud model consumes ("how much fraud volume surrounds this user?").
+  *
+  * Semantics: hop-1 = direct co-occurrence neighbors; hop-2 = nodes
+  * reachable in EXACTLY two edge steps with self excluded (standard
+  * message-passing reach, NOT shortest-path — a hop-1 neighbor reachable
+  * again in 2 steps participates in both rounds, like a 2-layer GNN).
+  *
+  * Exactness: the per-node feature (total error-event value) is an exact
+  * DECIMAL sum; neighbor means re-aggregate decimals and snap at 4 dp —
+  * order-free, so both engines agree bit-for-bit.
+  *
+  * Scale: the feature table is bounded by VERTEX count (broadcastable at
+  * any realistic fraud-graph size, and keyed the same as the edge list's
+  * dst for a co-partitioned join otherwise). The 2-hop expansion is the
+  * known quadratic hazard — same bound as the edge build itself
+  * ([[CoGraph.edges]]): cap per-bucket cardinality / per-node degree
+  * before expanding at 100 TB (the degree cap is the standard GNN
+  * neighborhood-sampling move, e.g. GraphSAGE's fan-out limit).
+  */
+object NeighborAgg {
+
+  /** Per-user exact fraud volume: Σ value over the user's error events. */
+  private def feats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"))
+      .agg(Det.dsumDec(col("value")).as("f"))
+
+  /** g19 — per-node neighbor-feature aggregates at hop 1 and hop 2. */
+  def g19NeighborFeatures(s: SparkSession, dir: String): DataFrame = {
+    val e = CoGraph.edges(s, dir).cache() // consumed by hop-1 and twice in hop-2
+    val ft = feats(s, dir)
+    val hop1 = e.join(ft, e("dst") === ft("user_id"))
+      .groupBy(e("src"))
+      .agg(count(lit(1)).as("h1_n"), sum(col("f")).as("h1_sum"))
+    val hop2Pairs = e.as("e1").join(e.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e2.dst") =!= col("e1.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("dst2"))
+      .distinct()
+    val hop2 = hop2Pairs.join(ft, col("dst2") === ft("user_id"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("h2_n"), sum(col("f")).as("h2_sum"))
+        .withColumnRenamed("src", "src2")
+    hop1.join(hop2, col("src") === col("src2"), "left")
+      .select(
+        col("src").as("user_id"),
+        col("h1_n"),
+        Det.r(col("h1_sum").cast("double") / col("h1_n"), 4).as("h1_mean_fraud"),
+        coalesce(col("h2_n"), lit(0L)).as("h2_n"),
+        Det.r(col("h2_sum").cast("double") / col("h2_n"), 4).as("h2_mean_fraud"))
+      .orderBy("user_id")
+  }
+
+  val g19Sql: String =
+    s"""WITH ${CoGraph.edgesCte},
+       |feats AS (
+       |  SELECT user_id, ${Det.sqlDsumDec("value")} AS f
+       |  FROM events WHERE event_type = 'error' GROUP BY 1),
+       |hop1 AS (
+       |  SELECT e.src, CAST(count(*) AS BIGINT) AS h1_n, sum(f.f) AS h1_sum
+       |  FROM edges e JOIN feats f ON e.dst = f.user_id GROUP BY 1),
+       |hop2_pairs AS (
+       |  SELECT DISTINCT e1.src, e2.dst AS dst2
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.dst = e2.src AND e2.dst <> e1.src),
+       |hop2 AS (
+       |  SELECT p.src, CAST(count(*) AS BIGINT) AS h2_n, sum(f.f) AS h2_sum
+       |  FROM hop2_pairs p JOIN feats f ON p.dst2 = f.user_id GROUP BY 1)
+       |SELECT h1.src AS user_id, h1.h1_n,
+       |  ${Det.sqlR("CAST(h1.h1_sum AS DOUBLE) / h1.h1_n", 4)} AS h1_mean_fraud,
+       |  CAST(coalesce(h2.h2_n, 0) AS BIGINT) AS h2_n,
+       |  ${Det.sqlR("CAST(h2.h2_sum AS DOUBLE) / h2.h2_n", 4)} AS h2_mean_fraud
+       |FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.src = h2.src
+       |ORDER BY user_id""".stripMargin
+}

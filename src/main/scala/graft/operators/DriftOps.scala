@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Det.r
+
+/** Distribution-drift and forensic-statistics operators — the monitoring
+  * layer a production fraud model needs around it (the reference trains and
+  * evaluates once, `notebooks/3_ml_models.ipynb`; a deployed twin must
+  * also DETECT when the incoming distribution no longer matches training).
+  *
+  * All three statistics are spelled EXACTLY — integer/decimal arithmetic
+  * end-to-end, no libm calls — so both engines agree bit-for-bit:
+  *
+  *   - f01: total-variation distance between two deterministic hash splits
+  *     (TVD = ½ Σ|p−q|; chosen over PSI/KL precisely because it needs no
+  *     logarithm — `TextOps.t14` documents why libm log is banned from
+  *     oracle-checked outputs).
+  *   - f02: two-sample Kolmogorov–Smirnov statistic, computed from
+  *     two-level prefix sums so no window ever sees the whole table.
+  *   - f03: Benford first-significant-digit screen (forensic accounting's
+  *     classic fabricated-amounts test — synthetic/uniform amounts, like
+  *     this testdata's, light it up; organic ledgers don't).
+  */
+object DriftOps {
+
+  /** Exact cents carrier for a 2-dp money double (same spelling as
+    * [[Det]]: floor(x·100+0.5) is identical IEEE arithmetic both engines).
+    */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
+  /** Knuth multiplicative hash split (e14's spelling, k=2): a pure row
+    * function of the stable key — reproducible across engines,
+    * partitionings, and re-runs, unlike `randomSplit`.
+    */
+  private def hashSplit(c: org.apache.spark.sql.Column, k: Int) =
+    (pmod(pmod(c, lit(1000000007L)) * 2654435761L, lit(1000000007L))
+      % lit(k.toLong)).cast("int")
+
+  /** Count carrier for cross-class products: DECIMAL(18,0) × DECIMAL(18,0)
+    * → 37 digits ≤ both engines' 38-digit cap, so cnt·n products stay
+    * EXACT up to 1e18-row splits (a long×long would overflow at ~3e9×3e9).
+    */
+  private val Cnt = "decimal(18,0)"
+
+  /** Dollar width of one drift histogram bin (f01) / one KS bucket (f02),
+    * in cents. 10k-dollar bins over the [1k, 500k] order-total domain →
+    * ~50 bins: bounded regardless of row count, so every "global" pass
+    * below runs over a ~50-row table, never the data.
+    */
+  private val BinCents = 1000000L
+
+  /** f01 — distribution drift as per-bin TOTAL-VARIATION terms between a
+    * reference and a current split of `orders` (deterministic halves here;
+    * in production: training snapshot vs live window).
+    *
+    * Each output row is one fixed-width amount bin with both counts and
+    * its exact TVD contribution |cntR·nC − cntC·nR| / (2·nR·nC) — the
+    * cross-multiplied form never materializes a per-split frequency, so
+    * the only float ops are one decimal→double cast and one divide,
+    * identical both engines. Σ terms = TVD ∈ [0,1] (spec-asserted).
+    *
+    * Scale: one narrow scan → ≤ ~50-bin map-combined aggregate; the grand
+    * totals are a broadcast 1-row cross join (t05's pattern), NOT an
+    * empty-frame window.
+    */
+  def f01TvdDrift(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(s, dir)
+      .select(
+        hashSplit(col("o_orderkey"), 2).as("split"),
+        (cents(col("o_totalprice")) / lit(BinCents)).cast("long").as("bin"))
+    val perBin = binned.groupBy("bin")
+      .agg(
+        sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+      .cache() // consumed twice: totals scalar + the per-bin projection
+    val totals = perBin.agg(
+      sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
+    perBin.crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        (col("bin") * lit(BinCents / 100)).cast("double").as("lo_dollars"),
+        col("cnt_ref"), col("cnt_cur"),
+        r(col("cnt_ref").cast("double") / col("n_ref").cast("double"), 6)
+          .as("freq_ref"),
+        r(col("cnt_cur").cast("double") / col("n_cur").cast("double"), 6)
+          .as("freq_cur"),
+        r(abs(col("cnt_ref").cast(Cnt) * col("n_cur").cast(Cnt)
+            - col("cnt_cur").cast(Cnt) * col("n_ref").cast(Cnt))
+            .cast("double")
+          / (col("n_ref").cast(Cnt) * col("n_cur").cast(Cnt) * lit(2))
+            .cast("double"), 8).as("tvd_term"))
+      .orderBy("bin")
+  }
+
+  private val f01Sql =
+    s"""WITH binned AS (
+       |  SELECT ((o_orderkey % 1000000007) * 2654435761 % 1000000007) % 2
+       |           AS split,
+       |         CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |                    / $BinCents.0) AS BIGINT) AS bin
+       |  FROM orders),
+       |per_bin AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_ref,
+       |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_cur
+       |  FROM binned GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+       |         CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM per_bin)
+       |SELECT bin,
+       |  CAST(bin * ${BinCents / 100} AS DOUBLE) AS lo_dollars,
+       |  cnt_ref, cnt_cur,
+       |  ${Det.sqlR("CAST(cnt_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)", 6)}
+       |    AS freq_ref,
+       |  ${Det.sqlR("CAST(cnt_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)", 6)}
+       |    AS freq_cur,
+       |  ${Det.sqlR(
+            "CAST(abs(CAST(cnt_ref AS DECIMAL(18,0)) * CAST(n_cur AS DECIMAL(18,0)) " +
+              "- CAST(cnt_cur AS DECIMAL(18,0)) * CAST(n_ref AS DECIMAL(18,0))) AS DOUBLE) " +
+              "/ CAST(CAST(n_ref AS DECIMAL(18,0)) * CAST(n_cur AS DECIMAL(18,0)) * 2 AS DOUBLE)",
+            8)} AS tvd_term
+       |FROM per_bin CROSS JOIN totals
+       |ORDER BY bin""".stripMargin
+
+  /** f02 — EXACT two-sample Kolmogorov–Smirnov statistic between the
+    * completed ('F') and open ('O') order-amount distributions:
+    * D = sup_v |F_A(v) − F_B(v)|, reported with the amount where the
+    * supremum is attained (min such amount on ties — a total order, so
+    * the row is engine-independent).
+    *
+    * The textbook spelling sorts ALL values through one global cumsum —
+    * a single-partition window, the exact scale bug e18/c07 avoid. Here
+    * the prefix sums are TWO-LEVEL: per-value counts cum-summed WITHIN
+    * their bounded amount bucket (parallel windows, one per bucket), plus
+    * an exclusive prefix over the ~50-row bucket-total table (the only
+    * "global" window, bounded by the price domain, never the data).
+    * cum(v) = bucket_prefix + within_cum — exact integers throughout;
+    * the sup comparison |cumA·nB − cumB·nA| is cross-multiplied in
+    * DECIMAL so no frequency is ever a float. Final row via
+    * orderBy(diff desc, v).limit(1) → TakeOrderedAndProject, no sort.
+    */
+  def f02KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(
+        cents(col("o_totalprice")).as("v"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("is_a"))
+    val perV = base.groupBy("v")
+      .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+      .withColumn("bucket",
+        floor(col("v").cast("double") / lit(BinCents.toDouble)).cast("long"))
+      .cache() // consumed by within-cums, bucket totals, and grand totals
+    val withinW = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = perV
+      .withColumn("wa", sum(col("ca")).over(withinW))
+      .withColumn("wb", sum(col("cb")).over(withinW))
+    val bucketTot = perV.groupBy("bucket")
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val prefixW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketPrefix = bucketTot // bounded (~50 rows): global window is fine
+      .withColumn("pa", sum(col("ba")).over(prefixW) - col("ba"))
+      .withColumn("pb", sum(col("bb")).over(prefixW) - col("bb"))
+      // fresh name: `bucket` here shares lineage (and expr id) with
+      // within's — an equi-join on the same-id column would be ambiguous
+      .select(col("bucket").as("pbucket"), col("pa"), col("pb"))
+    val totals = bucketTot.agg(
+      sum(col("ba")).as("n_a"), sum(col("bb")).as("n_b"))
+    within.join(bucketPrefix, col("bucket") === col("pbucket"))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff",
+        abs((col("pa") + col("wa")).cast(Cnt) * col("n_b").cast(Cnt)
+          - (col("pb") + col("wb")).cast(Cnt) * col("n_a").cast(Cnt)))
+      .orderBy(col("diff").desc, col("v").asc)
+      .limit(1)
+      .select(
+        (col("v").cast("double") / lit(100.0)).as("at_amount"),
+        r(col("diff").cast("double")
+          / (col("n_a").cast(Cnt) * col("n_b").cast(Cnt)).cast("double"), 6)
+          .as("ks_stat"),
+        col("n_a"), col("n_b"))
+  }
+
+  private val f02Sql =
+    s"""WITH base AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+       |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_a
+       |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+       |per_v AS (
+       |  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+       |         CAST(sum(1 - is_a) AS BIGINT) AS cb,
+       |         CAST(floor(CAST(v AS DOUBLE) / $BinCents.0) AS BIGINT)
+       |           AS bucket
+       |  FROM base GROUP BY 1),
+       |within AS (
+       |  SELECT *,
+       |    sum(ca) OVER (PARTITION BY bucket ORDER BY v
+       |                  ROWS UNBOUNDED PRECEDING) AS wa,
+       |    sum(cb) OVER (PARTITION BY bucket ORDER BY v
+       |                  ROWS UNBOUNDED PRECEDING) AS wb
+       |  FROM per_v),
+       |bucket_tot AS (
+       |  SELECT bucket, CAST(sum(ca) AS BIGINT) AS ba,
+       |         CAST(sum(cb) AS BIGINT) AS bb
+       |  FROM per_v GROUP BY 1),
+       |bucket_prefix AS (
+       |  SELECT bucket,
+       |    CAST(sum(ba) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |         - ba AS BIGINT) AS pa,
+       |    CAST(sum(bb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |         - bb AS BIGINT) AS pb
+       |  FROM bucket_tot),
+       |totals AS (
+       |  SELECT CAST(sum(ba) AS BIGINT) AS n_a,
+       |         CAST(sum(bb) AS BIGINT) AS n_b FROM bucket_tot),
+       |scored AS (
+       |  SELECT w.v, totals.n_a, totals.n_b,
+       |    abs(CAST(p.pa + w.wa AS DECIMAL(18,0))
+       |          * CAST(totals.n_b AS DECIMAL(18,0))
+       |        - CAST(p.pb + w.wb AS DECIMAL(18,0))
+       |          * CAST(totals.n_a AS DECIMAL(18,0))) AS diff
+       |  FROM within w JOIN bucket_prefix p USING (bucket)
+       |  CROSS JOIN totals)
+       |SELECT CAST(v AS DOUBLE) / 100.0 AS at_amount,
+       |  ${Det.sqlR(
+            "CAST(diff AS DOUBLE) / CAST(CAST(n_a AS DECIMAL(18,0)) " +
+              "* CAST(n_b AS DECIMAL(18,0)) AS DOUBLE)", 6)} AS ks_stat,
+       |  n_a, n_b
+       |FROM scored ORDER BY diff DESC, v ASC LIMIT 1""".stripMargin
+
+  /** Benford expected first-digit frequencies log10(1+1/d), 6 dp — shared
+    * LITERALS (never a runtime log call) so both engines emit identical
+    * doubles.
+    */
+  private val Benford: Seq[(Int, Double)] = Seq(
+    1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+    5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+    9 -> 0.045757)
+
+  /** f03 — Benford first-significant-digit screen over order totals.
+    *
+    * First digit extracted WITHOUT log10 (libm, banned): the amount's
+    * exact integer-cents carrier is formatted as a string — long→string
+    * is exact and identical both engines — and digit = first character.
+    * (Scaling by 100 never changes the leading significant digit.)
+    * Expected frequencies are shared literals; deviation = |obs − exp|.
+    * On this synthetic uniform-amount data the screen FIRES (uniform
+    * amounts are maximally non-Benford) — which is the point: it's the
+    * forensic test for fabricated amounts.
+    *
+    * Scale: one narrow scan → 9-row map-combined aggregate → broadcast
+    * total; the expected table is a 9-row literal join.
+    */
+  def f03Benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, dir)
+      .select(cents(col("o_totalprice")).as("c"))
+      .filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    val expected = Benford.toDF("digit", "expected")
+    digits // right-join BEFORE the total cross join so absent digits
+      .join(broadcast(expected), Seq("digit"), "right") // still get `total`
+      .crossJoin(broadcast(total))
+      .select(
+        col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        r(coalesce(col("n"), lit(0L)).cast("double")
+          / col("total").cast("double"), 6).as("freq"),
+        col("expected"),
+        r(abs(r(coalesce(col("n"), lit(0L)).cast("double")
+          / col("total").cast("double"), 6) - col("expected")), 6)
+          .as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  private val f03Sql = {
+    // CAST each literal: a bare 0.30103 is DECIMAL in DuckDB, DOUBLE here
+    val expectedRows = Benford
+      .map { case (d, e) => s"($d, CAST($e AS DOUBLE))" }.mkString(", ")
+    val freq = Det.sqlR("CAST(coalesce(n, 0) AS DOUBLE) / CAST(total AS DOUBLE)", 6)
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       |        FROM orders) t
+       |  WHERE c > 0 GROUP BY 1),
+       |total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits),
+       |expected(digit, expected) AS (VALUES $expectedRows)
+       |SELECT e.digit, CAST(coalesce(n, 0) AS BIGINT) AS n,
+       |  $freq AS freq, e.expected,
+       |  ${Det.sqlR(s"abs(($freq) - e.expected)", 6)} AS abs_dev
+       |FROM expected e
+       |LEFT JOIN digits d ON d.digit = e.digit
+       |CROSS JOIN total
+       |ORDER BY e.digit""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_tvd_drift" -> (f01TvdDrift _),
+    "f02_ks_drift" -> (f02KsDrift _),
+    "f03_benford" -> (f03Benford _))
+
+  val oracles: Map[String, String] = Map(
+    "f01_tvd_drift" -> f01Sql,
+    "f02_ks_drift" -> f02Sql,
+    "f03_benford" -> f03Sql)
+}

@@ -179,4 +179,34 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     // the score distribution is that degenerate (ties share a stage)
     assert(byStage.values.forall(_ > 0))
   }
+
+  test("g19 neighbor aggregation matches a brute-force recompute") {
+    import graft.graph.{CoGraph, NeighborAgg}
+    val edges = CoGraph.edges(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val feats = Tables.events(spark, SfMid)
+      .filter(col("event_type") === "error")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(28,4)")).as("f"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val out = NeighborAgg.g19NeighborFeatures(spark, SfMid).collect()
+    assert(out.nonEmpty && out.map(_.getLong(0)).toSet == adj.keySet,
+      "one output row per node with out-edges")
+    out.foreach { r =>
+      val u = r.getLong(0)
+      val n1 = adj(u)
+      assert(r.getLong(1) == n1.size, s"h1_n for $u")
+      val mean1 = n1.toSeq.map(feats).sum / n1.size
+      assert(math.abs(r.getDouble(2) - mean1) < 1e-3, s"h1_mean for $u")
+      // hop-2: exactly two steps, self excluded; overlap with hop-1 allowed
+      val n2 = n1.flatMap(v => adj.getOrElse(v, Set.empty) - u)
+      assert(r.getLong(3) == n2.size, s"h2_n for $u")
+      if (n2.nonEmpty) {
+        val mean2 = n2.toSeq.map(feats).sum / n2.size
+        assert(math.abs(r.getDouble(4) - mean2) < 1e-3, s"h2_mean for $u")
+      } else assert(r.isNullAt(4), s"empty hop-2 mean must be NULL for $u")
+    }
+  }
 }
