@@ -94,6 +94,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("CBO with catalog stats reorders the join: selective dim first") {
+    // static complement of the two runtime evidences above: ANALYZE'd
+    // catalog stats + cbo.joinReorder put σ(customer)⋈orders BEFORE the
+    // fact table even though the query text lists lineitem first. Same
+    // scenario objects as the PLANS.md evidence section.
+    Plans.withConfs(spark, Plans.CboConfs) {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val q = Plans.cboScenario(spark, Sf)
+      val opt = q.queryExecution.optimizedPlan
+      // stats actually reached the optimizer (rowCount comes only from
+      // the catalog — file sources alone never produce one)
+      assert(opt.stats.rowCount.isDefined, s"no CBO rowCount: ${opt.stats}")
+      // the innermost join (no Join below it) touches only the two
+      // selective relations, never the fact table
+      val innermost = opt.collect {
+        case j: Join if j.children.forall(c => c.collect { case x: Join => x }.isEmpty) => j
+      }
+      assert(innermost.nonEmpty, s"no join found:\n$opt")
+      val txt = innermost.head.toString()
+      assert(txt.contains("cbo_customer") && txt.contains("cbo_orders")
+          && !txt.contains("cbo_lineitem"),
+        s"CBO should join dim⋈orders first:\n$txt")
+      assert(q.collect().nonEmpty) // and the reordered plan executes
+    }
+  }
+
   test("vec_dot stays inside whole-stage codegen (no fallback)") {
     val df = Similarity.v01CosineTopk(spark, Sf)
     assert(plan(df).contains("vec_dot"))
