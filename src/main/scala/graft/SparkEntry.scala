@@ -66,6 +66,7 @@ object SparkEntry {
     "v07_ann_ivfpq", "e13_cube", "t15_novelty_rate", "t16_bpe_merges",
     "v08_ann_binary", "v09_ann_sq", "w09_gap_fill", "a06_cooccurrence_lift",
     "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup",
-    "f01_tvd_drift", "f02_ks_drift"
+    "f01_tvd_drift", "f02_ks_drift", "e19_mad_outliers",
+    "w11_cumulative_distinct"
   ).filter(queries.contains)
 }

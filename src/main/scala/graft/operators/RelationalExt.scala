@@ -681,7 +681,106 @@ object RelationalExt {
        |GROUP BY lower(seg)
        |ORDER BY segment""".stripMargin
 
+  /** e19 — robust outlier report per group: median / MAD (median absolute
+    * deviation) / count beyond 3·MAD, all EXACT. Classic z-scores break on
+    * the very outliers they hunt (mean and stddev are themselves dragged);
+    * median±MAD is the robust-statistics standard (Hampel), and on 2-dp
+    * money it is computable exactly: work in integer CENTS, take both
+    * medians as type-1 discrete quantiles (e18's ⌈n/2⌉ spelling), and the
+    * outlier test `|x−med| > 3·mad` compares integers — no float ever.
+    *
+    * Scale: the raw table is scanned ONCE. The deviation histogram is NOT
+    * a second scan — it's a regroup of the SAME bounded (group, value)
+    * histogram by |v − med| (medians broadcast back), so everything after
+    * the first aggregate runs on histogram-sized data. The windows ride
+    * per-group partitions; nothing global.
+    */
+  def e19MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .cache() // reused: median pass, dev regroup, outlier count
+    val w = Window.partitionBy("priority").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority")
+    val med = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("priority")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >=
+          floor((col("n") * 50 + lit(99)) / lit(100.0)).cast("long"),
+          col("v"))).as("med"))
+    val devHist = hist.join(broadcast(med), "priority")
+      .groupBy(col("priority"), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("c"))
+    val wd = Window.partitionBy("priority").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = devHist
+      .withColumn("cum", sum(col("c")).over(wd))
+      .withColumn("nn", sum(col("c")).over(wAll))
+      .groupBy("priority")
+      .agg(min(when(col("cum") >=
+        floor((col("nn") * 50 + lit(99)) / lit(100.0)).cast("long"),
+        col("dev"))).as("mad"))
+    hist.join(broadcast(med), "priority").join(broadcast(mad), "priority")
+      .groupBy("priority")
+      .agg(
+        max(col("n")).as("n"),
+        (max(col("med")).cast("double") / lit(100.0)).as("median_usd"),
+        (max(col("mad")).cast("double") / lit(100.0)).as("mad_usd"),
+        sum(when(abs(col("v") - col("med")) > col("mad") * 3, col("c"))
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("priority")
+  }
+
+  private val e19Sql =
+    """WITH hist AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |med AS (
+      |  SELECT priority, max(n) AS n,
+      |    min(CASE WHEN cum >= CAST(floor((n * 50 + 99) / 100.0) AS BIGINT)
+      |             THEN v END) AS med
+      |  FROM (
+      |    SELECT priority, v, c,
+      |      CAST(sum(c) OVER (PARTITION BY priority ORDER BY v
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum,
+      |      CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |    FROM hist) t
+      |  GROUP BY priority),
+      |dev_hist AS (
+      |  SELECT h.priority, abs(h.v - m.med) AS dev,
+      |    CAST(sum(h.c) AS BIGINT) AS c
+      |  FROM hist h JOIN med m USING (priority)
+      |  GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT priority,
+      |    min(CASE WHEN cum >= CAST(floor((nn * 50 + 99) / 100.0) AS BIGINT)
+      |             THEN dev END) AS mad
+      |  FROM (
+      |    SELECT priority, dev, c,
+      |      CAST(sum(c) OVER (PARTITION BY priority ORDER BY dev
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum,
+      |      CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS nn
+      |    FROM dev_hist) t
+      |  GROUP BY priority)
+      |SELECT h.priority, max(m.n) AS n,
+      |  CAST(max(m.med) AS DOUBLE) / 100.0 AS median_usd,
+      |  CAST(max(a.mad) AS DOUBLE) / 100.0 AS mad_usd,
+      |  CAST(sum(CASE WHEN abs(h.v - m.med) > a.mad * 3 THEN h.c
+      |                ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM hist h JOIN med m USING (priority) JOIN mad a USING (priority)
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_mad_outliers" -> (e19MadOutliers _),
     "e16_collation" -> (e16Collation _),
     "e15_unpivot" -> (e15Unpivot _),
     "e13_cube" -> (e13Cube _),
@@ -700,6 +799,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e19_mad_outliers" -> e19Sql,
     "e16_collation" -> e16Sql,
     "e15_unpivot" -> e15Sql,
     "e13_cube" -> e13Sql,

@@ -454,7 +454,57 @@ object WindowOps {
        |  ON g.user_id = h.user_id AND g.hour_epoch = h.hour_epoch
        |ORDER BY g.user_id, g.hour_epoch""".stripMargin
 
+  /** w11 — EXACT cumulative distinct users per day via the FIRST-TOUCH
+    * transform: "distinct users to date" is naively a running
+    * `count(DISTINCT)` window — per-row set state, unbounded memory, the
+    * op Spark (rightly) refuses to express. The scale-correct identity:
+    * a user counts toward the cumulative exactly once, on their FIRST
+    * day, so cum_users(d) = Σ_{d'≤d} new_users(d') — one per-user min,
+    * one per-day count, one prefix sum over the BOUNDED day table
+    * (calendar-bounded regardless of row volume; same justification as
+    * e18's histogram window). Daily activity (events, exact per-day
+    * distinct) rides the same per-day grouping.
+    */
+  def w11CumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("active_users"))
+    val firstTouch = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val cumW = Window.orderBy("day") // day table is calendar-bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstTouch, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(cumW))
+      .orderBy("day")
+  }
+
+  private val w11Sql =
+    """WITH ev AS (
+      |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day, user_id
+      |  FROM events),
+      |daily AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |  FROM ev GROUP BY 1),
+      |first_touch AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      |  FROM (SELECT user_id, min(day) AS day FROM ev GROUP BY 1) t
+      |  GROUP BY 1)
+      |SELECT d.day, d.n_events, d.active_users,
+      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM daily d LEFT JOIN first_touch f USING (day)
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_cumulative_distinct" -> (w11CumulativeDistinct _),
     "w09_gap_fill" -> (w09GapFill _),
     "w01_top_per_group" -> (w01TopPerGroup _),
     "w02_lag_delta" -> (w02LagDelta _),
@@ -466,6 +516,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w11_cumulative_distinct" -> w11Sql,
     "w09_gap_fill" -> w09Sql,
     "w01_top_per_group" -> w01Sql,
     "w02_lag_delta" -> w02Sql,

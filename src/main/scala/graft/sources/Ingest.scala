@@ -194,9 +194,51 @@ object Ingest {
       .groupBy("l_returnflag").agg(count(lit(1)).as("sampled_rows"))
       .orderBy("l_returnflag")
 
+  /** x03 — x02's DETERMINISTIC twin: the same per-class keep-rates, but
+    * decided by a Knuth multiplicative hash of the stable row key instead
+    * of a per-partition RNG. A row's fate is a pure function of its
+    * identity — stable across engines, partitionings, re-runs, and data
+    * arrivals — which is what a 100 TB pipeline needs for reproducible
+    * training sets (and what makes this one exactly oracle-checkable
+    * where x02 is rows-only). Key encodes (orderkey, linenumber) as
+    * `k·100 + ln` (e08's guarded PK encoding); pre-mod keeps the multiply
+    * inside Long (e14's note).
+    */
+  def x03StratifiedHash(s: SparkSession, dir: String): DataFrame = {
+    val keepPermille = Map("R" -> 1000L, "A" -> 200L, "N" -> 200L)
+    val rate = keepPermille.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("l_returnflag") === k, lit(v)).otherwise(acc)
+    }
+    val bucket = pmod(pmod(col("l_orderkey") * 100 + col("l_linenumber"),
+      lit(1000000007L)) * 2654435761L, lit(1000000007L)) % lit(1000L)
+    graft.Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), bucket.as("b"), rate.as("keep_permille"))
+      .filter(col("b") < col("keep_permille"))
+      .groupBy("l_returnflag")
+      .agg(max(col("keep_permille")).as("keep_permille"),
+        count(lit(1)).as("sampled_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  private val x03Sql =
+    """SELECT l_returnflag,
+      |  CAST(max(keep_permille) AS BIGINT) AS keep_permille,
+      |  CAST(count(*) AS BIGINT) AS sampled_rows
+      |FROM (
+      |  SELECT l_returnflag,
+      |    ((l_orderkey * 100 + l_linenumber) % 1000000007)
+      |      * 2654435761 % 1000000007 % 1000 AS b,
+      |    CASE l_returnflag WHEN 'R' THEN 1000 WHEN 'A' THEN 200
+      |         WHEN 'N' THEN 200 ELSE 0 END AS keep_permille
+      |  FROM lineitem) t
+      |WHERE b < keep_permille
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_synthetic_transactions" -> (x01Synthetic _),
-    "x02_stratified_sample" -> (x02StratifiedSample _))
+    "x02_stratified_sample" -> (x02StratifiedSample _),
+    "x03_stratified_hash" -> (x03StratifiedHash _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "x03_stratified_hash" -> x03Sql)
 }

@@ -180,6 +180,65 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(byStage.values.forall(_ > 0))
   }
 
+  test("e19 median/MAD/outliers match a brute-force sorted recompute") {
+    import graft.operators.RelationalExt
+    val out = RelationalExt.e19MadOutliers(spark, SfMid).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = Tables.orders(spark, SfMid)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def q50(xs: Seq[Long]): Long = { // type-1: value at ceil(n/2), 1-based
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    rows.groupBy(_._1).foreach { case (prio, g) =>
+      val vs = g.map(_._2).toSeq
+      val med = q50(vs)
+      val mad = q50(vs.map(v => math.abs(v - med)))
+      val outliers = vs.count(v => math.abs(v - med) > 3 * mad)
+      val r = out(prio)
+      assert(r.getLong(1) == vs.size, s"$prio n")
+      assert(r.getDouble(2) == med / 100.0, s"$prio median")
+      assert(r.getDouble(3) == mad / 100.0, s"$prio mad")
+      assert(r.getLong(4) == outliers, s"$prio outliers")
+    }
+  }
+
+  test("w11 cumulative distinct users: first-touch identity holds") {
+    import graft.operators.WindowOps
+    val out = WindowOps.w11CumulativeDistinct(spark, SfMid).collect()
+    val totalUsers = Tables.events(spark, SfMid)
+      .select("user_id").distinct().count()
+    assert(out.last.getAs[Long]("cum_users") == totalUsers,
+      "final cumulative equals the global distinct count")
+    assert(out.map(_.getAs[Long]("new_users")).sum == totalUsers)
+    val cums = out.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "monotone")
+    out.foreach { r =>
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cum_users"),
+        "daily active can never exceed distinct-to-date")
+    }
+  }
+
+  test("x03 hash stratification is partitioning-independent and on-rate") {
+    import graft.sources.Ingest
+    val a = Ingest.x03StratifiedHash(spark, SfMid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totals = Tables.lineitem(spark, SfMid)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byFlag = a.map { case (f, _, n) => f -> n }.toMap
+    assert(byFlag("R") == totals("R"), "keep-all stratum keeps ALL rows")
+    Seq("A", "N").foreach { f =>
+      val rate = byFlag(f).toDouble / totals(f)
+      assert(math.abs(rate - 0.2) < 0.03, s"$f sampled at $rate, want ~0.2")
+    }
+    // pure row function: a repartitioned re-run selects the SAME rows
+    val re = Ingest.x03StratifiedHash(spark, SfMid).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq == a.toSeq)
+  }
+
   test("g19 neighbor aggregation matches a brute-force recompute") {
     import graft.graph.{CoGraph, NeighborAgg}
     val edges = CoGraph.edges(spark, SfMid).collect()
