@@ -67,6 +67,6 @@ object SparkEntry {
     "v08_ann_binary", "v09_ann_sq", "w09_gap_fill", "a06_cooccurrence_lift",
     "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup",
     "f01_tvd_drift", "f02_ks_drift", "e19_mad_outliers",
-    "w11_cumulative_distinct"
+    "w11_cumulative_distinct", "g20_clustering_coeff", "a07_rfm_segments"
   ).filter(queries.contains)
 }

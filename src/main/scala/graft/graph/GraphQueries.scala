@@ -23,7 +23,8 @@ object GraphQueries {
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
     "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
     "g18_hits" -> (PageRankOps.g18Hits _),
-    "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _)
+    "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
+    "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -47,6 +48,7 @@ object GraphQueries {
     "g16_personalized_pagerank" -> PageRankOps.pprSql(),
     "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
     "g18_hits" -> PageRankOps.g18Sql,
-    "g19_neighbor_features" -> NeighborAgg.g19Sql
+    "g19_neighbor_features" -> NeighborAgg.g19Sql,
+    "g20_clustering_coeff" -> NeighborAgg.g20Sql
   )
 }

@@ -64,6 +64,73 @@ object NeighborAgg {
       .orderBy("user_id")
   }
 
+  /** g20 — local clustering coefficient (ego-net density): for each node
+    * with degree ≥ 2, lcc = 2·triangles / (deg·(deg−1)) — the fraction of
+    * a node's neighbor pairs that are themselves connected. THE
+    * collusion-ring signal: a fraud mule's neighborhood is dense (his
+    * contacts know each other), an organic hub's is sparse. Complements
+    * g12 (raw GraphX triangle counts) with the normalized, per-node
+    * feature a model consumes, spelled entirely in DataFrames: canonical
+    * (src<dst) edges, the 3-way equi-join triangle enumeration (the same
+    * relational meaning as g12's oracle — g12 cross-validates it against
+    * GraphX Pregel), union of the three corner roles, and exact integer
+    * 2·tri / deg·(deg−1) snapped once at 6 dp.
+    *
+    * Scale: triangle enumeration cost is Σ_e min(deg) after canonical
+    * orientation — the standard bound; a degree cap (drop super-hubs
+    * before the join, as in the edge build) bounds the worst case. All
+    * joins are equi-joins on edge keys.
+    */
+  def g20ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = CoGraph.edges(s, dir).cache()
+    val und = e.filter(col("src") < col("dst")).cache()
+    val tri = und.as("a")
+      .join(und.as("b"), col("b.src") === col("a.dst"))
+      .join(und.as("c"),
+        col("c.src") === col("a.src") && col("c.dst") === col("b.dst"))
+      .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+    val triPerNode = tri.select(col("x").as("id"))
+      .unionAll(tri.select(col("y").as("id")))
+      .unionAll(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree")) // symmetric+distinct: one row per neighbor
+    deg.filter(col("degree") >= 2)
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        Det.r((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6)
+          .as("lcc"))
+      .orderBy(col("id"))
+  }
+
+  val g20Sql: String =
+    s"""WITH ${CoGraph.edgesCte},
+       |und AS (SELECT src, dst FROM edges WHERE src < dst),
+       |tri AS (
+       |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+       |  FROM und a
+       |  JOIN und b ON b.src = a.dst
+       |  JOIN und c ON c.src = a.src AND c.dst = b.dst),
+       |tri_per_node AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT x AS id FROM tri
+       |        UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM edges GROUP BY 1)
+       |SELECT d.id, d.degree,
+       |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  ${Det.sqlR(
+            "CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE) " +
+              "/ CAST(d.degree * (d.degree - 1) AS DOUBLE)", 6)} AS lcc
+       |FROM deg d LEFT JOIN tri_per_node t USING (id)
+       |WHERE d.degree >= 2
+       |ORDER BY d.id""".stripMargin
+
   val g19Sql: String =
     s"""WITH ${CoGraph.edgesCte},
        |feats AS (

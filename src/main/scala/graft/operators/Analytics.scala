@@ -307,7 +307,77 @@ object Analytics {
        |CROSS JOIN totals
        |ORDER BY type_a, type_b""".stripMargin
 
+  /** a07 — RFM (recency / frequency / monetary) customer segmentation,
+    * the canonical commerce behavioral cut. Each customer gets three
+    * boolean grades against fixed business thresholds — last order within
+    * a year, ≥ 12 lifetime orders, ≥ $3M lifetime value — concatenated
+    * into an `R-F-M` flag segment, then the segment census with exact
+    * per-segment stats. Fixed thresholds keep every comparison exact
+    * (integer day counts, DECIMAL money — quintile scoring would need
+    * data-dependent cuts: compose with e18's exact percentiles for that).
+    *
+    * Scale: one narrow scan → per-customer aggregate (the natural
+    * pre-aggregation; |customers| ≪ |orders|) → 8-row segment census;
+    * the reference date is a broadcast 1-row cross join, never a window.
+    */
+  def a07RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        Det.dsumDec(col("o_totalprice")).as("monetary"))
+      .cache() // reused: reference date scalar + the graded census
+    val ref = perCust.agg(max(col("last_day")).as("ref_day"))
+    perCust.crossJoin(broadcast(ref))
+      .select(
+        concat(
+          when(datediff(col("ref_day"), col("last_day")) <= 365, lit("R"))
+            .otherwise(lit("-")),
+          when(col("freq") >= 12, lit("F")).otherwise(lit("-")),
+          when(col("monetary") >= lit(3000000), lit("M")).otherwise(lit("-")))
+          .as("segment"),
+        datediff(col("ref_day"), col("last_day")).cast("long")
+          .as("recency_days"),
+        col("freq"), col("monetary"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        Det.r(sum(col("recency_days")).cast("double") / count(lit(1)), 4)
+          .as("avg_recency_days"),
+        Det.r(sum(col("freq")).cast("double") / count(lit(1)), 4)
+          .as("avg_frequency"),
+        Det.r(sum(col("monetary")).cast("double"), 2).as("total_monetary"))
+      .orderBy("segment")
+  }
+
+  private val a07Sql =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey,
+       |    max(CAST(o_orderdate AS DATE)) AS last_day,
+       |    CAST(count(*) AS BIGINT) AS freq,
+       |    ${Det.sqlDsumDec("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY 1),
+       |ref AS (SELECT max(last_day) AS ref_day FROM per_cust),
+       |graded AS (
+       |  SELECT
+       |    concat(
+       |      CASE WHEN date_diff('day', last_day, ref_day) <= 365
+       |           THEN 'R' ELSE '-' END,
+       |      CASE WHEN freq >= 12 THEN 'F' ELSE '-' END,
+       |      CASE WHEN monetary >= 3000000 THEN 'M' ELSE '-' END) AS segment,
+       |    CAST(date_diff('day', last_day, ref_day) AS BIGINT)
+       |      AS recency_days,
+       |    freq, monetary
+       |  FROM per_cust CROSS JOIN ref)
+       |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       |  ${Det.sqlR("CAST(sum(recency_days) AS DOUBLE) / count(*)", 4)}
+       |    AS avg_recency_days,
+       |  ${Det.sqlR("CAST(sum(freq) AS DOUBLE) / count(*)", 4)}
+       |    AS avg_frequency,
+       |  ${Det.sqlR("CAST(sum(monetary) AS DOUBLE)", 2)} AS total_monetary
+       |FROM graded GROUP BY 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a07_rfm_segments" -> (a07RfmSegments _),
     "a06_cooccurrence_lift" -> (a06CooccurrenceLift _),
     "a01_shipping_priority" -> (a01ShippingPriority _),
     "a02_local_supplier_volume" -> (a02LocalSupplierVolume _),
@@ -316,6 +386,7 @@ object Analytics {
     "a05_funnel" -> (a05Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "a07_rfm_segments" -> a07Sql,
     "a06_cooccurrence_lift" -> a06Sql,
     "a01_shipping_priority" -> a01Sql,
     "a02_local_supplier_volume" -> a02Sql,

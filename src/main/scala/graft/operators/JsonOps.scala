@@ -73,11 +73,54 @@ object JsonOps {
   // deliberately j01's oracle: the variant path must give the SAME answer
   private val j02Sql = j01Sql
 
+  /** j03 — schema-drift union (`unionByName(allowMissingColumns)`): the
+    * ingestion reality every long-lived pipeline hits — a "v2" feed adds
+    * an extracted column, and historical "v1" batches must still union
+    * cleanly, missing columns surfacing as NULL, matched BY NAME (a
+    * positional `union` would silently misalign the moment either side
+    * reorders). Modeled by hash-splitting events into a 3-column v1 era
+    * and a v2 era that extracts `props.k`; the per-(era, type) audit shows
+    * v1 rows carrying NULL k by construction. The oracle is DuckDB's own
+    * `UNION ALL BY NAME` — the identical relational meaning, independently
+    * implemented. Scale: union is plan-level (zero data movement); the
+    * only exchange is the final bounded aggregate's.
+    */
+  def j03UnionDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"), lit("v1").as("era"))
+    val v2 = ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"), lit("v2").as("era"),
+        from_json(col("props"), propsSchema).getField("k").as("k"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("era", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("k_nulls"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("era", "event_type")
+  }
+
+  private val j03Sql =
+    """SELECT era, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS k_nulls,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (
+      |  SELECT event_id, event_type, 'v1' AS era
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT event_id, event_type, 'v2' AS era,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events WHERE event_id % 2 <> 0) u
+      |GROUP BY 1, 2 ORDER BY era, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j01_json_extract" -> (j01JsonExtract _),
-    "j02_variant_extract" -> (j02VariantExtract _))
+    "j02_variant_extract" -> (j02VariantExtract _),
+    "j03_union_drift" -> (j03UnionDrift _))
 
   val oracles: Map[String, String] = Map(
     "j01_json_extract" -> j01Sql,
-    "j02_variant_extract" -> j02Sql)
+    "j02_variant_extract" -> j02Sql,
+    "j03_union_drift" -> j03Sql)
 }

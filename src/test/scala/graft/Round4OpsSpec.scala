@@ -239,6 +239,61 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(re.toSeq == a.toSeq)
   }
 
+  test("g20 clustering coefficient: triangle counts cross-validate GraphX") {
+    import graft.graph.{Components, NeighborAgg}
+    val lcc = NeighborAgg.g20ClusteringCoeff(spark, SfMid).collect()
+    assert(lcc.nonEmpty)
+    // bounds + arithmetic: lcc = 2·tri / (deg·(deg−1)) recomputed per row
+    lcc.foreach { r =>
+      val (deg, tri, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 2)
+      assert(v >= 0.0 && v <= 1.0, s"lcc $v out of range")
+      val expect = math.floor(2.0 * tri / (deg * (deg - 1)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(v - expect) < 1e-9, s"lcc arithmetic for id ${r.getLong(0)}")
+    }
+    // the DataFrame triangle enumeration must agree with GraphX Pregel
+    val mine = lcc.map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    val graphx = Components.triangles(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(mine == graphx.filter { case (id, _) => mine.contains(id) } &&
+      graphx.keySet.subsetOf(lcc.map(_.getLong(0)).toSet),
+      "per-node triangle counts diverge from GraphX triangleCount")
+  }
+
+  test("a07 RFM segments partition the customer base exactly") {
+    import graft.operators.Analytics
+    val out = Analytics.a07RfmSegments(spark, SfMid).collect()
+    val nCust = Tables.orders(spark, SfMid)
+      .select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "every customer lands in exactly one segment")
+    val segs = out.map(_.getAs[String]("segment"))
+    assert(segs.distinct.length == segs.length)
+    assert(segs.forall(_.matches("[R-][F-][M-]")), segs.mkString(","))
+    out.foreach { r =>
+      assert(r.getAs[Double]("avg_recency_days") >= 0.0)
+      assert(r.getAs[Double]("avg_frequency") >= 1.0)
+    }
+  }
+
+  test("j03 schema-drift union: v1 era all-NULL k, totals conserved") {
+    import graft.operators.JsonOps
+    val out = JsonOps.j03UnionDrift(spark, SfMid).collect()
+    val total = Tables.events(spark, SfMid).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total,
+      "union loses/duplicates no rows")
+    out.filter(_.getAs[String]("era") == "v1").foreach { r =>
+      assert(r.getAs[Long]("k_nulls") == r.getAs[Long]("n"),
+        "v1 rows predate the k column: all NULL")
+      assert(r.isNullAt(r.fieldIndex("min_k")))
+    }
+    // v2 rows parse real values (testdata props carry k throughout)
+    val v2 = out.filter(_.getAs[String]("era") == "v2")
+    assert(v2.nonEmpty && v2.exists(_.getAs[Long]("k_nulls") <
+      v2.map(_.getAs[Long]("n")).max))
+  }
+
   test("g19 neighbor aggregation matches a brute-force recompute") {
     import graft.graph.{CoGraph, NeighborAgg}
     val edges = CoGraph.edges(spark, SfMid).collect()
