@@ -779,7 +779,47 @@ object RelationalExt {
       |FROM hist h JOIN med m USING (priority) JOIN mad a USING (priority)
       |GROUP BY 1 ORDER BY priority""".stripMargin
 
+  /** e20 — nested-array pipeline: per-order quantity lists via
+    * `collect_list`, then the higher-order-function trio — `transform`
+    * (render), `filter` (predicate count), `aggregate` (fold-sum) — all
+    * computed INSIDE the row, no explode/re-group round-trip (the
+    * naive spelling shuffles the exploded table twice; HOFs touch only
+    * the row's own array, codegen'd). DETERMINISM: `collect_list` order
+    * is partition-dependent, so the array is `array_sort`ed before any
+    * order-sensitive use — the canonical form both engines agree on.
+    * The rendered list is emitted as a CSV STRING of exact integers
+    * (long→string is engine-identical; an array column would also defeat
+    * the driver's value hash). Oracle: DuckDB's independent list
+    * algebra (`list_sort/list_filter/list_sum/array_to_string`).
+    */
+  def e20ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val qtys = array_sort(collect_list(col("l_quantity").cast("long")))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(qtys.as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("qtys")).as("n_items"),
+        concat_ws(",", transform(col("qtys"), _.cast("string")))
+          .as("qty_csv"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+        size(filter(col("qtys"), _ >= 30)).as("n_big"))
+      .filter(col("n_items") >= 5)
+      .orderBy("l_orderkey")
+  }
+
+  private val e20Sql =
+    """SELECT l_orderkey, CAST(len(qtys) AS INT) AS n_items,
+      |  array_to_string(qtys, ',') AS qty_csv,
+      |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+      |  CAST(len(list_filter(qtys, x -> x >= 30)) AS INT) AS n_big
+      |FROM (SELECT l_orderkey,
+      |        list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+      |      FROM lineitem GROUP BY 1) t
+      |WHERE len(qtys) >= 5
+      |ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_array_ops" -> (e20ArrayOps _),
     "e19_mad_outliers" -> (e19MadOutliers _),
     "e16_collation" -> (e16Collation _),
     "e15_unpivot" -> (e15Unpivot _),
@@ -799,6 +839,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e20_array_ops" -> e20Sql,
     "e19_mad_outliers" -> e19Sql,
     "e16_collation" -> e16Sql,
     "e15_unpivot" -> e15Sql,

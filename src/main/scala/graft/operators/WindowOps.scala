@@ -503,7 +503,54 @@ object WindowOps {
       |FROM daily d LEFT JOIN first_touch f USING (day)
       |ORDER BY d.day""".stripMargin
 
+  /** w12 — the full SQL rank-function family (rank / dense_rank /
+    * percent_rank / cume_dist / ntile) in one frame, completing the
+    * window surface beyond w01's row_number: per-priority ranking of
+    * order totals. DETERMINISM RULE: every rank function is only
+    * engine-stable under a TOTAL order, so the sort key is
+    * (o_totalprice DESC, o_orderkey) — ties broken by the unique key;
+    * rank==dense_rank on this data precisely because the order is total
+    * (the spec asserts the tie-free identity). percent_rank/cume_dist
+    * are ratios of identical small integers — bit-identical across
+    * engines with no snapping. Output trimmed to the top 20 per group
+    * AFTER the full-partition functions compute (the filter can't push
+    * below the window).
+    *
+    * Scale: one shuffle on the group key; rank functions are a single
+    * sorted pass per partition — no state beyond the running counters.
+    */
+  def w12RankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rnk") <= 20)
+      .orderBy("priority", "rnk")
+  }
+
+  private val w12Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+      |    CAST(rank() OVER w AS INT) AS rnk,
+      |    CAST(dense_rank() OVER w AS INT) AS drnk,
+      |    percent_rank() OVER w AS prnk,
+      |    cume_dist() OVER w AS cdist,
+      |    CAST(ntile(4) OVER w AS INT) AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey)) t
+      |WHERE rnk <= 20
+      |ORDER BY priority, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_rank_family" -> (w12RankFamily _),
     "w11_cumulative_distinct" -> (w11CumulativeDistinct _),
     "w09_gap_fill" -> (w09GapFill _),
     "w01_top_per_group" -> (w01TopPerGroup _),
@@ -516,6 +563,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w12_rank_family" -> w12Sql,
     "w11_cumulative_distinct" -> w11Sql,
     "w09_gap_fill" -> w09Sql,
     "w01_top_per_group" -> w01Sql,

@@ -239,6 +239,45 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(re.toSeq == a.toSeq)
   }
 
+  test("w12 rank family: total order makes every rank function exact") {
+    import graft.operators.WindowOps
+    val out = WindowOps.w12RankFamily(spark, SfMid).collect()
+    val groupN = Tables.orders(spark, SfMid)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (prio, rows) =>
+      val n = groupN(prio).toDouble
+      rows.foreach { r =>
+        val rnk = r.getInt(3)
+        assert(r.getInt(4) == rnk, "tie-free total order: dense_rank == rank")
+        assert(r.getDouble(5) == (rnk - 1) / (n - 1), "percent_rank identity")
+        assert(r.getDouble(6) == rnk / n, "cume_dist identity (no ties)")
+        assert(r.getInt(7) >= 1 && r.getInt(7) <= 4)
+      }
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 20),
+        s"top-20 ranks contiguous for $prio")
+    }
+  }
+
+  test("e20 array pipeline equals the explode-and-regroup recompute") {
+    import graft.operators.RelationalExt
+    val out = RelationalExt.e20ArrayOps(spark, Sf).collect()
+    val brute = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(0)).toSet ==
+      brute.filter(_._2.size >= 5).keySet, "filter keeps exactly >=5-item orders")
+    out.foreach { r =>
+      val qs = brute(r.getLong(0))
+      assert(r.getInt(1) == qs.size)
+      assert(r.getString(2) == qs.mkString(","))
+      assert(r.getLong(3) == qs.sum)
+      assert(r.getInt(4) == qs.count(_ >= 30))
+    }
+  }
+
   test("g20 clustering coefficient: triangle counts cross-validate GraphX") {
     import graft.graph.{Components, NeighborAgg}
     val lcc = NeighborAgg.g20ClusteringCoeff(spark, SfMid).collect()
