@@ -24,7 +24,8 @@ object SparkEntry {
       operators.JsonOps.queries ++ operators.SkewOps.queries ++
       operators.RelationalExt.queries ++ operators.Analytics.queries ++
       operators.Corpus.queries ++ operators.ZOrder.queries ++
-      operators.LmOps.queries ++ operators.DriftOps.queries
+      operators.LmOps.queries ++ operators.DriftOps.queries ++
+      plans.GroupedTopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,7 +39,8 @@ object SparkEntry {
       operators.JsonOps.oracles ++ operators.SkewOps.oracles ++
       operators.RelationalExt.oracles ++ operators.Analytics.oracles ++
       operators.Corpus.oracles ++ operators.ZOrder.oracles ++
-      operators.LmOps.oracles ++ operators.DriftOps.oracles
+      operators.LmOps.oracles ++ operators.DriftOps.oracles ++
+      plans.GroupedTopK.oracles
 
   /** Subset run by [[Bench]] per round (headline queries; the relational
     * core, the iterative PageRank loop — baseline 22.5 s in the reference —
@@ -67,6 +69,7 @@ object SparkEntry {
     "v08_ann_binary", "v09_ann_sq", "w09_gap_fill", "a06_cooccurrence_lift",
     "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup",
     "f01_tvd_drift", "f02_ks_drift", "e19_mad_outliers",
-    "w11_cumulative_distinct", "g20_clustering_coeff", "a07_rfm_segments"
+    "w11_cumulative_distinct", "g20_clustering_coeff", "a07_rfm_segments",
+    "w13_grouped_topk"
   ).filter(queries.contains)
 }

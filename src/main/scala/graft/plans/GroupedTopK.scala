@@ -1,0 +1,171 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Per-key top-k as a NATIVE physical operator — the whole-operator
+  * extension point (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`
+  * via the planner hook), completing graft's extension inventory next to
+  * the codegen'd `VecDot` expression and the LineProtocol DataSource V2.
+  *
+  * WHY an operator, not a query: Spark spells per-key top-k as
+  * `row_number() OVER (PARTITION BY k ORDER BY v) <= n` — a full SORT of
+  * every partition (O(n log n) comparisons, full materialization in the
+  * sort buffer) to keep 3 rows per key. The right machine is a bounded
+  * HEAP per key: O(n log k), no sort buffer, and — the 100 TB point — it
+  * runs map-side BEFORE the shuffle too (top-k of per-partition top-ks is
+  * top-k: the same associativity partial aggregation exploits), so the
+  * exchange carries at most k rows per (key, input partition) instead of
+  * the full table. The strategy plans partial → exchange → final
+  * automatically via `requiredChildDistribution`.
+  *
+  * Semantics: rows ranked per group by `value` DESC with `tie` ASC as the
+  * unique tie-break (the total-order determinism rule every ranked
+  * operator in this repo follows); NULL values are excluded. Output order
+  * within/across groups is unspecified — callers order, as after any
+  * aggregate. Column pruning: the node passes `child.output` through, so
+  * project the input to needed columns BEFORE wrapping (the builder does
+  * not re-derive prunability through an opaque node).
+  */
+object GroupedTopK {
+
+  /** Wrap `df` in the operator. `valueCol` must be DOUBLE, `tieCol` LONG
+    * and unique within each group (typed narrowly on purpose — this is an
+    * operator demo, not a framework; widening to any ordered type is
+    * mechanical).
+    */
+  def apply(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val s = df.sparkSession
+    GraftBridge.addStrategy(s, GroupedTopKStrategy)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+    val v = attr(valueCol)
+    require(v.dataType == DoubleType, s"$valueCol must be double")
+    val t = attr(tieCol)
+    require(t.dataType == LongType, s"$tieCol must be long")
+    GraftBridge.ofRows(s,
+      GroupedTopKNode(groupCols.map(attr), v, t, k, analyzed))
+  }
+
+  /** w13 — registered query: top-3 orders by total per priority through
+    * the native operator; the oracle is the definitional `row_number`
+    * window spelling (which is also what `GroupedTopKSpec` diffs against
+    * in-engine).
+    */
+  def w13GroupedTopk(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"), col("o_totalprice"))
+    GroupedTopK(base, Seq("priority"), "o_totalprice", "o_orderkey", 3)
+      .orderBy(col("priority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val w13Sql =
+    """SELECT priority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_grouped_topk" -> (w13GroupedTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "w13_grouped_topk" -> w13Sql)
+}
+
+/** Logical marker node: output = child.output, rows filtered to the
+  * per-group top k. Built already-resolved (attributes taken from the
+  * analyzed child), so the analyzer passes it through untouched.
+  */
+case class GroupedTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
+    tieAttr: Attribute, k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKNode =
+    copy(child = newChild)
+}
+
+/** Planner rule: partial (pre-shuffle) → final (post-shuffle) pair, the
+  * exchange inserted by EnsureRequirements from the final's
+  * ClusteredDistribution requirement — exactly how partial aggregation
+  * plans, because it IS the same trick (top-k is associative).
+  */
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKNode(g, v, t, k, child) =>
+      GroupedTopKExec(g, v, t, k, partial = false,
+        GroupedTopKExec(g, v, t, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap per-key top-k pass. partial=true runs on whatever
+  * partitioning the child has (map-side); partial=false demands
+  * co-location by group key. Per partition: one hash map of ≤k-element
+  * min-heaps keyed by the group projection — O(rows·log k), memory
+  * O(groups·k), no sort buffer, no spill path needed (k is small by
+  * contract).
+  */
+case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
+    tieAttr: Attribute, k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupAttrs))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val (g, v, t, kk) = (groupAttrs, valueAttr, tieAttr, k)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val vBound = BindReferences.bindReference(v: Expression, childOutput)
+      val tBound = BindReferences.bindReference(t: Expression, childOutput)
+      // head = WEAKEST kept row (smallest value; ties: largest tie key),
+      // so one head comparison decides admission
+      val weakestFirst: Ordering[(Double, Long, InternalRow)] =
+        Ordering.by { case (value, tie, _) => (-value, tie) }
+      val heaps = mutable.HashMap.empty[UnsafeRow,
+        mutable.PriorityQueue[(Double, Long, InternalRow)]]
+      iter.foreach { row =>
+        val raw = vBound.eval(row)
+        if (raw != null) { // NULL values excluded by contract
+          val value = raw.asInstanceOf[Double]
+          val tie = tBound.eval(row).asInstanceOf[Long]
+          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+            mutable.PriorityQueue.empty(weakestFirst))
+          if (heap.size < kk) heap.enqueue((value, tie, row.copy()))
+          else {
+            val (hv, ht, _) = heap.head
+            if (value > hv || (value == hv && tie < ht)) {
+              heap.dequeue()
+              heap.enqueue((value, tie, row.copy()))
+            }
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap(
+        _.dequeueAll[(Double, Long, InternalRow)].iterator.map(_._3))
+    }, preservesPartitioning = true)
+  }
+}

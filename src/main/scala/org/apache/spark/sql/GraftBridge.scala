@@ -12,4 +12,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built LogicalPlan — the hook a custom logical
+    * operator (graft.plans.GroupedTopK) needs to hand its node back to the
+    * session. `classic.Dataset.ofRows` is private[sql]; every plan-level
+    * extension library re-exports it this way.
+    */
+  def ofRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently register an extra planner strategy on a live session
+    * (the `experimental` escape hatch, for sessions not built with
+    * `withExtensions`; `GraftExtensions` covers the deployment path).
+    */
+  def addStrategy(s: SparkSession,
+      st: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = s.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(st))
+      exp.extraStrategies = exp.extraStrategies :+ st
+  }
 }
