@@ -126,8 +126,13 @@ object VectorFunctions {
   * every session gets `vec_dot` without imperative setup.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot"),
       VectorFunctions.builder)) // arity-checked, shared with the registry path
+    // the native per-key top-k physical operator plans in any session
+    // built with these extensions (GroupedTopK.apply also self-registers
+    // through the `experimental` hook for plain sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+  }
 }

@@ -51,6 +51,19 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestSession {
         "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
       assert(d == 11.0)
+      // the planner strategy rode in with the same extensions: the
+      // GroupedTopK node plans WITHOUT the experimental-hook fallback
+      import org.apache.spark.sql.functions.col
+      import s2.implicits._
+      val tiny = Seq(("a", 1L, 2.0), ("a", 2L, 3.0), ("a", 3L, 1.0))
+        .toDF("g", "tie", "v")
+      val analyzed = tiny.queryExecution.analyzed
+      def attr(n: String) = analyzed.output.find(_.name == n).get
+      val node = graft.plans.GroupedTopKNode(
+        Seq(attr("g")), attr("v"), attr("tie"), 2, analyzed)
+      val out = org.apache.spark.sql.GraftBridge.ofRows(s2, node)
+        .orderBy(col("v").desc).collect().map(_.getLong(1)).toSeq
+      assert(out == Seq(2L, 1L), s"strategy not injected: $out")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
