@@ -305,13 +305,137 @@ object DriftOps {
        |ORDER BY e.digit""".stripMargin
   }
 
+  /** f04 — McNemar's paired test between two DETERMINISTIC fraud rules
+    * (A: high-value; B: moderate-value in the overnight window) against
+    * the error-event truth label. The right comparison for two
+    * classifiers scored on the SAME rows is the DISCORDANT pairs only —
+    * b = A right/B wrong, c = B right/A wrong — not two independent
+    * accuracies; the statistic (b−c)²/(b+c) is a ratio of small exact
+    * integers, so no continuity/χ² table lookup is needed to make the
+    * VALUE engine-exact (the >3.84 significance reading is left to the
+    * caller). Rule-based (pure row predicates) precisely so the whole
+    * test is oracle-checkable — model scores are partitioning-sensitive,
+    * which is why the ML rows are rows-only (m02–m04).
+    *
+    * Scale: one narrow scan → four counters (map-side combined) → one row.
+    */
+  def f04Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val truth = (col("event_type") === "error").cast("int")
+    val ruleA = (col("value") >= 300.0).cast("int")
+    val ruleB = (col("value") >= 200.0 && hour(col("ts")) < 6).cast("int")
+    Tables.events(s, dir)
+      .select(truth.as("y"), ruleA.as("a"), ruleB.as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") === col("y") && col("b") =!= col("y"), 1L)
+          .otherwise(0L)).as("b_discordant"),
+        sum(when(col("a") =!= col("y") && col("b") === col("y"), 1L)
+          .otherwise(0L)).as("c_discordant"))
+      .select(col("n"), col("b_discordant"), col("c_discordant"),
+        r((col("b_discordant") - col("c_discordant")).cast("double")
+          * (col("b_discordant") - col("c_discordant")).cast("double")
+          / (col("b_discordant") + col("c_discordant")).cast("double"), 6)
+          .as("mcnemar_stat"))
+  }
+
+  private val f04Sql =
+    s"""WITH scored AS (
+       |  SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN value >= 300.0 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN value >= 200.0 AND hour(ts) < 6 THEN 1 ELSE 0 END AS b
+       |  FROM events),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS b_discordant,
+       |    CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c_discordant
+       |  FROM scored)
+       |SELECT n, b_discordant, c_discordant,
+       |  ${Det.sqlR(
+            "CAST(b_discordant - c_discordant AS DOUBLE) " +
+              "* CAST(b_discordant - c_discordant AS DOUBLE) " +
+              "/ CAST(b_discordant + c_discordant AS DOUBLE)", 6)}
+       |    AS mcnemar_stat
+       |FROM agg""".stripMargin
+
+  /** f05 — CUSUM change-point detection over the daily error-count
+    * series: the day where the cumulative deviation from the overall
+    * daily mean peaks — the classic "when did the regime change" scan
+    * statistic. Kept EXACT by scaling instead of dividing:
+    * S_t = n·Σ_{i≤t} x_i − t·Σx is (n × the usual CUSUM) in pure
+    * integers, and argmax is scale-invariant, so the reported day and
+    * direction carry no float at all; the normalized magnitude divides
+    * once at the end, snapped.
+    *
+    * Scale: daily counts are one map-combined aggregate; the prefix sum
+    * runs on the calendar-bounded day table (w11's argument); argmax via
+    * top-1, not a sort.
+    */
+  def f05CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.agg(
+      sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.orderBy("day") // calendar-bounded
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_x", sum(col("x")).over(w))
+      .withColumn("t", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("s_scaled",
+        col("n_days") * col("cum_x") - col("t") * col("total"))
+      .orderBy(abs(col("s_scaled")).desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("change_day"),
+        col("n_days"), col("total").as("total_errors"),
+        col("s_scaled"),
+        when(col("s_scaled") > 0, lit("above-mean-then-drop"))
+          .otherwise(lit("below-mean-then-rise")).as("direction"),
+        r(abs(col("s_scaled")).cast("double")
+          / col("n_days").cast("double"), 4).as("cusum_magnitude"))
+  }
+
+  private val f05Sql =
+    s"""WITH daily AS (
+       |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'error' GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(x) AS BIGINT) AS total,
+       |         CAST(count(*) AS BIGINT) AS n_days FROM daily),
+       |cum AS (
+       |  SELECT day,
+       |    CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |         AS BIGINT) AS cum_x,
+       |    CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |         AS BIGINT) AS t
+       |  FROM daily),
+       |scored AS (
+       |  SELECT day, n_days, total,
+       |    n_days * cum_x - t * total AS s_scaled
+       |  FROM cum CROSS JOIN totals)
+       |SELECT day AS change_day, n_days, total AS total_errors, s_scaled,
+       |  CASE WHEN s_scaled > 0 THEN 'above-mean-then-drop'
+       |       ELSE 'below-mean-then-rise' END AS direction,
+       |  ${Det.sqlR("CAST(abs(s_scaled) AS DOUBLE) / CAST(n_days AS DOUBLE)", 4)}
+       |    AS cusum_magnitude
+       |FROM scored ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_tvd_drift" -> (f01TvdDrift _),
     "f02_ks_drift" -> (f02KsDrift _),
-    "f03_benford" -> (f03Benford _))
+    "f03_benford" -> (f03Benford _),
+    "f04_mcnemar" -> (f04Mcnemar _),
+    "f05_cusum_changepoint" -> (f05CusumChangepoint _))
 
   val oracles: Map[String, String] = Map(
     "f01_tvd_drift" -> f01Sql,
     "f02_ks_drift" -> f02Sql,
-    "f03_benford" -> f03Sql)
+    "f03_benford" -> f03Sql,
+    "f04_mcnemar" -> f04Sql,
+    "f05_cusum_changepoint" -> f05Sql)
 }

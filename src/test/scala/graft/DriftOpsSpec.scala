@@ -77,6 +77,43 @@ class DriftOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("f04 McNemar counts discordant pairs only, statistic recomputes") {
+    val out = DriftOps.f04Mcnemar(spark, SfMid).collect()(0)
+    val (n, b, c) = (out.getAs[Long]("n"), out.getAs[Long]("b_discordant"),
+      out.getAs[Long]("c_discordant"))
+    assert(n == Tables.events(spark, SfMid).count())
+    assert(b + c <= n && b >= 0 && c >= 0)
+    assert(b + c > 0, "rules must actually disagree somewhere on testdata")
+    val stat = math.floor(
+      (b - c).toDouble * (b - c).toDouble / (b + c).toDouble * 1e6 + 0.5) / 1e6
+    assert(out.getAs[Double]("mcnemar_stat") == stat)
+  }
+
+  test("f05 CUSUM change-point equals the brute-force argmax") {
+    val out = DriftOps.f05CusumChangepoint(spark, SfMid).collect()(0)
+    val daily = Tables.events(spark, SfMid)
+      .filter(col("event_type") === "error")
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cum = 0L
+    var best = 0L; var bestDay = Long.MaxValue
+    var t = 0L
+    daily.foreach { case (day, x) =>
+      cum += x; t += 1
+      val s = n * cum - t * total
+      if (math.abs(s) > math.abs(best)) { best = s; bestDay = day }
+    }
+    assert(out.getAs[Long]("change_day") == bestDay)
+    assert(out.getAs[Long]("s_scaled") == best)
+    assert(out.getAs[Long]("n_days") == n)
+    assert(out.getAs[Long]("total_errors") == total)
+    // a non-constant series has a nonzero interior peak (the final
+    // prefix is identically zero by construction, so it never wins)
+    assert(bestDay != Long.MaxValue && bestDay != daily.last._1)
+  }
+
   test("f01/f02 plans: broadcast scalar totals, no global-sort cumsum") {
     val p1 = DriftOps.f01TvdDrift(spark, SfMid)
       .queryExecution.executedPlan.toString()
