@@ -818,7 +818,60 @@ object RelationalExt {
       |WHERE len(qtys) >= 5
       |ORDER BY l_orderkey""".stripMargin
 
+  /** e21 — warehouse-wide key-integrity sweep: ONE query profiles every
+    * table's primary key (rows, distinct keys, key envelope) into a
+    * uniform report — the cross-table complement of e08's single-table
+    * constraint checks, and the first thing a migration/backfill runs to
+    * prove nothing duplicated or vanished. `distinct = rows` IS the PK
+    * uniqueness proof per table — and on THIS warehouse the sweep
+    * correctly flags lineitem (its `·100 + linenumber` composite, e08's
+    * deliberately red unique_pk check: the synthetic generator repeats
+    * line numbers within an order), while the five clean tables prove
+    * out. A report that can't fail proves nothing.
+    *
+    * Scale: each branch scans ONLY its key column (pruned narrow scans),
+    * aggregates to one row, and the union is plan-level — the whole
+    * sweep is 6 independent map-combined aggregates, embarrassingly
+    * parallel across tables.
+    */
+  def e21KeySweep(s: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.select(key.as("k")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("k")).as("key_distinct"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("key_distinct"), col("min_key"), col("max_key"))
+    one("customer", Tables.customer(s, dir), col("c_custkey"))
+      .unionByName(one("events", Tables.events(s, dir), col("event_id")))
+      .unionByName(one("lineitem", Tables.lineitem(s, dir),
+        col("l_orderkey") * 100 + col("l_linenumber")))
+      .unionByName(one("nation", Tables.nation(s, dir),
+        col("n_nationkey").cast("long")))
+      .unionByName(one("orders", Tables.orders(s, dir), col("o_orderkey")))
+      .unionByName(one("region", Tables.region(s, dir),
+        col("r_regionkey").cast("long")))
+      .orderBy("table_name")
+  }
+
+  private val e21Sql = {
+    def one(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT k) AS BIGINT) AS key_distinct,
+         |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+         |FROM (SELECT $key AS k FROM $table) t""".stripMargin
+    Seq(
+      one("customer", "customer", "c_custkey"),
+      one("events", "events", "event_id"),
+      one("lineitem", "lineitem", "l_orderkey * 100 + l_linenumber"),
+      one("nation", "nation", "n_nationkey"),
+      one("orders", "orders", "o_orderkey"),
+      one("region", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e21_key_sweep" -> (e21KeySweep _),
     "e20_array_ops" -> (e20ArrayOps _),
     "e19_mad_outliers" -> (e19MadOutliers _),
     "e16_collation" -> (e16Collation _),
@@ -839,6 +892,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e21_key_sweep" -> e21Sql,
     "e20_array_ops" -> e20Sql,
     "e19_mad_outliers" -> e19Sql,
     "e16_collation" -> e16Sql,

@@ -239,6 +239,24 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(re.toSeq == a.toSeq)
   }
 
+  test("e21 key sweep proves PK uniqueness across the whole warehouse") {
+    import graft.operators.RelationalExt
+    val out = RelationalExt.e21KeySweep(spark, SfMid).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("customer", "events", "lineitem", "nation", "orders", "region"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_key") <= r.getAs[Long]("max_key"))
+      assert(r.getAs[Long]("n_rows") > 0)
+      if (r.getString(0) == "lineitem")
+        // the testdata's known integrity defect (e08's deliberately red
+        // unique_pk check): the sweep must DETECT it, not paper over it
+        assert(r.getAs[Long]("key_distinct") < r.getAs[Long]("n_rows"))
+      else
+        assert(r.getAs[Long]("key_distinct") == r.getAs[Long]("n_rows"),
+          s"duplicate keys in ${r.getString(0)}")
+    }
+  }
+
   test("w12 rank family: total order makes every rank function exact") {
     import graft.operators.WindowOps
     val out = WindowOps.w12RankFamily(spark, SfMid).collect()
