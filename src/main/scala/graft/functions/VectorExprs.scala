@@ -132,7 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       VectorFunctions.builder)) // arity-checked, shared with the registry path
     // the native per-key top-k physical operator plans in any session
     // built with these extensions (GroupedTopK.apply also self-registers
-    // through the `experimental` hook for plain sessions)
+    // through the `experimental` hook for plain sessions), and the
+    // rewrite rule turns user-written row_number-filter SQL into it
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }

@@ -73,6 +73,29 @@ object GroupedTopK {
       .orderBy(col("priority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** w14 — the SAME top-3-per-priority result, but written the way an
+    * analyst writes it (`row_number` window + filter + drop) with
+    * [[TopKRewriteRule]] active: the optimizer swaps in the native
+    * operator, and the driver's oracle gate hash-compares the rewritten
+    * plan's output against the definitional SQL — rewrite-correctness
+    * proven by the same machinery as every other operator, not by a
+    * bespoke test alone.
+    */
+  def w14TopkRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftBridge.addStrategy(s, GroupedTopKStrategy)
+    GraftBridge.addOptimization(s, TopKRewriteRule)
+    val w = Window.partitionBy("priority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("priority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   private val w13Sql =
     """SELECT priority, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
@@ -83,10 +106,12 @@ object GroupedTopK {
       |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w13_grouped_topk" -> (w13GroupedTopk _))
+    "w13_grouped_topk" -> (w13GroupedTopk _),
+    "w14_topk_rewrite" -> (w14TopkRewrite _))
 
   val oracles: Map[String, String] = Map(
-    "w13_grouped_topk" -> w13Sql)
+    "w13_grouped_topk" -> w13Sql,
+    "w14_topk_rewrite" -> w13Sql) // definitionally the same answer
 }
 
 /** Logical marker node: output = child.output, rows filtered to the

@@ -32,4 +32,16 @@ object GraftBridge {
     if (!exp.extraStrategies.contains(st))
       exp.extraStrategies = exp.extraStrategies :+ st
   }
+
+  /** Idempotently register an extra optimizer rule on a live session
+    * (same escape hatch as [[addStrategy]]; extra optimizations run
+    * after the built-in batches).
+    */
+  def addOptimization(s: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = s.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

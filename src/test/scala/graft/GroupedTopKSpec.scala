@@ -81,6 +81,42 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("rewrite rule swaps user-written row_number SQL for the operator") {
+    val df = GroupedTopK.w14TopkRewrite(spark, SfMid)
+    val p = df.queryExecution.executedPlan.toString()
+    assert("GroupedTopK \\[".r.findAllIn(p).size == 2,
+      s"rewrite must fire (partial+final heaps in the plan):\n$p")
+    assert(!p.contains("Window ") && !p.contains("RunningWindowFunction"),
+      s"no window operator may remain:\n$p")
+    // and the rewritten plan computes the right answer (w14's oracle
+    // re-proves this against DuckDB at the gate; here, in-engine)
+    assert(df.collect().length == 15)
+  }
+
+  test("rewrite refuses unsafe shapes: rank() and tied sorts stay windows") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.addOptimization(spark, graft.plans.TopKRewriteRule)
+    val w = Window.partitionBy("priority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rank() over-returns on boundary ties -> must NOT be rewritten
+    val ranked = base.withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!ranked.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "rank() must not rewrite")
+    // sort without the unique long tie-break -> no total order -> no match
+    val noTie = base.withColumn("rn", row_number().over(
+      Window.partitionBy("priority").orderBy(col("o_totalprice").desc)))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!noTie.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "tieless sort must not rewrite")
+    // the rank column surviving into the projection -> no match
+    val keepsRn = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(!keepsRn.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "projected rank column must not rewrite")
+  }
+
   test("top-k is associative: chunked partials re-reduce to the global") {
     // the algebraic fact the partial/final split relies on, pinned as a
     // pure property: top-k(concat(top-k(chunks))) == top-k(all)
