@@ -60,6 +60,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("identical subplans reuse one exchange (scan+shuffle paid once)") {
+    // a self-join of the same aggregate: Spark must detect the identical
+    // subtree and pay its scan + shuffle ONCE — at 100 TB, exchange reuse
+    // is the difference between reading the fact table once or twice in
+    // every self-join shape (dedup pairs, co-occurrence, a06, g15 all
+    // lean on it; g15's recorded plan shows it live)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val agg = Tables.orders(spark, Sf)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val j = agg.as("a").join(agg.as("b"),
+      col("a.o_orderpriority") < col("b.o_orderpriority"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString()
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+        || "ShuffleQueryStage \\d".r.findAllIn(p).toSeq.distinct.size <
+           "ShuffleQueryStage \\d".r.findAllIn(p).size,
+      s"the identical aggregate subtree must not shuffle twice:\n$p")
+  }
+
   test("AQE skew-join splits a planted skewed SMJ (built-in path beside SkewOps' manual salt)") {
     // k01/k02 prove the MANUAL salting path; this pins the runtime path a
     // 1000-executor deployment leans on first: AQE detecting a skewed
