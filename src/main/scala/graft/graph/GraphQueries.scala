@@ -24,7 +24,8 @@ object GraphQueries {
     "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
     "g18_hits" -> (PageRankOps.g18Hits _),
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
-    "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _)
+    "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
+    "g21_assortativity" -> (NeighborAgg.g21Assortativity _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -49,6 +50,7 @@ object GraphQueries {
     "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
     "g18_hits" -> PageRankOps.g18Sql,
     "g19_neighbor_features" -> NeighborAgg.g19Sql,
-    "g20_clustering_coeff" -> NeighborAgg.g20Sql
+    "g20_clustering_coeff" -> NeighborAgg.g20Sql,
+    "g21_assortativity" -> NeighborAgg.g21Sql
   )
 }

@@ -131,6 +131,74 @@ object NeighborAgg {
        |WHERE d.degree >= 2
        |ORDER BY d.id""".stripMargin
 
+  /** g21 — degree assortativity (Newman's r): the Pearson correlation of
+    * degrees across edge endpoints — POSITIVE in collusion structures
+    * (mules transact with mules) and typically negative in organic
+    * hub-and-spoke graphs, making it the one-number structural screen
+    * next to g20's per-node density. Computed from exact INTEGER moment
+    * sums over the symmetric directed edge set (the standard convention —
+    * each undirected edge contributes both orientations, which also makes
+    * r symmetric by construction): r = (nΣxy − ΣxΣy) /
+    * √((nΣx² − (Σx)²)(nΣy² − (Σy)²)). Every Σ is an exact integer; the
+    * single √ and divide run on bit-identical doubles in both engines
+    * (Det.dstddev's argument), snapped once at 6 dp.
+    *
+    * Scale: degrees table is vertex-bounded (broadcast join onto edges),
+    * moments are one map-combined aggregate. The integer moments carry
+    * DECIMAL(18,0) carriers (36-digit products stay inside BOTH engines' 38-digit cap); beyond ~1e12-edge graphs move to the
+    * two-pass standardized form (subtract means first) — documented, not
+    * needed at any realistic fraud-graph size.
+    */
+  def g21Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = CoGraph.edges(s, dir).cache()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(broadcast(deg.withColumnRenamed("id", "sid")
+        .withColumnRenamed("d", "x")), col("src") === col("sid"))
+      .join(broadcast(deg.withColumnRenamed("id", "did")
+        .withColumnRenamed("d", "y")), col("dst") === col("did"))
+    val D = "decimal(18,0)"
+    val m = withDeg.agg(
+      count(lit(1)).cast(D).as("n"),
+      sum(col("x")).cast(D).as("sx"),
+      sum(col("y")).cast(D).as("sy"),
+      sum(col("x") * col("y")).cast(D).as("sxy"),
+      sum(col("x") * col("x")).cast(D).as("sxx"),
+      sum(col("y") * col("y")).cast(D).as("syy"))
+    m.select(
+      col("n").cast("long").as("n_edges"),
+      Det.r((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("assortativity"))
+  }
+
+  val g21Sql: String =
+    s"""WITH ${CoGraph.edgesCte},
+       |deg AS (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+       |  FROM edges GROUP BY 1),
+       |with_deg AS (
+       |  SELECT dx.d AS x, dy.d AS y
+       |  FROM edges e
+       |  JOIN deg dx ON e.src = dx.id
+       |  JOIN deg dy ON e.dst = dy.id),
+       |m AS (
+       |  SELECT CAST(count(*) AS DECIMAL(18,0)) AS n,
+       |    CAST(sum(x) AS DECIMAL(18,0)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(18,0)) AS sy,
+       |    CAST(sum(x * y) AS DECIMAL(18,0)) AS sxy,
+       |    CAST(sum(x * x) AS DECIMAL(18,0)) AS sxx,
+       |    CAST(sum(y * y) AS DECIMAL(18,0)) AS syy
+       |  FROM with_deg)
+       |SELECT CAST(n AS BIGINT) AS n_edges,
+       |  ${Det.sqlR(
+            "CAST(n * sxy - sx * sy AS DOUBLE) " +
+              "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) " +
+              "* CAST(n * syy - sy * sy AS DOUBLE))", 6)} AS assortativity
+       |FROM m""".stripMargin
+
   val g19Sql: String =
     s"""WITH ${CoGraph.edgesCte},
        |feats AS (

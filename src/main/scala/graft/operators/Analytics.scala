@@ -376,7 +376,75 @@ object Analytics {
        |  ${Det.sqlR("CAST(sum(monetary) AS DOUBLE)", 2)} AS total_monetary
        |FROM graded GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** a08 — Gini coefficient of order-value concentration per market
+    * segment ("how whale-dominated is each segment?") — the inequality
+    * summary next to a07's census, and a fraud signal in its own right
+    * (stolen-card rings concentrate value far beyond organic segments).
+    *
+    * EXACT via the grouped-histogram identity: for ascending values with
+    * counts, a value v with count c and p rows before it contributes
+    * v·c·(2p + c − n) to S = Σᵢ(2i − n − 1)xᵢ, so
+    * Gini = S / (n·Σx) needs only integer cents, the bounded per-(segment,
+    * value) histogram, and ONE final division — no per-row rank, no
+    * global sort (e18's scale argument; the cum window rides the
+    * segment-partitioned histogram).
+    */
+  def a08GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("segment").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("segment")
+    val D = "decimal(18,0)" // 18+18-digit products fit both engines' 38 cap
+    hist
+      .withColumn("p", sum(col("c")).over(w) - col("c")) // rows strictly before
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("segment")
+      .agg(
+        max(col("n")).as("n_orders"),
+        sum((col("v") * col("c")).cast(D)).as("total_cents"),
+        sum((col("v") * col("c")).cast(D)
+          * (col("p") * 2 + col("c") - col("n")).cast(D)).as("s"))
+      .select(col("segment"), col("n_orders"),
+        (col("total_cents").cast("double") / lit(100.0)).as("total_usd"),
+        Det.r(col("s").cast("double")
+          / (col("n_orders").cast(D) * col("total_cents")).cast("double"), 6)
+          .as("gini"))
+      .orderBy("segment")
+  }
+
+  private val a08Sql =
+    s"""WITH hist AS (
+       |  SELECT c.c_mktsegment AS segment,
+       |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT segment, v, c,
+       |    CAST(sum(c) OVER (PARTITION BY segment ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+       |      AS BIGINT) AS p,
+       |    CAST(sum(c) OVER (PARTITION BY segment) AS BIGINT) AS n
+       |  FROM hist)
+       |SELECT segment, max(n) AS n_orders,
+       |  CAST(CAST(sum(CAST(v * c AS DECIMAL(18,0))) AS DOUBLE) / 100.0
+       |    AS DOUBLE) AS total_usd,
+       |  ${Det.sqlR(
+            "CAST(sum(CAST(v * c AS DECIMAL(18,0)) " +
+              "* CAST(p * 2 + c - n AS DECIMAL(18,0))) AS DOUBLE) " +
+              "/ CAST(CAST(max(n) AS DECIMAL(18,0)) " +
+              "* sum(CAST(v * c AS DECIMAL(18,0))) AS DOUBLE)", 6)} AS gini
+       |FROM cum GROUP BY 1 ORDER BY segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a08_gini_concentration" -> (a08GiniConcentration _),
     "a07_rfm_segments" -> (a07RfmSegments _),
     "a06_cooccurrence_lift" -> (a06CooccurrenceLift _),
     "a01_shipping_priority" -> (a01ShippingPriority _),
@@ -386,6 +454,7 @@ object Analytics {
     "a05_funnel" -> (a05Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "a08_gini_concentration" -> a08Sql,
     "a07_rfm_segments" -> a07Sql,
     "a06_cooccurrence_lift" -> a06Sql,
     "a01_shipping_priority" -> a01Sql,

@@ -239,6 +239,50 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(re.toSeq == a.toSeq)
   }
 
+  test("g21 assortativity equals brute-force Pearson over edge endpoints") {
+    import graft.graph.{CoGraph, NeighborAgg}
+    val out = NeighborAgg.g21Assortativity(spark, SfMid).collect()(0)
+    val edges = CoGraph.edges(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map(e => deg(e._1).toDouble)
+    val ys = edges.map(e => deg(e._2).toDouble)
+    val n = xs.length.toDouble
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    val brute = num / den
+    assert(out.getLong(0) == xs.length)
+    assert(math.abs(out.getDouble(1) - brute) < 1e-4,
+      s"engine ${out.getDouble(1)} vs brute $brute")
+    assert(out.getDouble(1) >= -1.0 && out.getDouble(1) <= 1.0)
+  }
+
+  test("a08 Gini matches the sorted per-row definition and its bounds") {
+    import graft.operators.Analytics
+    val out = Analytics.a08GiniConcentration(spark, SfMid).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = Tables.orders(spark, SfMid)
+      .join(Tables.customer(spark, SfMid),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    rows.groupBy(_._1).foreach { case (seg, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.length
+      val s = xs.zipWithIndex.map { case (x, i) =>
+        x.toDouble * (2 * (i + 1) - n - 1) }.sum
+      val brute = s / (n.toDouble * xs.map(_.toDouble).sum)
+      val r = out(seg)
+      assert(r.getAs[Long]("n_orders") == n)
+      assert(math.abs(r.getAs[Double]("gini") - brute) < 1e-4,
+        s"$seg: ${r.getAs[Double]("gini")} vs $brute")
+      // uniform-ish synthetic amounts: inequality present but moderate
+      assert(r.getAs[Double]("gini") > 0.0 && r.getAs[Double]("gini") < 1.0)
+    }
+  }
+
   test("e21 key sweep proves PK uniqueness across the whole warehouse") {
     import graft.operators.RelationalExt
     val out = RelationalExt.e21KeySweep(spark, SfMid).collect()
