@@ -117,6 +117,15 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
       .contains("GroupedTopK"), "projected rank column must not rewrite")
   }
 
+  test("empty input and all-NULL values produce an empty result, no error") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long, Double)].toDF("g", "tie", "v")
+    assert(GroupedTopK(empty, Seq("g"), "v", "tie", 3).collect().isEmpty)
+    val allNull = Seq(("a", 1L), ("a", 2L)).toDF("g", "tie")
+      .withColumn("v", lit(null).cast("double"))
+    assert(GroupedTopK(allNull, Seq("g"), "v", "tie", 3).collect().isEmpty)
+  }
+
   test("top-k is associative: chunked partials re-reduce to the global") {
     // the algebraic fact the partial/final split relies on, pinned as a
     // pure property: top-k(concat(top-k(chunks))) == top-k(all)
