@@ -50,7 +50,15 @@ object DriftOps {
     * ~50 bins: bounded regardless of row count, so every "global" pass
     * below runs over a ~50-row table, never the data.
     */
-  private val BinCents = 1000000L
+  val BinCents = 1000000L
+
+  /** The ONE bin definition every drift consumer shares — batch (f01/f02)
+    * and the streaming monitor ([[graft.streaming.DriftStream]]): a
+    * stream histogram is only comparable to its batch reference if both
+    * used the same edges.
+    */
+  def amountBin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (cents(c) / lit(BinCents)).cast("long")
 
   /** f01 — distribution drift as per-bin TOTAL-VARIATION terms between a
     * reference and a current split of `orders` (deterministic halves here;
@@ -70,7 +78,7 @@ object DriftOps {
     val binned = Tables.orders(s, dir)
       .select(
         hashSplit(col("o_orderkey"), 2).as("split"),
-        (cents(col("o_totalprice")) / lit(BinCents)).cast("long").as("bin"))
+        amountBin(col("o_totalprice")).as("bin"))
     val perBin = binned.groupBy("bin")
       .agg(
         sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.DriftOps
+
+/** Streaming twin of the drift-monitoring family: the live side of
+  * f01's reference-vs-current comparison. The batch job freezes a
+  * reference histogram of the training snapshot; this stream maintains
+  * the CURRENT histogram over the live amount feed as a plain streaming
+  * aggregate — the monitor then reads both tables and computes the same
+  * cross-multiplied TVD terms f01 does.
+  *
+  * The design point (same argument as the streaming count-min sketch):
+  * the histogram IS an ordinary streaming `groupBy(bin).count()` whose
+  * state is bounded by the BIN COUNT (~50 rows) FOREVER — no watermark,
+  * no timeout, no custom state store — because [[DriftOps.amountBin]]'s
+  * fixed edges bound the key domain, not the data. Mergeable with any
+  * batch histogram built from the same edges (cell-wise; the spec pins
+  * stream ≡ batch equality on identical input).
+  *
+  * Scale: per micro-batch this shuffles ≤ |bins| partial rows after
+  * map-side combine; the complete-mode sink rewrites ≤ |bins| rows.
+  */
+object DriftStream {
+
+  /** Live histogram over an `amount` column (complete-mode friendly). */
+  def amountBins(amounts: DataFrame): DataFrame =
+    amounts
+      .select(DriftOps.amountBin(col("amount")).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"))
+}

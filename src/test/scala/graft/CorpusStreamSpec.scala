@@ -89,6 +89,33 @@ class CorpusStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("streaming drift histogram equals the batch bins, state stays bounded") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Double]
+    val amounts = ms.toDF().select(col("value").as("amount"))
+    val q = graft.streaming.DriftStream.amountBins(amounts)
+      .writeStream.format("memory").queryName("drift_t")
+      .outputMode("complete").start()
+    val batch1 = Seq(1013.70, 25000.0, 25000.5, 499978.59)
+    val batch2 = Seq(9999.99, 10000.0, 250000.0, 25000.0)
+    ms.addData(batch1)
+    q.processAllAvailable()
+    ms.addData(batch2)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("drift_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch histogram over the SAME rows, via the SAME bin definition
+    val batch = graft.streaming.DriftStream.amountBins(
+        (batch1 ++ batch2).toDF("amount"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.values.sum == (batch1 ++ batch2).size)
+    // the state key domain is the BIN space, not the data: ~50 bins max
+    // for the [0, 500k] amount domain at 10k-dollar width
+    assert(streamed.size <= 51)
+  }
+
   test("streaming CMS accumulates across batches and equals the batch sketch") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
