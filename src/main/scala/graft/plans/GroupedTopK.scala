@@ -152,6 +152,11 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
 
   override def output: Seq[Attribute] = child.output
 
+  // row-filtering operator: partitioning survives (the final pass sits on
+  // the group-key hash partitioning, so a downstream groupBy/join on the
+  // same keys plans WITHOUT another exchange)
+  override def outputPartitioning = child.outputPartitioning
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupAttrs))

@@ -39,6 +39,13 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
       s"exactly one exchange:\n$p")
     assert(!p.contains("Sort "),
       s"bounded heaps must replace the sort:\n$p")
+    // partitioning survives the operator: a downstream same-key aggregate
+    // reuses the exchange instead of shuffling again
+    val downstream = GroupedTopK(base, Seq("priority"), "o_totalprice",
+      "o_orderkey", 3).groupBy("priority").count()
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(downstream).size == 1,
+      s"same-key groupBy must not re-shuffle:\n$downstream")
   }
 
   test("small groups return all rows; NULLs excluded; ties break low-key") {
