@@ -159,13 +159,15 @@ object NeighborAgg {
       .join(broadcast(deg.withColumnRenamed("id", "did")
         .withColumnRenamed("d", "y")), col("dst") === col("did"))
     val D = "decimal(18,0)"
+    // cast BEFORE the sum: a long sum of per-edge products wraps silently
+    // past 9.2e18 while the decimal sum (and DuckDB's HUGEINT) stay exact
     val m = withDeg.agg(
       count(lit(1)).cast(D).as("n"),
-      sum(col("x")).cast(D).as("sx"),
-      sum(col("y")).cast(D).as("sy"),
-      sum(col("x") * col("y")).cast(D).as("sxy"),
-      sum(col("x") * col("x")).cast(D).as("sxx"),
-      sum(col("y") * col("y")).cast(D).as("syy"))
+      sum(col("x").cast(D)).cast(D).as("sx"),
+      sum(col("y").cast(D)).cast(D).as("sy"),
+      sum((col("x") * col("y")).cast(D)).cast(D).as("sxy"),
+      sum((col("x") * col("x")).cast(D)).cast(D).as("sxx"),
+      sum((col("y") * col("y")).cast(D)).cast(D).as("syy"))
     m.select(
       col("n").cast("long").as("n_edges"),
       Det.r((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")

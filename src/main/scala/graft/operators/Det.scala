@@ -67,7 +67,27 @@ object Det {
     r(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), k)
   }
 
+  /** Modulus/multiplier for [[knuthBucket]]: pre-modding by P keeps the
+    * multiply inside Long ((P−1)·A ≈ 2.65e18 < Long.Max); a raw key past
+    * ~3.5e9 would ANSI-overflow without it.
+    */
+  val KnuthP = 1000000007L
+  val KnuthA = 2654435761L
+
+  /** Deterministic Knuth multiplicative hash bucket in [0, m): the ONE
+    * spelling every hash-split consumer shares (e14 CV folds, x03
+    * stratified sampling, f01's drift halves) — a pure row function,
+    * stable across engines/partitionings/re-runs, exactly mirrored by
+    * [[sqlKnuthBucket]]. Callers pass a non-negative key expression.
+    */
+  def knuthBucket(c: Column, m: Long): Column =
+    pmod(pmod(c, lit(KnuthP)) * KnuthA, lit(KnuthP)) % lit(m)
+
   // ---- DuckDB SQL mirrors (op-for-op identical) ----
+
+  /** SQL mirror of [[knuthBucket]] (key non-negative → `%` ≡ pmod). */
+  def sqlKnuthBucket(e: String, m: Long): String =
+    s"((($e) % $KnuthP) * $KnuthA % $KnuthP) % $m"
 
   def sqlDsum(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(28,4))) AS DOUBLE)"

@@ -31,13 +31,12 @@ object DriftOps {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * lit(100) + lit(0.5)).cast("long")
 
-  /** Knuth multiplicative hash split (e14's spelling, k=2): a pure row
-    * function of the stable key — reproducible across engines,
+  /** Knuth multiplicative hash split ([[Det.knuthBucket]], k=2): a pure
+    * row function of the stable key — reproducible across engines,
     * partitionings, and re-runs, unlike `randomSplit`.
     */
   private def hashSplit(c: org.apache.spark.sql.Column, k: Int) =
-    (pmod(pmod(c, lit(1000000007L)) * 2654435761L, lit(1000000007L))
-      % lit(k.toLong)).cast("int")
+    Det.knuthBucket(c, k.toLong).cast("int")
 
   /** Count carrier for cross-class products: DECIMAL(18,0) × DECIMAL(18,0)
     * → 37 digits ≤ both engines' 38-digit cap, so cnt·n products stay
@@ -58,7 +57,10 @@ object DriftOps {
     * used the same edges.
     */
   def amountBin(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (cents(c) / lit(BinCents)).cast("long")
+    // floor, NOT cast-truncation: the SQL mirrors and f02's bucket floor
+    // toward -∞, and a negative amount (refund) must land in bin -1 with
+    // them, not truncate up into bin 0
+    floor(cents(c).cast("double") / lit(BinCents.toDouble)).cast("long")
 
   /** f01 — distribution drift as per-bin TOTAL-VARIATION terms between a
     * reference and a current split of `orders` (deterministic halves here;
@@ -105,8 +107,7 @@ object DriftOps {
 
   private val f01Sql =
     s"""WITH binned AS (
-       |  SELECT ((o_orderkey % 1000000007) * 2654435761 % 1000000007) % 2
-       |           AS split,
+       |  SELECT ${Det.sqlKnuthBucket("o_orderkey", 2L)} AS split,
        |         CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
        |                    / $BinCents.0) AS BIGINT) AS bin
        |  FROM orders),

@@ -584,19 +584,14 @@ object RelationalExt {
     */
   def e14CvFolds(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      // pre-mod the key before the multiply: (k mod P)·A ≡ k·A (mod P),
-      // so assignments are unchanged, but the operand stays < P·A ≈
-      // 2.65e18 < Long.Max — a raw key beyond ~3.5e9 would ANSI-overflow
-      .select((pmod(pmod(col("o_orderkey"), lit(1000000007L))
-        * 2654435761L, lit(1000000007L))
-        % lit(CvFolds)).as("fold"), col("o_orderstatus"))
+      .select(Det.knuthBucket(col("o_orderkey"), CvFolds).as("fold"),
+        col("o_orderstatus"))
       .groupBy("fold", "o_orderstatus")
       .agg(count(lit(1)).as("n"))
       .orderBy("fold", "o_orderstatus")
 
   private val e14Sql =
-    s"""SELECT ((o_orderkey % 1000000007) * 2654435761 % 1000000007)
-       |    % $CvFolds AS fold,
+    s"""SELECT ${Det.sqlKnuthBucket("o_orderkey", CvFolds)} AS fold,
        |  o_orderstatus, CAST(count(*) AS BIGINT) AS n
        |FROM orders
        |GROUP BY 1, 2

@@ -46,6 +46,8 @@ object GroupedTopK {
   def apply(df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, // ClusteredDistribution(Nil) is rejected by
+      "grouped top-k needs group columns; use orderBy+limit for global top-k")
     val s = df.sparkSession
     GraftBridge.addStrategy(s, GroupedTopKStrategy)
     val analyzed = df.queryExecution.analyzed
@@ -90,6 +92,9 @@ object GroupedTopK {
     graft.Tables.orders(s, dir)
       .select(col("o_orderpriority").as("priority"),
         col("o_orderkey"), col("o_totalprice"))
+      // the not-null proof the rewrite demands (parquet columns are
+      // nullable by schema even when the data carries no nulls)
+      .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= 3)
       .drop("rn")
@@ -182,8 +187,17 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
         if (raw != null) { // NULL values excluded by contract
           val value = raw.asInstanceOf[Double]
           val tie = tBound.eval(row).asInstanceOf[Long]
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            mutable.PriorityQueue.empty(weakestFirst))
+          // look up with the projection's REUSED row; copy the key only on
+          // first insert — the common case (group present, row rejected)
+          // must not allocate
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None =>
+              val h = mutable.PriorityQueue.empty(weakestFirst)
+              heaps.put(key.copy(), h)
+              h
+          }
           if (heap.size < kk) heap.enqueue((value, tie, row.copy()))
           else {
             val (hv, ht, _) = heap.head

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition, Ascending, Descending}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, IntegerLiteral, IsNotNull, LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition, Ascending, Descending}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -22,7 +22,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *   - ONLY `row_number` (exactly k rows per group, like the heap) —
   *     `rank`/`dense_rank` over-return on boundary ties, so rewriting
   *     them would be wrong unless tie-uniqueness were provable; no
-  *     match, no rewrite, no risk.
+  *     match, no rewrite, no risk;
+  *   - a NON-EMPTY partition spec (a global top-k would plan
+  *     `ClusteredDistribution(Nil)`, which Spark rejects — and Spark's
+  *     own TakeOrderedAndProject already owns that case);
+  *   - value and tie provably NON-NULL at the window input (the child's
+  *     propagated constraints carry `IsNotNull` for both, e.g. from an
+  *     upstream filter): the operator drops NULL-valued rows while
+  *     `row_number` ranks them last, so on nullable-without-constraint
+  *     inputs the two differ whenever a group has nulls and fewer than
+  *     k non-null rows — no proof, no rewrite.
   * Spark's own InferWindowGroupLimit may already have wedged a
   * `WindowGroupLimit` under the Window (its limit-aware-sort
   * optimization); the rewrite strips it — the heap operator subsumes it.
@@ -72,11 +81,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
+    if (groupAttrs.isEmpty) return None // global top-k: not our operator
     // strip Spark's own InferWindowGroupLimit insert — subsumed by the heap
     val child = w.child match {
       case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
       case c => c
     }
+    // NULL-safety proof: the heap drops NULL values, row_number ranks them
+    // — only equivalent when nulls provably cannot reach the window
+    def provedNotNull(a: Attribute): Boolean = !a.nullable ||
+      child.constraints.exists(_.semanticEquals(IsNotNull(a)))
+    if (!provedNotNull(v) || !provedNotNull(tie)) return None
     Some(GroupedTopKNode(groupAttrs, v, tie, k, child))
   }
 }

@@ -209,8 +209,8 @@ object Ingest {
     val rate = keepPermille.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("l_returnflag") === k, lit(v)).otherwise(acc)
     }
-    val bucket = pmod(pmod(col("l_orderkey") * 100 + col("l_linenumber"),
-      lit(1000000007L)) * 2654435761L, lit(1000000007L)) % lit(1000L)
+    val bucket = graft.operators.Det.knuthBucket(
+      col("l_orderkey") * 100 + col("l_linenumber"), 1000L)
     graft.Tables.lineitem(s, dir)
       .select(col("l_returnflag"), bucket.as("b"), rate.as("keep_permille"))
       .filter(col("b") < col("keep_permille"))
@@ -221,18 +221,18 @@ object Ingest {
   }
 
   private val x03Sql =
-    """SELECT l_returnflag,
-      |  CAST(max(keep_permille) AS BIGINT) AS keep_permille,
-      |  CAST(count(*) AS BIGINT) AS sampled_rows
-      |FROM (
-      |  SELECT l_returnflag,
-      |    ((l_orderkey * 100 + l_linenumber) % 1000000007)
-      |      * 2654435761 % 1000000007 % 1000 AS b,
-      |    CASE l_returnflag WHEN 'R' THEN 1000 WHEN 'A' THEN 200
-      |         WHEN 'N' THEN 200 ELSE 0 END AS keep_permille
-      |  FROM lineitem) t
-      |WHERE b < keep_permille
-      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+    s"""SELECT l_returnflag,
+       |  CAST(max(keep_permille) AS BIGINT) AS keep_permille,
+       |  CAST(count(*) AS BIGINT) AS sampled_rows
+       |FROM (
+       |  SELECT l_returnflag,
+       |    ${graft.operators.Det.sqlKnuthBucket(
+             "l_orderkey * 100 + l_linenumber", 1000L)} AS b,
+       |    CASE l_returnflag WHEN 'R' THEN 1000 WHEN 'A' THEN 200
+       |         WHEN 'N' THEN 200 ELSE 0 END AS keep_permille
+       |  FROM lineitem) t
+       |WHERE b < keep_permille
+       |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_synthetic_transactions" -> (x01Synthetic _),

@@ -122,6 +122,21 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("rn") <= 3)
     assert(!keepsRn.queryExecution.optimizedPlan.toString()
       .contains("GroupedTopK"), "projected rank column must not rewrite")
+    // global top-k (empty PARTITION BY) -> ClusteredDistribution(Nil)
+    // would crash planning; must stay a window (and still run)
+    val global = base.withColumn("rn", row_number().over(
+      Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!global.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "global top-k must not rewrite")
+    assert(global.collect().length == 3)
+    // nullable value without an IsNotNull proof: the operator drops NULL
+    // rows where row_number ranks them last -> must not rewrite (base's
+    // parquet columns are nullable and carry no constraint here)
+    val nullable = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!nullable.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "unproven-nullable value must not rewrite")
   }
 
   test("empty input and all-NULL values produce an empty result, no error") {
