@@ -705,7 +705,53 @@ object TextOps {
        |HAVING count(*) >= CAST(ceil(total * $HhShare) AS BIGINT)
        |ORDER BY cnt DESC, token""".stripMargin
 
+  /** t18 — Zipf sanity check over the corpus vocabulary: the top-30
+    * tokens with rank, count, and the rank·count product — under Zipf's
+    * law the product is roughly constant, and a corpus whose head
+    * products TREND (rising: templated boilerplate flooding the head;
+    * collapsing: vocabulary truncation) fails the naturalness screen.
+    * Everything emitted is an exact integer except the 6-dp share; rank
+    * comes from `row_number` over the 30-row `TakeOrderedAndProject`
+    * result — the only window runs on the k-row frame, never the
+    * vocabulary (t05's broadcast-total discipline).
+    */
+  def t18ZipfCheck(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .cache() // total scalar + top-k both read it
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(30)
+    top
+      .withColumn("rnk", // bounded: ranks 30 rows, not the vocabulary
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("token"), col("cnt"),
+        (col("rnk") * col("cnt")).as("zipf_product"),
+        r(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy("rnk")
+  }
+
+  private def t18Sql = {
+    val t = tokensSql("text")
+    s"""WITH counts AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($t) AS token FROM documents) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+       |top AS (
+       |  SELECT token, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rnk
+       |  FROM counts ORDER BY cnt DESC, token LIMIT 30)
+       |SELECT rnk, token, cnt, rnk * cnt AS zipf_product,
+       |  ${rSql("CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS share
+       |FROM top CROSS JOIN tot
+       |ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_zipf_check" -> (t18ZipfCheck _),
     "t14_char_diversity" -> (t14CharDiversity _),
     "e12_heavy_hitters" -> (e12HeavyHitters _),
     "t13_bpe_pairs" -> (t13BpePairs _),
@@ -720,6 +766,7 @@ object TextOps {
     "t09_pii_redact" -> (t09PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "t18_zipf_check" -> t18Sql,
     "t14_char_diversity" -> t14Sql,
     "e12_heavy_hitters" -> e12Sql,
     "t13_bpe_pairs" -> t13Sql,

@@ -328,12 +328,80 @@ object MartPipeline {
       | AND (v.valid_to IS NULL OR p.epoch_s < v.valid_to)
       |ORDER BY p.event_id""".stripMargin
 
+  /** p04 — CALENDAR DIMENSION build: the contiguous day spine over the
+    * fact table's date span with the standard derived attributes, left-
+    * joined to daily order stats so zero-activity days appear explicitly
+    * (the property a BI tool needs and a bare `GROUP BY day` can never
+    * give). ISO weekday comes from PURE EPOCH ARITHMETIC
+    * ((epoch_day + 3) % 7 + 1 — 1970-01-01 was a Thursday), NOT the
+    * engines' dow() functions, whose week-start conventions differ
+    * (Spark 1=Sunday, DuckDB 0=Sunday); year/month/quarter come from the
+    * UTC date both engines derive identically. Spine = `sequence` over
+    * the span (one row per day — calendar-bounded, w11's argument), span
+    * endpoints broadcast.
+    */
+  def p04CalendarDim(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Det
+    val o = graft.Tables.orders(s, dir)
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+        .as("d"), col("o_totalprice"))
+    val span = o.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val daily = o.groupBy("d")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsumDec(col("o_totalprice")).as("tot"))
+    spine.join(daily, Seq("d"), "left")
+      .select(
+        col("d").as("epoch_day"),
+        ((col("d") + 3) % 7 + 1).as("iso_dow"),
+        (((col("d") + 3) % 7 + 1) >= 6).as("is_weekend"),
+        // pure DATE arithmetic (epoch day + calendar), no timestamp/zone
+        year(date_add(lit("1970-01-01").cast("date"), col("d").cast("int")))
+          .as("year"),
+        month(date_add(lit("1970-01-01").cast("date"), col("d").cast("int")))
+          .as("month"),
+        floor((month(date_add(lit("1970-01-01").cast("date"),
+          col("d").cast("int"))) + 2) / 3).cast("int").as("quarter"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        Det.r(coalesce(col("tot"), lit(0)).cast("double"), 2).as("total_usd"))
+      .orderBy("epoch_day")
+  }
+
+  private val p04Sql = {
+    import graft.operators.Det
+    s"""WITH o AS (
+       |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+       |         o_totalprice
+       |  FROM orders),
+       |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM o),
+       |spine AS (
+       |  SELECT unnest(generate_series(d0, d1)) AS d FROM span),
+       |daily AS (
+       |  SELECT d, CAST(count(*) AS BIGINT) AS n_orders,
+       |    ${Det.sqlDsumDec("o_totalprice")} AS tot
+       |  FROM o GROUP BY 1)
+       |SELECT s.d AS epoch_day,
+       |  CAST((s.d + 3) % 7 + 1 AS BIGINT) AS iso_dow,
+       |  ((s.d + 3) % 7 + 1) >= 6 AS is_weekend,
+       |  CAST(year(DATE '1970-01-01' + CAST(s.d AS INT)) AS INT) AS year,
+       |  CAST(month(DATE '1970-01-01' + CAST(s.d AS INT)) AS INT) AS month,
+       |  CAST(floor((month(DATE '1970-01-01' + CAST(s.d AS INT)) + 2) / 3.0)
+       |       AS INT) AS quarter,
+       |  CAST(coalesce(dl.n_orders, 0) AS BIGINT) AS n_orders,
+       |  ${Det.sqlR("CAST(coalesce(dl.tot, 0) AS DOUBLE)", 2)} AS total_usd
+       |FROM spine s LEFT JOIN daily dl ON s.d = dl.d
+       |ORDER BY epoch_day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_calendar_dim" -> (p04CalendarDim _),
     "p01_mart_pipeline" -> (p01MartPipeline _),
     "p02_scd2_dimension" -> (p02Scd2Dimension _),
     "p03_temporal_lookup" -> (p03TemporalLookup _))
 
   val oracles: Map[String, String] = Map(
+    "p04_calendar_dim" -> p04Sql,
     "p01_mart_pipeline" -> p01Sql,
     "p02_scd2_dimension" -> p02Sql,
     "p03_temporal_lookup" -> p03Sql)

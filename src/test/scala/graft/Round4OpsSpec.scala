@@ -239,6 +239,42 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(re.toSeq == a.toSeq)
   }
 
+  test("t18 Zipf head: contiguous ranks, monotone counts, exact products") {
+    import graft.operators.TextOps
+    val rows = TextOps.t18ZipfCheck(spark, SfMid).collect()
+    assert(rows.length == 30)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 30))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "monotone")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getInt(0).toLong * r.getLong(2),
+        "zipf_product recomputes")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
+  test("p04 calendar spine is contiguous, conserves orders, correct DOW") {
+    import graft.sinks.MartPipeline
+    val rows = MartPipeline.p04CalendarDim(spark, SfMid).collect()
+    val days = rows.map(_.getLong(0))
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+      "no calendar gaps")
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, SfMid).count(), "every order lands on its day")
+    assert(rows.exists(_.getAs[Long]("n_orders") == 0L),
+      "zero-activity days appear explicitly")
+    rows.take(400).foreach { r =>
+      val d = java.time.LocalDate.ofEpochDay(r.getLong(0))
+      assert(r.getAs[Long]("iso_dow") == d.getDayOfWeek.getValue.toLong,
+        s"iso_dow at $d")
+      assert(r.getAs[Int]("year") == d.getYear)
+      assert(r.getAs[Int]("month") == d.getMonthValue)
+      assert(r.getAs[Int]("quarter") == (d.getMonthValue + 2) / 3)
+      assert(r.getAs[Boolean]("is_weekend") ==
+        (d.getDayOfWeek.getValue >= 6))
+    }
+  }
+
   test("g21 assortativity equals brute-force Pearson over edge endpoints") {
     import graft.graph.{CoGraph, NeighborAgg}
     val out = NeighborAgg.g21Assortativity(spark, SfMid).collect()(0)
