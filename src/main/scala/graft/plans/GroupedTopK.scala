@@ -44,7 +44,7 @@ object GroupedTopK {
     * mechanical).
     */
   def apply(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      tieCol: String, k: Int): DataFrame = {
+      tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty, // ClusteredDistribution(Nil) is rejected by
       "grouped top-k needs group columns; use orderBy+limit for global top-k")
@@ -59,7 +59,7 @@ object GroupedTopK {
     val t = attr(tieCol)
     require(t.dataType == LongType, s"$tieCol must be long")
     GraftBridge.ofRows(s,
-      GroupedTopKNode(groupCols.map(attr), v, t, k, analyzed))
+      GroupedTopKNode(groupCols.map(attr), v, t, k, descending, analyzed))
   }
 
   /** w13 — registered query: top-3 orders by total per priority through
@@ -124,7 +124,8 @@ object GroupedTopK {
   * analyzed child), so the analyzer passes it through untouched.
   */
 case class GroupedTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
-    tieAttr: Attribute, k: Int, child: LogicalPlan) extends UnaryNode {
+    tieAttr: Attribute, k: Int, descending: Boolean,
+    child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKNode =
     copy(child = newChild)
@@ -137,9 +138,10 @@ case class GroupedTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
   */
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopKNode(g, v, t, k, child) =>
-      GroupedTopKExec(g, v, t, k, partial = false,
-        GroupedTopKExec(g, v, t, k, partial = true, planLater(child))) :: Nil
+    case GroupedTopKNode(g, v, t, k, desc, child) =>
+      GroupedTopKExec(g, v, t, k, desc, partial = false,
+        GroupedTopKExec(g, v, t, k, desc, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -152,8 +154,8 @@ object GroupedTopKStrategy extends SparkStrategy {
   * contract).
   */
 case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
-    tieAttr: Attribute, k: Int, partial: Boolean, child: SparkPlan)
-    extends UnaryExecNode {
+    tieAttr: Attribute, k: Int, descending: Boolean, partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -171,15 +173,30 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (g, v, t, kk) = (groupAttrs, valueAttr, tieAttr, k)
+    val (g, v, t, kk, desc) = (groupAttrs, valueAttr, tieAttr, k, descending)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val vBound = BindReferences.bindReference(v: Expression, childOutput)
       val tBound = BindReferences.bindReference(t: Expression, childOutput)
-      // head = WEAKEST kept row (smallest value; ties: largest tie key),
-      // so one head comparison decides admission
+      // strength = Spark's OWN double total order (java Double.compare:
+      // NaN above +Inf, -0.0 below 0.0 — primitive >/== would diverge
+      // from the row_number sort on exactly those values), flipped for
+      // ascending; ties: smaller tie key is stronger. Head of the heap =
+      // WEAKEST kept row, so one comparison decides admission.
+      val stronger: ((Double, Long), (Double, Long)) => Boolean = {
+        case ((av, at), (bv, bt)) =>
+          val c0 = java.lang.Double.compare(av, bv)
+          val c = if (desc) c0 else -c0
+          c > 0 || (c == 0 && at < bt)
+      }
       val weakestFirst: Ordering[(Double, Long, InternalRow)] =
-        Ordering.by { case (value, tie, _) => (-value, tie) }
+        new Ordering[(Double, Long, InternalRow)] {
+          override def compare(a: (Double, Long, InternalRow),
+              b: (Double, Long, InternalRow)): Int =
+            if (stronger((a._1, a._2), (b._1, b._2))) -1
+            else if (stronger((b._1, b._2), (a._1, a._2))) 1
+            else 0
+        }
       val heaps = mutable.HashMap.empty[UnsafeRow,
         mutable.PriorityQueue[(Double, Long, InternalRow)]]
       iter.foreach { row =>
@@ -199,12 +216,9 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
               h
           }
           if (heap.size < kk) heap.enqueue((value, tie, row.copy()))
-          else {
-            val (hv, ht, _) = heap.head
-            if (value > hv || (value == hv && tie < ht)) {
-              heap.dequeue()
-              heap.enqueue((value, tie, row.copy()))
-            }
+          else if (stronger((value, tie), (heap.head._1, heap.head._2))) {
+            heap.dequeue()
+            heap.enqueue((value, tie, row.copy()))
           }
         }
       }

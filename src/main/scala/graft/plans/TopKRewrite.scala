@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * The match is deliberately NARROW — exactly the shape whose semantics
   * the operator reproduces bit-for-bit, nothing speculative:
   *   - `Project(p, Filter(rn <= k, Window(row_number over
-  *     (PARTITION BY attrs ORDER BY v:double DESC, tie:long ASC))))`
+  *     (PARTITION BY attrs ORDER BY v:double [ASC|DESC], tie:long ASC))))`
   *   - the projection must NOT reference the rank column (it is consumed
   *     by the filter and dropped — the usual `.drop("rn")` shape);
   *   - ONLY `row_number` (exactly k rows per group, like the heap) —
@@ -69,12 +69,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (k <= 0) return None
-    // ORDER BY v:double DESC, tie:long ASC over plain attributes;
+    // ORDER BY v:double ASC|DESC, tie:long ASC over plain attributes;
     // partition keys plain attributes too (the exec's typed contract)
-    val (v, tie) = order match {
+    val (v, tie, desc) = order match {
       case Seq(SortOrder(v: AttributeReference, Descending, _, _),
                SortOrder(t: AttributeReference, Ascending, _, _))
-        if v.dataType == DoubleType && t.dataType == LongType => (v, t)
+        if v.dataType == DoubleType && t.dataType == LongType =>
+        (v, t, true)
+      case Seq(SortOrder(v: AttributeReference, Ascending, _, _),
+               SortOrder(t: AttributeReference, Ascending, _, _))
+        if v.dataType == DoubleType && t.dataType == LongType =>
+        (v, t, false)
       case _ => return None
     }
     val groupAttrs = part.map {
@@ -92,6 +97,6 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     def provedNotNull(a: Attribute): Boolean = !a.nullable ||
       child.constraints.exists(_.semanticEquals(IsNotNull(a)))
     if (!provedNotNull(v) || !provedNotNull(tie)) return None
-    Some(GroupedTopKNode(groupAttrs, v, tie, k, child))
+    Some(GroupedTopKNode(groupAttrs, v, tie, k, desc, child))
   }
 }

@@ -60,7 +60,8 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestSession {
       val analyzed = tiny.queryExecution.analyzed
       def attr(n: String) = analyzed.output.find(_.name == n).get
       val node = graft.plans.GroupedTopKNode(
-        Seq(attr("g")), attr("v"), attr("tie"), 2, analyzed)
+        Seq(attr("g")), attr("v"), attr("tie"), 2, descending = true,
+        analyzed)
       val out = org.apache.spark.sql.GraftBridge.ofRows(s2, node)
         .orderBy(col("v").desc).collect().map(_.getLong(1)).toSeq
       assert(out == Seq(2L, 1L), s"strategy not injected: $out")

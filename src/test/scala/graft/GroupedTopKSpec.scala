@@ -139,6 +139,51 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
       .contains("GroupedTopK"), "unproven-nullable value must not rewrite")
   }
 
+  test("ascending mode: bottom-k equals the ASC window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val ours = GroupedTopK(base, Seq("priority"), "o_totalprice",
+      "o_orderkey", 3, descending = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("priority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey"))
+    val ref = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ours == ref)
+    // and the ASC user spelling rewrites too (with the not-null proof)
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.addOptimization(spark, graft.plans.TopKRewriteRule)
+    val ascSql = base
+      .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn")
+    assert(ascSql.queryExecution.optimizedPlan.toString()
+      .contains("GroupedTopK"), "ASC spelling must rewrite")
+    assert(ascSql.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == ref)
+  }
+
+  test("heap order matches Spark's double total order on NaN and -0.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Spark sorts doubles by java.lang.Double.compare: NaN above +Inf,
+    // -0.0 below 0.0 — primitive comparisons would mis-rank both
+    val tricky = Seq(
+      ("a", 1L, Double.NaN), ("a", 2L, Double.PositiveInfinity),
+      ("a", 3L, 5.0), ("a", 4L, 0.0), ("a", 5L, -0.0),
+      ("a", 6L, Double.NegativeInfinity), ("a", 7L, Double.NaN)
+    ).toDF("g", "tie", "v")
+    for (desc <- Seq(true, false)) {
+      val ours = GroupedTopK(tricky, Seq("g"), "v", "tie", 4, desc)
+        .collect().map(_.getLong(1)).toSet
+      val o = if (desc) col("v").desc else col("v").asc
+      val w = Window.partitionBy("g").orderBy(o, col("tie"))
+      val ref = tricky.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4).collect().map(_.getLong(1)).toSet
+      assert(ours == ref, s"desc=$desc: $ours vs window $ref")
+    }
+  }
+
   test("empty input and all-NULL values produce an empty result, no error") {
     import spark.implicits._
     val empty = Seq.empty[(String, Long, Double)].toDF("g", "tie", "v")
