@@ -28,15 +28,21 @@ object Bench {
     // Warming only some tables let round-2 record a 5-10x cold-read tax on
     // the first documents/embeddings queries (j01 7.4 s vs 0.4 s steady).
     Tables.byName.values.foreach(load => load(spark, sfDir).count())
-    val names = SparkEntry.headline
-    // best of 3 runs per query: the first run carries codegen-compile and
-    // JIT cost plus container noise (measured variance up to 3x on the
-    // iterative queries, and round-2 showed container-wide I/O noise can
-    // hit BOTH of 2 runs); the min is the steady-state number a warm
-    // long-lived cluster sees.
+    // SPARK_GRAFT_QUERIES: comma-separated subset for controlled re-measures
+    // (driver runs the full headline list). SPARK_GRAFT_RUNS: best-of-N.
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(csv) => csv.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case None      => SparkEntry.headline
+    }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // best of N runs per query (default 3): the first run carries
+    // codegen-compile and JIT cost plus container noise (measured variance
+    // up to 3x on the iterative queries, and round-2 showed container-wide
+    // I/O noise can hit BOTH of 2 runs); the min is the steady-state number
+    // a warm long-lived cluster sees.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         // drop operator-internal InMemoryRelations between runs: without
         // this, run 2 of a caching query (d03, g06, ...) measures a
         // cache hit while non-caching queries measure real recompute —

@@ -70,7 +70,8 @@ object SparkEntry {
     "c08_domain_cap", "g17_fraud_cost_distance", "t17_span_dedup",
     "f01_tvd_drift", "f02_ks_drift", "e19_mad_outliers",
     "w11_cumulative_distinct", "g20_clustering_coeff", "a07_rfm_segments",
-    "w13_grouped_topk", "w14_topk_rewrite", "f05_cusum_changepoint",
+    "w13_grouped_topk", "w14_topk_rewrite", "w15_rank_topk",
+    "f05_cusum_changepoint",
     "g21_assortativity", "a08_gini_concentration", "p04_calendar_dim",
     "t18_zipf_check"
   ).filter(queries.contains)

@@ -85,9 +85,13 @@ object Det {
 
   // ---- DuckDB SQL mirrors (op-for-op identical) ----
 
-  /** SQL mirror of [[knuthBucket]] (key non-negative → `%` ≡ pmod). */
+  /** SQL mirror of [[knuthBucket]], pmod-spelled (`((x % P) + P) % P`) so
+    * negative keys hash identically to the Spark side's `pmod` instead of
+    * diverging on sign-following `%` — after the first pmod every term is
+    * non-negative, so plain `%` suffices downstream.
+    */
   def sqlKnuthBucket(e: String, m: Long): String =
-    s"((($e) % $KnuthP) * $KnuthA % $KnuthP) % $m"
+    s"(((($e) % $KnuthP + $KnuthP) % $KnuthP) * $KnuthA % $KnuthP) % $m"
 
   def sqlDsum(e: String): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(28,4))) AS DOUBLE)"

@@ -341,9 +341,14 @@ object DriftOps {
         sum(when(col("a") =!= col("y") && col("b") === col("y"), 1L)
           .otherwise(0L)).as("c_discordant"))
       .select(col("n"), col("b_discordant"), col("c_discordant"),
-        r((col("b_discordant") - col("c_discordant")).cast("double")
-          * (col("b_discordant") - col("c_discordant")).cast("double")
-          / (col("b_discordant") + col("c_discordant")).cast("double"), 6)
+        // degenerate case: rules never disagree → b+c = 0 → statistic is
+        // undefined; emit NULL (both engines agree on NULL, while NaN's
+        // textual/hash form is engine-specific)
+        when(col("b_discordant") + col("c_discordant") > 0L,
+          r((col("b_discordant") - col("c_discordant")).cast("double")
+            * (col("b_discordant") - col("c_discordant")).cast("double")
+            / (col("b_discordant") + col("c_discordant")).cast("double"), 6))
+          .otherwise(lit(null).cast("double"))
           .as("mcnemar_stat"))
   }
 
@@ -361,10 +366,12 @@ object DriftOps {
        |      AS c_discordant
        |  FROM scored)
        |SELECT n, b_discordant, c_discordant,
+       |  CASE WHEN b_discordant + c_discordant > 0 THEN
        |  ${Det.sqlR(
             "CAST(b_discordant - c_discordant AS DOUBLE) " +
               "* CAST(b_discordant - c_discordant AS DOUBLE) " +
               "/ CAST(b_discordant + c_discordant AS DOUBLE)", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END
        |    AS mcnemar_stat
        |FROM agg""".stripMargin
 

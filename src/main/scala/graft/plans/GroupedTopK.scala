@@ -35,13 +35,41 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * aggregate. Column pruning: the node passes `child.output` through, so
   * project the input to needed columns BEFORE wrapping (the builder does
   * not re-derive prunability through an opaque node).
+  *
+  * The `rank() <= k` sibling (boundary ties kept, no tie column) is
+  * [[RankTopKNode]] below, matched from SQL by [[TopKRewriteRule]].
   */
 object GroupedTopK {
+
+  /** Partial-pass safety valve: the map-side pass tracks at most this many
+    * distinct groups per input partition; past it, rows of UNSEEN groups
+    * stream through unfiltered (the partial pass is only an optimization —
+    * the post-shuffle final pass, whose group count per partition is
+    * 1/numPartitions of the key space, remains exact). Bounds partial-pass
+    * memory at cap·k rows on high-cardinality keys instead of groups·k
+    * (the round-4 advice's unbounded case).
+    */
+  val PartialGroupCap: Int = 1 << 16
+
+  private[plans] def resolveAttr(df: DataFrame, n: String): Attribute = {
+    val analyzed = df.queryExecution.analyzed
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    analyzed.output.filter(a => resolver(a.name, n)) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous: matches ${many.map(_.name).mkString(",")}" +
+          " — disambiguate the input projection first")
+    }
+  }
 
   /** Wrap `df` in the operator. `valueCol` must be DOUBLE, `tieCol` LONG
     * and unique within each group (typed narrowly on purpose — this is an
     * operator demo, not a framework; widening to any ordered type is
-    * mechanical).
+    * mechanical). Columns resolve with the session's case-sensitivity
+    * setting; a name matching twice (self-join residue) throws instead of
+    * silently binding the first occurrence.
     */
   def apply(df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
@@ -50,16 +78,28 @@ object GroupedTopK {
       "grouped top-k needs group columns; use orderBy+limit for global top-k")
     val s = df.sparkSession
     GraftBridge.addStrategy(s, GroupedTopKStrategy)
-    val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
-    val v = attr(valueCol)
+    val v = resolveAttr(df, valueCol)
     require(v.dataType == DoubleType, s"$valueCol must be double")
-    val t = attr(tieCol)
+    val t = resolveAttr(df, tieCol)
     require(t.dataType == LongType, s"$tieCol must be long")
-    GraftBridge.ofRows(s,
-      GroupedTopKNode(groupCols.map(attr), v, t, k, descending, analyzed))
+    GraftBridge.ofRows(s, GroupedTopKNode(groupCols.map(resolveAttr(df, _)),
+      v, t, k, descending, df.queryExecution.analyzed))
+  }
+
+  /** Per-key `rank() <= k` (ties at the k-th boundary KEPT — output may
+    * exceed k rows per group; that is rank's contract). Value-only order.
+    */
+  def rank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, descending: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty,
+      "grouped top-k needs group columns; use orderBy+limit for global top-k")
+    val s = df.sparkSession
+    GraftBridge.addStrategy(s, GroupedTopKStrategy)
+    val v = resolveAttr(df, valueCol)
+    require(v.dataType == DoubleType, s"$valueCol must be double")
+    GraftBridge.ofRows(s, RankTopKNode(groupCols.map(resolveAttr(df, _)),
+      v, k, descending, df.queryExecution.analyzed))
   }
 
   /** w13 — registered query: top-3 orders by total per priority through
@@ -101,6 +141,27 @@ object GroupedTopK {
       .orderBy(col("priority"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** w15 — the `rank() <= k` spelling (the second-most-common top-k SQL),
+    * rewritten to [[RankTopKNode]]'s tie-admitting heap: boundary ties are
+    * KEPT, exactly as `rank` defines — which is why this is a distinct
+    * operator from w13/w14's exactly-k row_number machine. Oracle is the
+    * definitional rank window SQL.
+    */
+  def w15RankRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftBridge.addStrategy(s, GroupedTopKStrategy)
+    GraftBridge.addOptimization(s, TopKRewriteRule)
+    val w = Window.partitionBy("priority").orderBy(col("o_totalprice").desc)
+    graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_totalprice").isNotNull)
+      .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+      .filter(col("rk") <= 3)
+      .drop("rk")
+      .orderBy(col("priority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   private val w13Sql =
     """SELECT priority, o_orderkey, o_totalprice FROM (
       |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
@@ -110,13 +171,24 @@ object GroupedTopK {
       |WHERE rn <= 3
       |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  private val w15Sql =
+    """SELECT priority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+      |    rank() OVER (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice DESC) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY priority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w13_grouped_topk" -> (w13GroupedTopk _),
-    "w14_topk_rewrite" -> (w14TopkRewrite _))
+    "w14_topk_rewrite" -> (w14TopkRewrite _),
+    "w15_rank_topk" -> (w15RankRewrite _))
 
   val oracles: Map[String, String] = Map(
     "w13_grouped_topk" -> w13Sql,
-    "w14_topk_rewrite" -> w13Sql) // definitionally the same answer
+    "w14_topk_rewrite" -> w13Sql, // definitionally the same answer
+    "w15_rank_topk" -> w15Sql)
 }
 
 /** Logical marker node: output = child.output, rows filtered to the
@@ -131,10 +203,24 @@ case class GroupedTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
     copy(child = newChild)
 }
 
+/** Logical marker for `rank() <= k` semantics: per group, keep every row
+  * whose count of strictly-stronger rows is < k — boundary ties admitted
+  * whole, so output can exceed k rows per group (that IS rank's return
+  * set; `row_number`'s exactly-k is [[GroupedTopKNode]]).
+  */
+case class RankTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
+    k: Int, descending: Boolean, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): RankTopKNode =
+    copy(child = newChild)
+}
+
 /** Planner rule: partial (pre-shuffle) → final (post-shuffle) pair, the
   * exchange inserted by EnsureRequirements from the final's
   * ClusteredDistribution requirement — exactly how partial aggregation
-  * plans, because it IS the same trick (top-k is associative).
+  * plans, because it IS the same trick (top-k is associative; rank-top-k
+  * too: a row's strictly-stronger set in any subset is contained in its
+  * global one, so local rank <= global rank and no survivor is dropped).
   */
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -142,7 +228,42 @@ object GroupedTopKStrategy extends SparkStrategy {
       GroupedTopKExec(g, v, t, k, desc, partial = false,
         GroupedTopKExec(g, v, t, k, desc, partial = true,
           planLater(child))) :: Nil
+    case RankTopKNode(g, v, k, desc, child) =>
+      RankTopKExec(g, v, k, desc, partial = false,
+        RankTopKExec(g, v, k, desc, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Shared shape of the two top-k passes: stream the child, absorb rows
+  * into per-group bounded state, emit pass-through rows IMMEDIATELY when
+  * the partial pass hits [[GroupedTopK.PartialGroupCap]] unseen groups,
+  * then drain the kept rows after input exhausts. One iterator, no
+  * buffering of pass-through rows.
+  */
+private[plans] abstract class TopKPassIterator(
+    iter: Iterator[InternalRow], partial: Boolean) extends Iterator[InternalRow] {
+  /** Absorb `row` into state; return true if absorbed, false if the row
+    * belongs to an untracked group (cap hit) and must pass through. */
+  protected def absorb(row: InternalRow): Boolean
+  protected def drain(): Iterator[InternalRow]
+
+  private var pass: InternalRow = _
+  private var tail: Iterator[InternalRow] = _
+  private def advance(): Unit = {
+    while (pass == null && iter.hasNext) {
+      val row = iter.next()
+      if (!absorb(row)) pass = row
+    }
+    if (pass == null && tail == null && !iter.hasNext) tail = drain()
+  }
+  override def hasNext: Boolean = {
+    advance(); pass != null || tail.hasNext
+  }
+  override def next(): InternalRow = {
+    advance()
+    if (pass != null) { val r = pass; pass = null; r } else tail.next()
   }
 }
 
@@ -150,8 +271,10 @@ object GroupedTopKStrategy extends SparkStrategy {
   * partitioning the child has (map-side); partial=false demands
   * co-location by group key. Per partition: one hash map of ≤k-element
   * min-heaps keyed by the group projection — O(rows·log k), memory
-  * O(groups·k), no sort buffer, no spill path needed (k is small by
-  * contract).
+  * O(min(groups, cap)·k): the partial pass stops tracking NEW groups past
+  * [[GroupedTopK.PartialGroupCap]] and streams their rows through (the
+  * final pass stays exact — its per-partition group count is the key
+  * space over the shuffle fan-out, and correctness needs no partial).
   */
 case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
     tieAttr: Attribute, k: Int, descending: Boolean, partial: Boolean,
@@ -173,7 +296,7 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (g, v, t, kk, desc) = (groupAttrs, valueAttr, tieAttr, k, descending)
+    val (g, v, t, kk, desc, part) = (groupAttrs, valueAttr, tieAttr, k, descending, partial)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val vBound = BindReferences.bindReference(v: Expression, childOutput)
@@ -199,9 +322,10 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
         }
       val heaps = mutable.HashMap.empty[UnsafeRow,
         mutable.PriorityQueue[(Double, Long, InternalRow)]]
-      iter.foreach { row =>
-        val raw = vBound.eval(row)
-        if (raw != null) { // NULL values excluded by contract
+      new TopKPassIterator(iter, part) {
+        override protected def absorb(row: InternalRow): Boolean = {
+          val raw = vBound.eval(row)
+          if (raw == null) return true // NULL values excluded by contract
           val value = raw.asInstanceOf[Double]
           val tie = tBound.eval(row).asInstanceOf[Long]
           // look up with the projection's REUSED row; copy the key only on
@@ -211,6 +335,8 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
           val heap = heaps.get(key) match {
             case Some(h) => h
             case None =>
+              if (part && heaps.size >= GroupedTopK.PartialGroupCap)
+                return false // untracked group: stream through to the final
               val h = mutable.PriorityQueue.empty(weakestFirst)
               heaps.put(key.copy(), h)
               h
@@ -220,10 +346,101 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
             heap.dequeue()
             heap.enqueue((value, tie, row.copy()))
           }
+          true
+        }
+        override protected def drain(): Iterator[InternalRow] =
+          heaps.valuesIterator.flatMap(
+            _.dequeueAll[(Double, Long, InternalRow)].iterator.map(_._3))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Tie-admitting per-key rank-top-k pass: keeps every row whose count of
+  * strictly-stronger rows is < k (`rank() <= k`). Per group: an ordered
+  * map value → rows, pruned from the weak end while dropping the weakest
+  * bucket still leaves >= k rows — so the boundary-tie bucket always
+  * survives whole. Memory O(k + boundary-tie width) rows per group, the
+  * inherent minimum for rank semantics; same partial/final split and
+  * partial-pass group cap as [[GroupedTopKExec]].
+  */
+case class RankTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
+    k: Int, descending: Boolean, partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupAttrs))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): RankTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val (g, v, kk, desc, part) = (groupAttrs, valueAttr, k, descending, partial)
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val vBound = BindReferences.bindReference(v: Expression, childOutput)
+      // java.lang.Double natural order IS Double.compare's total order
+      // (NaN top, -0.0 < 0.0) — the same order the window sort uses.
+      // The map is kept ascending; the WEAK end is the head for DESC
+      // mode, the tail for ASC.
+      final class Group {
+        val buckets = new java.util.TreeMap[java.lang.Double,
+          mutable.ArrayBuffer[InternalRow]]()
+        var total = 0
+        def weakKey: java.lang.Double =
+          if (desc) buckets.firstKey() else buckets.lastKey()
+        def add(value: Double, row: InternalRow): Unit = {
+          // reject only rows strictly weaker than the weakest kept value
+          // once >= k rows are held — equal-valued rows share a rank, so
+          // they are admitted (tie-admitting)
+          if (total >= kk) {
+            val c = java.lang.Double.compare(value, weakKey.doubleValue())
+            if (if (desc) c < 0 else c > 0) return
+          }
+          buckets.computeIfAbsent(value, _ => mutable.ArrayBuffer.empty)
+            .append(row.copy())
+          total += 1
+          // prune: drop the weakest bucket while the rest still holds >= k
+          // rows (rows in a dropped bucket had >= k strictly-stronger rows
+          // → rank > k; the surviving weakest bucket's rank <= k)
+          var weak = buckets.get(weakKey)
+          while (total - weak.size >= kk) {
+            buckets.remove(weakKey)
+            total -= weak.size
+            weak = buckets.get(weakKey)
+          }
         }
       }
-      heaps.valuesIterator.flatMap(
-        _.dequeueAll[(Double, Long, InternalRow)].iterator.map(_._3))
+      val groups = mutable.HashMap.empty[UnsafeRow, Group]
+      new TopKPassIterator(iter, part) {
+        override protected def absorb(row: InternalRow): Boolean = {
+          val raw = vBound.eval(row)
+          if (raw == null) return true // NULL values excluded by contract
+          val value = raw.asInstanceOf[Double]
+          val key = keyProj(row)
+          val grp = groups.get(key) match {
+            case Some(x) => x
+            case None =>
+              if (part && groups.size >= GroupedTopK.PartialGroupCap)
+                return false
+              val x = new Group
+              groups.put(key.copy(), x)
+              x
+          }
+          grp.add(value, row)
+          true
+        }
+        override protected def drain(): Iterator[InternalRow] =
+          groups.valuesIterator.flatMap { grp =>
+            import scala.jdk.CollectionConverters._
+            grp.buckets.values().asScala.iterator.flatten
+          }
+      }
     }, preservesPartitioning = true)
   }
 }

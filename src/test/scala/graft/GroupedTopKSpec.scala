@@ -106,11 +106,13 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
     GraftBridge.addOptimization(spark, graft.plans.TopKRewriteRule)
     val w = Window.partitionBy("priority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    // rank() over-returns on boundary ties -> must NOT be rewritten
+    // rank() with a MULTI-column order (and no not-null proof): outside
+    // the rank path's value-only contract -> must NOT be rewritten
+    // (single-column rank IS rewritten — tie-admitting RankTopK, below)
     val ranked = base.withColumn("rn", rank().over(w))
       .filter(col("rn") <= 3).drop("rn")
     assert(!ranked.queryExecution.optimizedPlan.toString()
-      .contains("GroupedTopK"), "rank() must not rewrite")
+      .contains("TopK"), "multi-order rank() must not rewrite")
     // sort without the unique long tie-break -> no total order -> no match
     val noTie = base.withColumn("rn", row_number().over(
       Window.partitionBy("priority").orderBy(col("o_totalprice").desc)))
@@ -191,6 +193,141 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
     val allNull = Seq(("a", 1L), ("a", 2L)).toDF("g", "tie")
       .withColumn("v", lit(null).cast("double"))
     assert(GroupedTopK(allNull, Seq("g"), "v", "tie", 3).collect().isEmpty)
+  }
+
+  test("rank mode keeps boundary ties whole and equals the rank() window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // group a: 4-way tie AT the k=3 boundary -> all four rows kept (5 out);
+    // group b: tie BELOW the boundary -> plain top-3
+    val tied = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 7.0), ("a", 3L, 7.0), ("a", 4L, 7.0),
+      ("a", 5L, 7.0), ("a", 6L, 1.0),
+      ("b", 10L, 5.0), ("b", 11L, 4.0), ("b", 12L, 3.0), ("b", 13L, 3.0)
+    ).toDF("g", "tie", "v")
+    val ours = GroupedTopK.rank(tied, Seq("g"), "v", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc)
+    val ref = tied.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ours == ref)
+    assert(ours.count(_._1 == "a") == 5, "boundary tie bucket kept whole")
+    // ascending (bottom-k) twin
+    val oursAsc = GroupedTopK.rank(tied, Seq("g"), "v", 3, descending = false)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val refAsc = tied.withColumn("rk",
+        rank().over(Window.partitionBy("g").orderBy(col("v").asc)))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(oursAsc == refAsc)
+    // and on real data: operator output == window spelling, whole table
+    val oursOrders = GroupedTopK.rank(base, Seq("priority"), "o_totalprice", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val refOrders = base.withColumn("rk", rank().over(
+        Window.partitionBy("priority").orderBy(col("o_totalprice").desc)))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(oursOrders == refOrders)
+  }
+
+  test("rank spelling rewrites to RankTopK: plan pair, no window, no sort") {
+    val df = GroupedTopK.w15RankRewrite(spark, SfMid)
+    val p = df.queryExecution.executedPlan.toString()
+    assert("RankTopK \\[".r.findAllIn(p).size == 2,
+      s"rewrite must fire (partial+final passes in the plan):\n$p")
+    assert(!p.contains("Window ") && !p.contains("RunningWindowFunction"),
+      s"no window operator may remain:\n$p")
+    // in-engine equality with the un-rewritten window (fresh column names
+    // so the session-wide rule sees a no-proof nullable value -> no match)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("priority").orderBy(col("o_totalprice").desc)
+    val ref = base.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+      .drop("rk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet == ref)
+  }
+
+  test("rewrite refuses dense_rank and percent_rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.addOptimization(spark, graft.plans.TopKRewriteRule)
+    val w = Window.partitionBy("priority").orderBy(col("o_totalprice").desc)
+    val guarded = base.filter(col("o_totalprice").isNotNull)
+    // dense_rank admits unboundedly many rows across distinct values
+    val dense = guarded.withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+    assert(!dense.queryExecution.optimizedPlan.toString().contains("TopK"),
+      "dense_rank must not rewrite")
+    // percent_rank needs the full group count
+    val pct = guarded.withColumn("rk", percent_rank().over(w))
+      .filter(col("rk") <= 0.5).drop("rk")
+    assert(!pct.queryExecution.optimizedPlan.toString().contains("TopK"),
+      "percent_rank must not rewrite")
+  }
+
+  test("WindowGroupLimit strip is guarded: mismatched limit skips rewrite") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Descending, LessThanOrEqual, Literal, RowNumber, SortOrder, SpecifiedWindowFrame, RowFrame, UnboundedPreceding, CurrentRow, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow, WindowGroupLimit}
+    val child = base
+      .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull)
+      .queryExecution.optimizedPlan
+    val out = child.output
+    val g = out.find(_.name == "priority").get
+    val v = out.find(_.name == "o_totalprice").get
+    val t = out.find(_.name == "o_orderkey").get
+    val part = Seq(g: org.apache.spark.sql.catalyst.expressions.Expression)
+    val order = Seq(SortOrder(v, Descending), SortOrder(t, Ascending))
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val rn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(part, order, frame)), "rn")()
+    def plan(wglLimit: Int) = Project(out,
+      Filter(LessThanOrEqual(rn.toAttribute, Literal(3)),
+        LWindow(Seq(rn), part, order,
+          WindowGroupLimit(part, order, RowNumber(), wglLimit, child))))
+    // a STRICTER group limit (2 < k=3) changes the row set: stripping it
+    // would be wrong, so the rewrite must leave the plan alone
+    assert(!graft.plans.TopKRewriteRule(plan(2)).toString().contains("TopK"),
+      "stricter WindowGroupLimit must block the rewrite")
+    // the limit the filter implies (>= k, matching specs) IS stripped
+    assert(graft.plans.TopKRewriteRule(plan(3)).toString().contains("GroupedTopKNode"),
+      "matching WindowGroupLimit must be subsumed")
+  }
+
+  test("builder rejects ambiguous and missing columns; resolves case") {
+    import spark.implicits._
+    val dup = Seq((1L, 1.0, 2.0)).toDF("tie", "v", "v")
+    val eAmb = intercept[IllegalArgumentException] {
+      GroupedTopK(dup, Seq("tie"), "v", "tie", 1)
+    }
+    assert(eAmb.getMessage.contains("ambiguous"))
+    val ok = Seq(("a", 1L, 1.0)).toDF("g", "tie", "v")
+    val eMiss = intercept[IllegalArgumentException] {
+      GroupedTopK(ok, Seq("g"), "nope", "tie", 1)
+    }
+    assert(eMiss.getMessage.contains("not in"))
+    // default session is case-insensitive: "V" binds to column v
+    assert(GroupedTopK(ok, Seq("g"), "V", "TIE", 1).collect().length == 1)
+  }
+
+  test("partial-pass group cap streams overflow groups through, stays exact") {
+    import spark.implicits._
+    // 70k distinct groups in ONE input partition > the 65,536 cap: the
+    // partial pass must stop tracking and pass overflow rows to the final
+    // pass unfiltered — result identical to the unbounded algorithm
+    val n = 70000
+    val big = spark.range(2L * n).select(
+      (col("id") % n).cast("long").as("gid"),
+      col("id").as("tie"),
+      (col("id") % 7).cast("double").as("v")).repartition(1)
+    val out = GroupedTopK(big, Seq("gid"), "v", "tie", 1)
+    assert(out.count() == n, "exactly one survivor per group")
+    // spot-check a group: of tie=g and tie=g+n, the higher v wins
+    val got = out.filter(col("gid") === 5L).collect()
+    assert(got.length == 1)
+    val expected = Seq((5L % 7).toDouble -> 5L, ((5L + n) % 7).toDouble -> (5L + n))
+      .maxBy { case (v, t) => (v, -t) }
+    assert(got.head.getAs[Double]("v") == expected._1)
   }
 
   test("top-k is associative: chunked partials re-reduce to the global") {
