@@ -120,6 +120,29 @@ class FraudMLSpec extends AnyFunSuite with SparkTestSession {
     assert(imps.sameElements(imps.sortBy(-_)), "must be sorted by weight")
   }
 
+  test("m07 importances are pinned goldens (seed 42, this session's partitioning)") {
+    // same contract as the m04 golden: partitioning-sensitive via the
+    // randomSplit+GBT chain (stays rows-only at the driver gate), but
+    // deterministic WITHIN this suite's session — pin the vector ±1e-6 so
+    // an ML-path regression fails CI instead of silently reshuffling
+    // feature attributions (round-4 advice item 8).
+    val golden = Map(
+      "ship_epoch" -> 0.267931,
+      "l_quantity" -> 0.254345,
+      "l_extendedprice" -> 0.227538,
+      "l_tax" -> 0.130297,
+      "l_discount" -> 0.11989)
+    val got = FraudML.m07FeatureImportances(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == golden.keySet)
+    golden.foreach { case (name, want) =>
+      assert(math.abs(got(name) - want) <= 1e-6,
+        s"importance($name) drifted: got ${got(name)}, pinned $want. " +
+          "If this follows a Spark upgrade or testdata regeneration, " +
+          "re-pin ALL five (and the m04 goldens) from this suite's output.")
+    }
+  }
+
   test("M8 save/load round-trip predicts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("gbt_model").toString
     val loaded = FraudML.saveLoad(spark, dir, tmp)
