@@ -16,6 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ graph.GraphQueries.queries ++
+      graph.FacadeQueries.queries ++
       operators.TextOps.queries ++ operators.Dedup.queries ++
       operators.Similarity.queries ++ ml.FraudML.queries ++
       sinks.MartPipeline.queries ++ sinks.Bucketing.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++ graph.GraphQueries.oracles ++
+      graph.FacadeQueries.oracles ++
       operators.TextOps.oracles ++ operators.Dedup.oracles ++
       operators.Similarity.oracles ++ ml.FraudML.oracles ++
       sinks.MartPipeline.oracles ++ sinks.Bucketing.oracles ++

