@@ -47,7 +47,13 @@ object Bench {
         // this, run 2 of a caching query (d03, g06, ...) measures a
         // cache hit while non-caching queries measure real recompute —
         // incomparable numbers. JIT/page-cache warmth is what min() keeps.
+        // Also unpersist leaked RDD blocks (GraphX Graph() persists
+        // MEMORY_ONLY outside the SQL cache): accumulated storage blocks
+        // steal unified-memory execution room from later queries, which
+        // r4's driver sample showed as a diffuse slowdown on the
+        // events/documents/embeddings queries that follow the graph ones.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {

@@ -165,13 +165,17 @@ object Dedup {
     * at [[MaxShingleDf]] documents before the join (a universal shingle no
     * longer yields n² candidates); d03's LSH still replaces this wholesale
     * at 100 TB; here it doubles as the exact verifier. Shuffles: one on
-    * shingle, one on the pair key.
+    * shingle, one on the pair key — both keyed by the 8-byte dictionary
+    * sid, NOT the shingle string: the Σdf² candidate stream dominates this
+    * query's bytes, and re-keying it long-vs-string cut the sf1 (500 MB
+    * corpus) shuffle footprint ~4× (the string-keyed spelling wrote 76 GB
+    * of spill before exhausting sandbox disk).
     */
   def d02NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = cappedShingleRows(s, dir).cache()
+    val ds = shingleIds(s, dir).cache()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("a")
-      .join(ds.as("b"), col("a.s") === col("b.s")
+      .join(ds.as("b"), col("a.sid") === col("b.sid")
         && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
@@ -186,10 +190,10 @@ object Dedup {
   }
 
   private def d02Sql =
-    s"""WITH ${cappedShingleRowsSql()},
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    s"""WITH $shingleIdsSql,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          FROM ds a JOIN ds b ON a.sid = b.sid AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} AS jaccard
