@@ -501,6 +501,67 @@ object Dedup {
        |FROM cc JOIN sizes USING (canonical_id)
        |ORDER BY canonical_id, doc_id""".stripMargin
 
+  /** d08 — the production composition: EXACT dedup first (d01's
+    * hash-groupBy, keep min doc_id per distinct text), THEN the exact
+    * Jaccard verifier over the canonical corpus only.
+    *
+    * Why this exists as its own operator: d02's candidate stream is
+    * Σ df² over shingles, and df scales with the corpus's VERBATIM
+    * replication factor r — so the pair stage is O(r²) in duplication,
+    * not O(r) in data. Measured concretely on the sf1 scale-up (10×
+    * verbatim replicas): d02's candidate stream grew ~100× vs sf0.1 and
+    * exhausted 79 GB of spill disk, while this spelling collapses the
+    * replicas first (one linear hash-groupBy) and runs the same verifier
+    * on the r×-smaller canonical set. This is the standard large-corpus
+    * pipeline order (exact dedup → near-dup → LSH at the top end) and the
+    * reason a 100 TB crawl with heavy boilerplate duplication is
+    * tractable at all: the quadratic stage only ever sees distinct text.
+    * Pair ids are canonical (min) doc_ids.
+    */
+  def d08NeardupAfterDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.documents(s, dir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val t = tokens(col("text"))
+    val sh0 = canon
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+    val ds = capShingles(sh0.cache()).cache()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        r(col("c").cast("double")
+          / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d08Sql =
+    s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text
+       |              FROM documents GROUP BY text),
+       |sh0 AS (SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
+       |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM canon)
+       |        WHERE len(t) >= 3),
+       |${capShinglesSql("sh0")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} >= $JaccardT
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Edit-distance threshold for [[r01RecordLinkage]]. */
   val LinkageT = 2
 
@@ -550,7 +611,8 @@ object Dedup {
     "d04_simhash" -> (d04Simhash _),
     "d04b_simhash_banded" -> (d04bSimhashBanded _),
     "d06_minhash_xxhash_scale" -> (d06MinhashXxhashScale _),
-    "d07_dedup_clusters" -> (d07DedupClusters _))
+    "d07_dedup_clusters" -> (d07DedupClusters _),
+    "d08_neardup_after_dedup" -> (d08NeardupAfterDedup _))
 
   /** d04b's oracle is deliberately the ALL-PAIRS SQL at its radius: equal
     * results prove the banding drops nothing (see [[d04SqlAt]]). d06's is
@@ -565,5 +627,6 @@ object Dedup {
     "d04_simhash" -> d04SqlAt(HammingT),
     "d04b_simhash_banded" -> d04SqlAt(BandRadius),
     "d06_minhash_xxhash_scale" -> d06Sql,
-    "d07_dedup_clusters" -> d07Sql)
+    "d07_dedup_clusters" -> d07Sql,
+    "d08_neardup_after_dedup" -> d08Sql)
 }

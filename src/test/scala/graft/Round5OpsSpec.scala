@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Round-5 operator: d08 exact-dedup-then-near-dup composition. */
+class Round5OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("d08 == d02 on a duplicate-free corpus (canonical set is the corpus)") {
+    // the driver corpora are exact-duplicate-free (d01 collapses only the
+    // planted re-keyed copy), so dedup-first must change nothing
+    val d02 = Dedup.d02NgramJaccardPairs(spark, Sf)
+    val d08 = Dedup.d08NeardupAfterDedup(spark, Sf)
+    assert(d08.exceptAll(d02).isEmpty && d02.exceptAll(d08).isEmpty)
+  }
+
+  test("d08 pair ids are canonical: min doc_id per distinct text") {
+    val canonIds = Tables.documents(spark, Sf)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.d08NeardupAfterDedup(spark, Sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(canonIds.contains(r.getLong(0)) && canonIds.contains(r.getLong(1)))
+      assert(r.getLong(0) < r.getLong(1), "pairs canonical: id_a < id_b")
+    }
+  }
+}
