@@ -25,7 +25,8 @@ object GraphQueries {
     "g18_hits" -> (PageRankOps.g18Hits _),
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
     "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
-    "g21_assortativity" -> (NeighborAgg.g21Assortativity _)
+    "g21_assortativity" -> (NeighborAgg.g21Assortativity _),
+    "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -51,6 +52,7 @@ object GraphQueries {
     "g18_hits" -> PageRankOps.g18Sql,
     "g19_neighbor_features" -> NeighborAgg.g19Sql,
     "g20_clustering_coeff" -> NeighborAgg.g20Sql,
-    "g21_assortativity" -> NeighborAgg.g21Sql
+    "g21_assortativity" -> NeighborAgg.g21Sql,
+    "g22_capped_neighbor_features" -> NeighborAgg.g22Sql
   )
 }

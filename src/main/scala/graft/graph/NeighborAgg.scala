@@ -40,9 +40,11 @@ object NeighborAgg {
       .agg(Det.dsumDec(col("value")).as("f"))
 
   /** g19 — per-node neighbor-feature aggregates at hop 1 and hop 2. */
-  def g19NeighborFeatures(s: SparkSession, dir: String): DataFrame = {
-    val e = CoGraph.edges(s, dir).cache() // consumed by hop-1 and twice in hop-2
-    val ft = feats(s, dir)
+  def g19NeighborFeatures(s: SparkSession, dir: String): DataFrame =
+    hopAggs(CoGraph.edges(s, dir).cache(), feats(s, dir))
+
+  /** Shared 1/2-hop aggregation body over an edge list + feature table. */
+  private def hopAggs(e: DataFrame, ft: DataFrame): DataFrame = {
     val hop1 = e.join(ft, e("dst") === ft("user_id"))
       .groupBy(e("src"))
       .agg(count(lit(1)).as("h1_n"), sum(col("f")).as("h1_sum"))
@@ -63,6 +65,91 @@ object NeighborAgg {
         Det.r(col("h2_sum").cast("double") / col("h2_n"), 4).as("h2_mean_fraud"))
       .orderBy("user_id")
   }
+
+  /** Per-hour-bucket co-activity cap for [[g22CappedNeighborFeatures]]. */
+  val BucketCap = 64
+
+  /** Per-node neighbor fan-out cap (GraphSAGE-style) for g22. */
+  val FanOut = 32
+
+  /** Deterministic keep-smallest-k per group, run through the repo's own
+    * skew-safe heap operator ([[graft.plans.GroupedTopK]]): the partial
+    * pass bounds both memory and shuffle at k rows per group per
+    * partition, so ONE 10⁶-member bucket cannot single-task the window
+    * the `row_number` spelling would need.
+    */
+  private def keepMinK(df: DataFrame, group: String, key: String,
+      k: Int): DataFrame =
+    graft.plans.GroupedTopK(
+      df.withColumn("__v", col(key).cast("double")),
+      Seq(group), "__v", key, k, descending = false).drop("__v")
+
+  /** g22 — g19's neighbor features with the documented 100 TB guards
+    * actually applied: (1) per-hour-bucket co-activity capped at
+    * [[BucketCap]] smallest user_ids — the edge build's quadratic term
+    * becomes ≤ cap² per bucket regardless of how dense an event-storm
+    * hour gets; (2) per-node fan-out capped at [[FanOut]] smallest
+    * neighbor ids (the GraphSAGE sampling move) — the 2-hop expansion
+    * becomes ≤ |V|·FanOut² instead of Σ deg². Both caps are
+    * deterministic (keep-smallest), so the DuckDB mirror is exact.
+    *
+    * Motivation measured on the sf1 scale-up: its verbatim 10×
+    * replication densifies every hour bucket 10×, growing the raw edge
+    * set ~103× (535 k → 55 M directed pairs) and the uncapped 2-hop
+    * another ~100× on top — g19 there spilled >35 GB without finishing,
+    * while this spelling is bounded a priori. At a real 100 TB the same
+    * guard is what makes neighborhood features computable on
+    * event-storm buckets.
+    */
+  def g22CappedNeighborFeatures(s: SparkSession, dir: String): DataFrame = {
+    val capped = keepMinK(CoGraph.activity(s, dir), "hour_epoch", "user_id",
+      BucketCap)
+    val edges0 = capped.as("a").join(capped.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .distinct()
+    val e = keepMinK(edges0, "src", "dst", FanOut).cache()
+    hopAggs(e, feats(s, dir))
+  }
+
+  val g22Sql: String =
+    s"""WITH activity AS (
+       |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       |         user_id
+       |  FROM events WHERE event_type = 'error'),
+       |act_capped AS (
+       |  SELECT hour_epoch, user_id FROM (
+       |    SELECT hour_epoch, user_id,
+       |           row_number() OVER (PARTITION BY hour_epoch ORDER BY user_id) AS rn
+       |    FROM activity) WHERE rn <= $BucketCap),
+       |edges0 AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM act_capped a JOIN act_capped b
+       |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM edges0) WHERE rn <= $FanOut),
+       |feats AS (
+       |  SELECT user_id, ${graft.operators.Det.sqlDsumDec("value")} AS f
+       |  FROM events WHERE event_type = 'error' GROUP BY 1),
+       |hop1 AS (
+       |  SELECT e.src, CAST(count(*) AS BIGINT) AS h1_n, sum(f.f) AS h1_sum
+       |  FROM edges e JOIN feats f ON e.dst = f.user_id GROUP BY 1),
+       |hop2_pairs AS (
+       |  SELECT DISTINCT e1.src, e2.dst AS dst2
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.dst = e2.src AND e2.dst <> e1.src),
+       |hop2 AS (
+       |  SELECT p.src, CAST(count(*) AS BIGINT) AS h2_n, sum(f.f) AS h2_sum
+       |  FROM hop2_pairs p JOIN feats f ON p.dst2 = f.user_id GROUP BY 1)
+       |SELECT h1.src AS user_id, h1.h1_n,
+       |  ${graft.operators.Det.sqlR("CAST(h1.h1_sum AS DOUBLE) / h1.h1_n", 4)} AS h1_mean_fraud,
+       |  CAST(coalesce(h2.h2_n, 0) AS BIGINT) AS h2_n,
+       |  ${graft.operators.Det.sqlR("CAST(h2.h2_sum AS DOUBLE) / h2.h2_n", 4)} AS h2_mean_fraud
+       |FROM hop1 h1 LEFT JOIN hop2 h2 ON h1.src = h2.src
+       |ORDER BY user_id""".stripMargin
 
   /** g20 — local clustering coefficient (ego-net density): for each node
     * with degree ≥ 2, lcc = 2·triangles / (deg·(deg−1)) — the fraction of

@@ -5,8 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
 
-/** Round-5 operator: d08 exact-dedup-then-near-dup composition. */
+/** Round-5 operators: d08 exact-dedup-then-near-dup composition and g22
+  * capped neighbor features.
+  */
 class Round5OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("g22 == g19 where the caps do not bind (sf0.001: max bucket 3, max degree 9)") {
+    val g19 = graph.NeighborAgg.g19NeighborFeatures(spark, Sf)
+    val g22 = graph.NeighborAgg.g22CappedNeighborFeatures(spark, Sf)
+    assert(g22.exceptAll(g19).isEmpty && g19.exceptAll(g22).isEmpty)
+  }
 
   test("d08 == d02 on a duplicate-free corpus (canonical set is the corpus)") {
     // the driver corpora are exact-duplicate-free (d01 collapses only the
