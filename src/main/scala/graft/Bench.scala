@@ -52,8 +52,11 @@ object Bench {
         // steal unified-memory execution room from later queries, which
         // r4's driver sample showed as a diffuse slowdown on the
         // events/documents/embeddings queries that follow the graph ones.
+        // checkpointed RDDs exempt: truncated lineage, not recomputable
+        // (FraudML's memoized split/model pins)
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(r => if (!r.isCheckpointed) r.unpersist(false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {

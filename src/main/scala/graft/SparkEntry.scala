@@ -55,7 +55,7 @@ object SparkEntry {
     "g06_pagerank_loop",
     "t04_fingerprint", "t05_token_freq",
     "d03_minhash_lsh", "d06_minhash_xxhash_scale",
-    "d04b_simhash_banded",
+    "d04b_simhash_banded", "d08_neardup_after_dedup",
     "v01_cosine_topk", "d05_embedding_neardup",
     "d05b_embedding_neardup_lsh",
     "w01_top_per_group", "w03_running_total", "w04_asof_join",
@@ -75,6 +75,6 @@ object SparkEntry {
     "w13_grouped_topk", "w14_topk_rewrite", "w15_rank_topk",
     "f05_cusum_changepoint",
     "g21_assortativity", "a08_gini_concentration", "p04_calendar_dim",
-    "t18_zipf_check"
+    "t18_zipf_check", "g22_capped_neighbor_features"
   ).filter(queries.contains)
 }

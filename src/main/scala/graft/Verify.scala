@@ -39,8 +39,12 @@ object Verify {
       // outside the SQL cache, so the graph queries would otherwise leak
       // heap across the run (measured: the 8g sf1 run died of exactly
       // this after 66 queries).
+      // checkpointed RDDs are exempt: their lineage is truncated, so they
+      // CANNOT be recomputed after unpersist — and FraudML's memoized
+      // split/model pins live exactly there (eager localCheckpoint)
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => if (!r.isCheckpointed) r.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

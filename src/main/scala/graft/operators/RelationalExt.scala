@@ -137,9 +137,14 @@ object RelationalExt {
     * bucket-threshold shape.
     */
   def e05HashSample(s: SparkSession, dir: String): DataFrame =
+    // key = orderkey·8 + linenumber (injective: linenumber ≤ 7), hashed
+    // through the shared overflow-safe Knuth spelling — the raw
+    // `key * A` multiply ANSI-overflows once keys pass ~3.5e9 (seen at
+    // the sf1 scale-up's shifted key space; DuckDB's checked int64
+    // arithmetic faults identically)
     Tables.lineitem(s, dir)
-      .filter(pmod(col("l_orderkey") * 2654435761L + col("l_linenumber"),
-        lit(100L)) < 10)
+      .filter(Det.knuthBucket(
+        col("l_orderkey") * 8 + col("l_linenumber"), 100L) < 10)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("sampled_rows"),
         Det.r(Det.davg(col("l_extendedprice"), 2), 2).as("avg_price"))
@@ -149,7 +154,7 @@ object RelationalExt {
     s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS sampled_rows,
        |  ${Det.sqlR(Det.sqlDavg("l_extendedprice", 2), 2)} AS avg_price
        |FROM lineitem
-       |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 10
+       |WHERE ${Det.sqlKnuthBucket("l_orderkey * 8 + l_linenumber", 100L)} < 10
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
   /** e06 — calendar feature extraction (year/month/day-of-week/hour
