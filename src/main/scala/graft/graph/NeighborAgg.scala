@@ -274,12 +274,17 @@ object NeighborAgg {
        |  JOIN deg dx ON e.src = dx.id
        |  JOIN deg dy ON e.dst = dy.id),
        |m AS (
-       |  SELECT CAST(count(*) AS DECIMAL(18,0)) AS n,
-       |    CAST(sum(x) AS DECIMAL(18,0)) AS sx,
-       |    CAST(sum(y) AS DECIMAL(18,0)) AS sy,
-       |    CAST(sum(x * y) AS DECIMAL(18,0)) AS sxy,
-       |    CAST(sum(x * x) AS DECIMAL(18,0)) AS sxx,
-       |    CAST(sum(y * y) AS DECIMAL(18,0)) AS syy
+       |  -- HUGEINT (int128) keeps every term exact; the DECIMAL(18)
+       |  -- spelling overflowed the n·sxy product at sf1's 47.7M edges,
+       |  -- while Spark's decimal multiply auto-widens to 38 digits.
+       |  -- Both engines thus compute the exact integer combination and
+       |  -- cast the SAME integer to double.
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx,
+       |    CAST(sum(y) AS HUGEINT) AS sy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(y * y) AS HUGEINT) AS syy
        |  FROM with_deg)
        |SELECT CAST(n AS BIGINT) AS n_edges,
        |  ${Det.sqlR(
