@@ -48,6 +48,14 @@ object FacadeQueries {
     * `(a)->(c)` edge, the GraphFrames `find` pattern the reference's
     * collusion-ring analysis would write. Two positive terms → one
     * vertex-id equi-join; the negated term → one anti-join.
+    *
+    * Scale note: chain motifs enumerate Σ deg² paths — quadratic in
+    * degree, like any 2-hop expansion. Exact at the gate SFs; at sf1's
+    * 103×-densified edge set the enumeration exceeds the sandbox (as
+    * measured for g19), and the production spelling runs `find` over the
+    * capped edge list ([[NeighborAgg.g22CappedNeighborFeatures]]'s
+    * bucket + fan-out guards) exactly as a GNN pipeline samples
+    * neighborhoods before expansion.
     */
   def gf03Motif(s: SparkSession, dir: String): DataFrame =
     g(s, dir).find("(a)-[e]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
