@@ -75,6 +75,7 @@ object SparkEntry {
     "w13_grouped_topk", "w14_topk_rewrite", "w15_rank_topk",
     "f05_cusum_changepoint",
     "g21_assortativity", "a08_gini_concentration", "p04_calendar_dim",
-    "t18_zipf_check", "g22_capped_neighbor_features"
+    "t18_zipf_check", "g22_capped_neighbor_features",
+    "d09_embedding_neardup_canonical"
   ).filter(queries.contains)
 }

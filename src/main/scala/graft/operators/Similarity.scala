@@ -287,6 +287,45 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** d09 — d05 with the replication-safe order ([[Dedup.d08NeardupAfterDedup]]'s
+    * pattern on the embedding family): exact-dedup vectors FIRST (one
+    * linear groupBy on the embedding content, keep min vec_id), THEN the
+    * all-pairs cosine over canonical vectors only. The pair stage is
+    * O(r²) in verbatim replication r — at the sf1 scale-up d05's slope
+    * was 90× for 10× data while this spelling stays flat, because the
+    * quadratic stage never sees a duplicate vector. Grouping on the raw
+    * float array is exact bit-equality in both engines.
+    */
+  def d09EmbeddingNeardupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val canon = Tables.embeddings(s, dir)
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    val e = canon
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        r(dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d09Sql =
+    s"""WITH canon AS (
+       |  SELECT embedding, min(vec_id) AS vec_id
+       |  FROM embeddings GROUP BY embedding),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM canon
+       |  WHERE sqrt(${dotSql("embedding", "embedding")}) > 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} >= $NearDupT
+       |ORDER BY id_a, id_b""".stripMargin
+
   private def d05Sql =
     s"""WITH e AS ($withNormSql)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1056,6 +1095,7 @@ object Similarity {
     "v08_ann_binary" -> (v08AnnBinary _),
     "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
+    "d09_embedding_neardup_canonical" -> (d09EmbeddingNeardupCanonical _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
@@ -1069,5 +1109,6 @@ object Similarity {
     "v08_ann_binary" -> v08Sql,
     "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,
+    "d09_embedding_neardup_canonical" -> d09Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql)
 }

@@ -24,6 +24,12 @@ class Round5OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(d08.exceptAll(d02).isEmpty && d02.exceptAll(d08).isEmpty)
   }
 
+  test("d09 == d05 on a duplicate-free embedding table") {
+    val d05 = operators.Similarity.d05EmbeddingNeardup(spark, Sf)
+    val d09 = operators.Similarity.d09EmbeddingNeardupCanonical(spark, Sf)
+    assert(d09.exceptAll(d05).isEmpty && d05.exceptAll(d09).isEmpty)
+  }
+
   test("d08 pair ids are canonical: min doc_id per distinct text") {
     val canonIds = Tables.documents(spark, Sf)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
