@@ -185,4 +185,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
         "CAST(array(1.0, 1.0, 1.0) AS array<double>)) AS d").head()
     assert(n.isNullAt(0))
   }
+
+  test("d08 pair join is an equi-join on the shingle, never nested-loop") {
+    val p = plan(operators.Dedup.d08NeardupAfterDedup(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("g22's caps run through the GroupedTopK operator (partial+final, both caps), no window") {
+    // the capped edge list is cached; optimizedPlan inlines the
+    // InMemoryRelation's cached physical plan, where the heap operator's
+    // nodeName prints as `GroupedTopK [group], …` (partial+final pair per
+    // cap stage → ≥ 4 occurrences across the two caps)
+    val p = graph.NeighborAgg.g22CappedNeighborFeatures(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Window") && !p.toLowerCase.contains("row_number"), p)
+  }
+
+  test("d09 canonicalizes with one hash aggregate before the pair join") {
+    val p = plan(operators.Similarity.d09EmbeddingNeardupCanonical(spark, Sf))
+    // the content groupBy must aggregate, and the pair stage is the same
+    // vec_id range self-join d05 uses (a BNLJ on the id inequality is the
+    // documented brute-force shape — what matters is the canonicalization
+    // happened BEFORE it, i.e. an aggregate feeds the join)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"), p)
+  }
 }
