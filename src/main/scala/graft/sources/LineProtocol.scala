@@ -91,7 +91,7 @@ private[sources] class LpTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"line_protocol($path)"
   override def schema(): StructType = LineProtocolSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LpScanBuilder(path)
 }
@@ -141,6 +141,11 @@ private[sources] class LpScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LpReaderFactory(required, pushed)
+
+  /** Streaming read path (see [[LpMicroBatchStream]]): same table, same
+    * pruned schema and pushed filters, micro-batch offset semantics. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LpMicroBatchStream(path, required, pushed)
 }
 
 private[sources] class LpReaderFactory(required: StructType,
@@ -149,12 +154,10 @@ private[sources] class LpReaderFactory(required: StructType,
     new LpReader(p.asInstanceOf[LpFilePartition].file, required, pushed)
 }
 
-private[sources] class LpReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
-  private val source = scala.io.Source.fromFile(file)
-  private val lines = source.getLines()
-  private var current: InternalRow = _
-
+/** line → Some(InternalRow) under the pruned schema, None for malformed
+  * lines and pushed-filter misses — shared by the batch [[LpReader]] and
+  * the streaming [[LpRangeReader]] so both paths materialize identically. */
+private[sources] class LpRowMaker(required: StructType, pushed: Array[Filter]) {
   // (columnName → extractor) resolved once per reader, not per row
   private val extractors: Array[((String, String, Long, Double, Long)) => Any] =
     required.fields.map { f =>
@@ -178,13 +181,26 @@ private[sources] class LpReader(file: String, required: StructType,
       case _ => true
     }
 
+  def make(line: String): Option[InternalRow] =
+    LineProtocolSource.parse(line) match {
+      case Some(t) if keep(t) =>
+        Some(InternalRow.fromSeq(extractors.map(_(t)).toIndexedSeq))
+      case _ => None
+    }
+}
+
+private[sources] class LpReader(file: String, required: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+  private val source = scala.io.Source.fromFile(file)
+  private val lines = source.getLines()
+  private val rowMaker = new LpRowMaker(required, pushed)
+  private var current: InternalRow = _
+
   override def next(): Boolean = {
     while (lines.hasNext) {
-      LineProtocolSource.parse(lines.next()) match {
-        case Some(t) if keep(t) =>
-          current = InternalRow.fromSeq(extractors.map(_(t)).toIndexedSeq)
-          return true
-        case _ => // malformed or filtered out: skip before materializing
+      rowMaker.make(lines.next()) match {
+        case Some(row) => current = row; return true
+        case None => // malformed or filtered out: skip before materializing
       }
     }
     false
