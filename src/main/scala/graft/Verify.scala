@@ -17,8 +17,12 @@ object Verify {
       if (args.length == 3) Some(args(2).split(',').toSet) else None
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER: e.g. "local-cluster[4,8,4096]" — dump every query
+    // result through SEPARATE executor JVMs for the multi-executor
+    // bit-identical-results certification (SCALE.md); default local[n].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
