@@ -31,20 +31,28 @@ import org.apache.spark.sql.SparkSession
 object FaultDrill {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    // SPARK_GRAFT_RELIABLE_CKPT=<shared dir>: flips every Cut.cut in the
+    // library from localCheckpoint to reliable checkpoint() — under it the
+    // ITERATIVE loops become drillable too, so g06 joins the default list.
+    val reliableDir = sys.env.get("SPARK_GRAFT_RELIABLE_CKPT")
     val names: Seq[String] =
       if (args.length > 1) args(1).split(',').toSeq.filter(SparkEntry.queries.contains)
       else Seq("q10_join_revenue_per_nation", "d03_minhash_lsh",
-        "e12_heavy_hitters", "w13_grouped_topk", "t12_tfidf")
+        "e12_heavy_hitters", "w13_grouped_topk", "t12_tfidf") ++
+        (if (reliableDir.isDefined) Seq("g06_pagerank_loop", "g14_label_propagation")
+         else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", "12")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    reliableDir.foreach(d =>
+      builder.config("spark.graft.reliableCheckpointDir", d))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     /** Order-free result digest: count + sum of per-row string hashes. */

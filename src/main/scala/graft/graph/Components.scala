@@ -221,7 +221,7 @@ object Components {
         .select(col("e.dst").as("id"), lit(k.toLong).as("hops"))
       dist = dist.union(frontier)
         .groupBy("id").agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
     }
     dist.orderBy("hops", "id")
   }
@@ -274,7 +274,7 @@ object Components {
         .select(col("e.dst").as("id"), (col("d.cost") + col("e.cost")).as("cost"))
       dist = dist.union(relaxed)
         .groupBy("id").agg(min(col("cost")).as("cost"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
     }
     dist.orderBy("cost", "id")
   }
@@ -340,7 +340,7 @@ object Components {
         .join(picked.alias("p"), col("l.id") === col("p.id"), "left_outer")
         .select(col("l.id").as("id"),
           coalesce(col("p.new_label"), col("l.label")).as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
     }
     labels
   }
@@ -399,7 +399,7 @@ object Components {
         .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
     }
     // report survivors with their degree inside the final core
     survivors(alive)

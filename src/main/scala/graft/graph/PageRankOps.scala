@@ -25,9 +25,11 @@ import graft.Tables
   * and the optimizer chokes long before the cluster does — the reference
   * hits the same issue and caches per iteration, SURVEY §3.4). Superseded
   * checkpoint blocks are freed by the ContextCleaner as the old RDDs are
-  * GC'd, so memory is bounded by GC cadence; a loop of hundreds of
-  * iterations (or one needing executor-loss recovery, which local
-  * checkpoints forgo) should use reliable `checkpoint()` instead.
+  * GC'd, so memory is bounded by GC cadence. The cut routes through
+  * [[graft.Cut.cut]]: set `spark.graft.reliableCheckpointDir` and every
+  * iteration checkpoints to SHARED storage instead — the executor-loss
+  * switch, drilled end-to-end by [[graft.FaultDrill]] (kill an executor
+  * mid-loop, digest-identical result).
   *
   * Round-3 profile at sf0.1/local[32] (total ≈ 3.6-4.3 s vs the
   * reference's 22.5 s): vertices 0.3 s, weight build 1.3 s (the events
@@ -77,7 +79,7 @@ object PageRankOps {
         .select(col("id"),
           (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
             + lit(Alpha / n)).as("pagerank"))
-      pr = next.localCheckpoint(true) // see object doc for the memory story
+      pr = graft.Cut.cut(next) // see object doc for the memory story
     }
     pr
   }
@@ -235,7 +237,7 @@ object PageRankOps {
         .select(col("id"),
           (lit(1.0 - Alpha) * coalesce(col("sum_contribution"), lit(0.0))
             + col("reset")).as("pagerank"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
     }
     pr.filter(col("pagerank") > 0)
       .select(col("id"), round(col("pagerank"), 10).as("pagerank"))

@@ -68,7 +68,7 @@ object FraudML {
       .computeIfAbsent(dir, _ => {
         val Array(train, test) = assemble(s, dir)
           .randomSplit(Array(0.8, 0.2), seed = Seed)
-        (train.localCheckpoint(true), test.localCheckpoint(true))
+        (train.transform(graft.Cut.cut), test.transform(graft.Cut.cut))
       })
 
   private val splitMemo = java.util.Collections.synchronizedMap(

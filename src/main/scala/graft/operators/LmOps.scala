@@ -401,7 +401,7 @@ object LmOps {
       val best = pairCounts(seqs)
         .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
         .select(col("l"), col("r"), col("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
       seqs = seqs.crossJoin(broadcast(best))
         .select(expr(
           """aggregate(
@@ -412,7 +412,7 @@ object LmOps {
             |    THEN left(acc, length(acc) - length(l) - 1) || ' ' || l || r
             |    ELSE acc || ' ' || x END,
             |  acc -> acc || ' ')""".stripMargin).as("seq"), col("freq"))
-        .localCheckpoint(true)
+        .transform(graft.Cut.cut)
       best.select(lit(rank.toLong).as("merge_rank"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"), col("cnt"))
     }
