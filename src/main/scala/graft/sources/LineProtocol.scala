@@ -93,10 +93,11 @@ private[sources] class LpTable(path: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LpScanBuilder(path)
+    new LpScanBuilder(path, options.getBoolean("failOnDataLoss", true))
 }
 
-private[sources] class LpScanBuilder(path: String) extends ScanBuilder
+private[sources] class LpScanBuilder(path: String, failOnDataLoss: Boolean)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = LineProtocolSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -117,13 +118,13 @@ private[sources] class LpScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LpScan(path, required, pushed)
+  override def build(): Scan = new LpScan(path, required, pushed, failOnDataLoss)
 }
 
 private[sources] case class LpFilePartition(file: String) extends InputPartition
 
 private[sources] class LpScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], failOnDataLoss: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -145,7 +146,7 @@ private[sources] class LpScan(path: String, required: StructType,
   /** Streaming read path (see [[LpMicroBatchStream]]): same table, same
     * pruned schema and pushed filters, micro-batch offset semantics. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new LpMicroBatchStream(path, required, pushed)
+    new LpMicroBatchStream(path, required, pushed, failOnDataLoss)
 }
 
 private[sources] class LpReaderFactory(required: StructType,

@@ -43,7 +43,7 @@ import org.apache.spark.sql.types.StructType
   * between two triggers, not by total file size.
   */
 private[sources] class LpMicroBatchStream(path: String, required: StructType,
-    pushed: Array[Filter]) extends MicroBatchStream {
+    pushed: Array[Filter], failOnDataLoss: Boolean) extends MicroBatchStream {
 
   override def initialOffset(): Offset = LpStreamOffset(Map.empty)
 
@@ -61,6 +61,17 @@ private[sources] class LpMicroBatchStream(path: String, required: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LpStreamOffset].lengths
     val e = end.asInstanceOf[LpStreamOffset].lengths
+    // a file present at `start` but gone (or shorter) at `end` is data the
+    // checkpoint committed to but can no longer resolve — Kafka's expired-
+    // segment case. Loud by default, skippable by option.
+    if (failOnDataLoss) {
+      val lost = s.collect {
+        case (file, off) if e.getOrElse(file, -1L) < off => file
+      }
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"data loss: files removed/truncated since last batch: " +
+          s"${lost.mkString(", ")} (set failOnDataLoss=false to continue)")
+    }
     e.toSeq.sortBy(_._1).flatMap { case (file, endOff) =>
       val startOff = s.getOrElse(file, 0L)
       if (endOff > startOff) Some(LpRangePartition(file, startOff, endOff))
@@ -69,7 +80,7 @@ private[sources] class LpMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LpRangeReaderFactory(required, pushed)
+    new LpRangeReaderFactory(required, pushed, failOnDataLoss)
 
   override def deserializeOffset(json: String): Offset = LpStreamOffset.fromJson(json)
 
@@ -137,29 +148,46 @@ private[sources] case class LpRangePartition(file: String, start: Long,
     end: Long) extends InputPartition
 
 private[sources] class LpRangeReaderFactory(required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], failOnDataLoss: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[LpRangePartition]
-    new LpRangeReader(rp, required, pushed)
+    new LpRangeReader(rp, required, pushed, failOnDataLoss)
   }
 }
 
 /** Reads `[start, end)` of one file and parses line-protocol rows with the
   * same pruned-column extractors and pushed-filter short-circuit as the
   * batch [[LpReader]]. The range is bounded by one trigger's arrivals, so
-  * buffering it whole is the per-partition working set, not the file. */
+  * buffering it whole is the per-partition working set, not the file.
+  *
+  * Data loss (a planned file deleted or truncated below the committed
+  * offset — the analogue of Kafka retention expiring an unread segment)
+  * follows the Kafka connector's contract: fail the batch by default so
+  * loss is never silent; with `option("failOnDataLoss", "false")` the
+  * missing range is skipped and the stream continues. */
 private[sources] class LpRangeReader(p: LpRangePartition,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], failOnDataLoss: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val lines: Iterator[String] = {
-    val raf = new RandomAccessFile(p.file, "r")
-    try {
-      raf.seek(p.start)
-      val buf = new Array[Byte]((p.end - p.start).toInt)
-      raf.readFully(buf)
-      new String(buf, StandardCharsets.UTF_8).split("\n").iterator
-    } finally raf.close()
+    val f = new File(p.file)
+    if (!f.isFile || f.length() < p.end) {
+      if (failOnDataLoss)
+        throw new IllegalStateException(
+          s"data loss: ${p.file} ${if (f.isFile) s"truncated to ${f.length()}" else "deleted"}" +
+            s" before committed range [${p.start}, ${p.end}) was read" +
+            " (set failOnDataLoss=false to skip lost ranges)")
+      Iterator.empty
+    } else {
+      val raf = new RandomAccessFile(p.file, "r")
+      try {
+        raf.seek(p.start)
+        val buf = new Array[Byte]((p.end - p.start).toInt)
+        raf.readFully(buf)
+        new String(buf, StandardCharsets.UTF_8).split("\n").iterator
+      } finally raf.close()
+    }
   }
   private val rowMaker = new LpRowMaker(required, pushed)
   private var current: InternalRow = _

@@ -91,6 +91,45 @@ class StreamConnectorSpec extends AnyFunSuite with SparkTestSession {
     assert(got.select("type_tag").distinct().head.getString(0) == "error")
   }
 
+  test("data loss: fails loudly by default, skips with failOnDataLoss=false") {
+    // Kafka-parity contract: a file deleted after its offsets were
+    // committed (expired segment) must kill the query unless the user
+    // opts out, in which case the lost range is skipped and the stream
+    // continues with the surviving files.
+    val in = Files.createTempDirectory("lp_loss_in")
+    val ckpt1 = Files.createTempDirectory("lp_loss_ckpt1").toString
+    val out1 = Files.createTempDirectory("lp_loss_out1").toString + "/data"
+    Files.writeString(in.resolve("old.lp"), line("error", 1, 1.0, 1700000000000000000L))
+    Files.writeString(in.resolve("new.lp"), line("click", 2, 2.0, 1700000001000000000L))
+    drain(in, out1, ckpt1)
+    assert(spark.read.parquet(out1).count() == 2)
+
+    // the "retention" event: old.lp disappears, a new record lands
+    Files.delete(in.resolve("old.lp"))
+    Files.writeString(in.resolve("new.lp"),
+      line("purchase", 3, 3.0, 1700000002000000000L), StandardOpenOption.APPEND)
+
+    val failed = intercept[Exception] { drain(in, out1, ckpt1) }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(rootChain(failed).exists(_.contains("data loss")),
+      s"default mode must name the loss; got: ${rootChain(failed)}")
+
+    // opt out: same checkpoint, loss skipped, new record still delivered
+    val src = spark.readStream.format(fmt)
+      .option("failOnDataLoss", "false").load(in.toString)
+    val q = src.writeStream.format("parquet").option("path", out1)
+      .option("checkpointLocation", ckpt1).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(out1)
+      .select("event_id").as[Long](spark.implicits.newLongEncoder)
+      .collect().toSet
+    assert(ids == Set(1L, 2L, 3L),
+      "lost range skipped, surviving file's new record delivered once")
+  }
+
   test("offset round-trips through JSON with escaped paths") {
     val off = LpStreamOffset(Map(
       "/tmp/plain/part-0.lp" -> 123L,
