@@ -30,6 +30,62 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("stream offsets: arbitrary append schedules deliver every complete line exactly once") {
+    // Pure simulation of the LpMicroBatchStream cycle (committedLength →
+    // new-bytes ranges → read) over random multi-file append schedules
+    // with partial-line tails: union of all batches = every line whose
+    // newline has landed, each exactly once, regardless of batch timing.
+    import graft.sources.LpStreamOffset
+    import java.nio.file.{Files, StandardOpenOption}
+    val gSchedule = Gen.listOfN(8, for {
+      fileIdx <- Gen.choose(0, 2)
+      lines <- Gen.choose(0, 3)
+      partial <- Gen.oneOf(true, false)
+    } yield (fileIdx, lines, partial))
+    var lineId = 0
+    samples(gSchedule, 20).foreach { schedule =>
+      val dir = Files.createTempDirectory("lp_prop")
+      val pending = scala.collection.mutable.Map[Int, String]() // unfinished tails
+      var committed = Map[String, Long]()
+      val delivered = scala.collection.mutable.ArrayBuffer[String]()
+      val expected = scala.collection.mutable.ArrayBuffer[String]()
+      def step(): Unit = { // one micro-batch: latestOffset + read new ranges
+        val files = dir.toFile.listFiles().filter(_.isFile).map(_.getPath).sorted
+        val latest = files.map(p => p -> LpStreamOffset.committedLength(p)).toMap
+        latest.foreach { case (f, end) =>
+          val start = committed.getOrElse(f, 0L)
+          if (end > start) {
+            val raf = new java.io.RandomAccessFile(f, "r")
+            val buf = new Array[Byte]((end - start).toInt)
+            raf.seek(start); raf.readFully(buf); raf.close()
+            delivered ++= new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
+          }
+        }
+        committed = latest
+      }
+      schedule.foreach { case (fi, n, partial) =>
+        val f = dir.resolve(s"f$fi.lp")
+        // finish an open tail: the tail bytes are already in the file,
+        // only the suffix + newline lands now
+        val sb = new StringBuilder(pending.remove(fi).fold("") { tail =>
+          expected += tail + "END"; "END\n"
+        })
+        (1 to n).foreach { _ =>
+          lineId += 1; expected += s"line$lineId"; sb ++= s"line$lineId\n"
+        }
+        if (partial) { lineId += 1; pending(fi) = s"line$lineId" ; sb ++= s"line$lineId" }
+        Files.writeString(f, sb.toString,
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        step()
+      }
+      step() // drain whatever the last append left complete
+      // every complete line exactly once; still-open tails (no newline
+      // yet) are not in `expected` and must not have been delivered
+      assert(delivered.sorted == expected.sorted,
+        s"schedule $schedule: delivered ${delivered.size} vs expected ${expected.size}")
+    }
+  }
+
   test("round-half-up matches the closed form for bounded doubles") {
     val xs = samples(Gen.choose(-1000000.0, 1000000.0), 25)
     val ks = samples(Gen.choose(0, 6), 25)
