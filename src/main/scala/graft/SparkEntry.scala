@@ -76,6 +76,8 @@ object SparkEntry {
     "f05_cusum_changepoint",
     "g21_assortativity", "a08_gini_concentration", "p04_calendar_dim",
     "t18_zipf_check", "g22_capped_neighbor_features",
-    "d09_embedding_neardup_canonical"
+    "d09_embedding_neardup_canonical",
+    "f06_chi2_drift", "t19_chunk_overlap", "r02_jaro_linkage",
+    "v10_two_stage_rerank"
   ).filter(queries.contains)
 }

@@ -130,6 +130,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, null, "vec_dot"),
       VectorFunctions.builder)) // arity-checked, shared with the registry path
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, null, "jaro_winkler"),
+      StringFunctions.builder))
     // the native per-key top-k physical operator plans in any session
     // built with these extensions (GroupedTopK.apply also self-registers
     // through the `experimental` hook for plain sessions), and the

@@ -610,8 +610,53 @@ object Dedup {
        |  AND levenshtein(a.p_name, b.p_name) <= $LinkageT
        |ORDER BY a.p_brand, name_a, name_b""".stripMargin
 
+  /** Jaro–Winkler similarity floor for [[r02JaroLinkage]] (snapped to 4 dp
+    * before the comparison, the module's threshold discipline).
+    */
+  val JaroT = 0.9
+
+  /** r02 — record linkage by blocking + JARO–WINKLER similarity: r01's
+    * two-stage ER shape with the prefix-weighted metric fuzzy name
+    * matching actually uses (unit-cost edit distance treats a first-letter
+    * typo and a suffix typo alike; names and product labels corrupt at the
+    * END far more often, which is exactly what Winkler's prefix boost
+    * encodes). The metric is the library's own codegen'd
+    * [[graft.functions.JaroWinkler]] expression; the ORACLE side runs
+    * DuckDB's independent native `jaro_winkler_similarity` — so this check
+    * cross-engine-validates the kernel itself, not just the query.
+    *
+    * Scale: identical to r01 — Σ per-block size² comparisons, equi-shuffle
+    * on the blocking key, the metric a codegen'd residual predicate.
+    */
+  def r02JaroLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringFunctions.jaroWinkler
+    val recs = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_name")).distinct()
+    val sim = r(jaroWinkler(col("a.p_name"), col("b.p_name")), 4)
+    recs.as("a").join(recs.as("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_name") < col("b.p_name"))
+      .filter(sim >= JaroT)
+      .select(col("a.p_brand").as("p_brand"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        sim.as("jw_sim"))
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
+  private def r02Sql = {
+    val sim = rSql("jaro_winkler_similarity(a.p_name, b.p_name)", 4)
+    s"""WITH recs AS (SELECT DISTINCT p_brand, p_name FROM part)
+       |SELECT a.p_brand AS p_brand, a.p_name AS name_a, b.p_name AS name_b,
+       |  $sim AS jw_sim
+       |FROM recs a JOIN recs b
+       |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+       |WHERE $sim >= $JaroT
+       |ORDER BY a.p_brand, name_a, name_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_record_linkage" -> (r01RecordLinkage _),
+    "r02_jaro_linkage" -> (r02JaroLinkage _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -628,6 +673,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "r01_record_linkage" -> r01Sql,
+    "r02_jaro_linkage" -> r02Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

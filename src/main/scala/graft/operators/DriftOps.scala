@@ -441,17 +441,99 @@ object DriftOps {
        |    AS cusum_magnitude
        |FROM scored ORDER BY abs(s_scaled) DESC, day ASC LIMIT 1""".stripMargin
 
+  /** f06 — Pearson χ² homogeneity test between the two hash splits over
+    * the SAME amount bins as f01 (2×B contingency table) — the
+    * significance-testable companion to f01's effect-size TVD: TVD says
+    * how far apart the histograms are, χ² says whether that distance is
+    * explainable by sampling noise (compare Σ terms to χ²_{B−1}).
+    *
+    * Exactness: the textbook Σ(O−E)²/E over both rows of the 2×B table
+    * algebraically collapses — with D_i = cntRef_i·nCur − cntCur_i·nRef,
+    * the bin's BOTH-splits contribution is exactly
+    * D_i² / (rowtot_i·nRef·nCur). D is integer (DECIMAL-exact to 1e9-row
+    * splits, f01's documented carrier cap: D ≤ n² must stay < 1e19 for
+    * the 38-digit square), squared EXACTLY in decimal before its one
+    * cast; the denominator's doubles are exact ≤ 2^53 and multiplied in
+    * the same order both engines. Degenerate empty split → NULL terms
+    * (f04's convention).
+    *
+    * Scale: identical to f01 — one narrow scan, ≤ ~50-bin map-combined
+    * aggregate, broadcast 1-row totals.
+    */
+  def f06Chi2Drift(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(s, dir)
+      .select(
+        hashSplit(col("o_orderkey"), 2).as("split"),
+        amountBin(col("o_totalprice")).as("bin"))
+    val perBin = binned.groupBy("bin")
+      .agg(
+        sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+      .cache() // consumed twice: totals scalar + the per-bin projection
+    val totals = perBin.agg(
+      sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
+    val d = (col("cnt_ref").cast(Cnt) * col("n_cur").cast(Cnt)
+      - col("cnt_cur").cast(Cnt) * col("n_ref").cast(Cnt))
+      .cast("decimal(19,0)")
+    perBin.crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        (col("bin") * lit(BinCents / 100)).cast("double").as("lo_dollars"),
+        col("cnt_ref"), col("cnt_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          r((d * d).cast("double")
+            / ((col("cnt_ref") + col("cnt_cur")).cast("double")
+              * col("n_ref").cast("double") * col("n_cur").cast("double")),
+            8))
+          .otherwise(lit(null).cast("double")).as("chi2_term"))
+      .orderBy("bin")
+  }
+
+  private val f06Sql = {
+    val d = "(CAST(CAST(cnt_ref AS DECIMAL(18,0)) * CAST(n_cur AS DECIMAL(18,0)) " +
+      "- CAST(cnt_cur AS DECIMAL(18,0)) * CAST(n_ref AS DECIMAL(18,0)) " +
+      "AS DECIMAL(19,0)))"
+    s"""WITH binned AS (
+       |  SELECT ${Det.sqlKnuthBucket("o_orderkey", 2L)} AS split,
+       |         CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |                    / $BinCents.0) AS BIGINT) AS bin
+       |  FROM orders),
+       |per_bin AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_ref,
+       |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_cur
+       |  FROM binned GROUP BY 1),
+       |totals AS (
+       |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+       |         CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM per_bin)
+       |SELECT bin,
+       |  CAST(bin * ${BinCents / 100} AS DOUBLE) AS lo_dollars,
+       |  cnt_ref, cnt_cur,
+       |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+       |  ${Det.sqlR(
+            s"CAST($d * $d AS DOUBLE) " +
+              "/ (CAST(cnt_ref + cnt_cur AS DOUBLE) " +
+              "* CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))", 8)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS chi2_term
+       |FROM per_bin CROSS JOIN totals
+       |ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_tvd_drift" -> (f01TvdDrift _),
     "f02_ks_drift" -> (f02KsDrift _),
     "f03_benford" -> (f03Benford _),
     "f04_mcnemar" -> (f04Mcnemar _),
-    "f05_cusum_changepoint" -> (f05CusumChangepoint _))
+    "f05_cusum_changepoint" -> (f05CusumChangepoint _),
+    "f06_chi2_drift" -> (f06Chi2Drift _))
 
   val oracles: Map[String, String] = Map(
     "f01_tvd_drift" -> f01Sql,
     "f02_ks_drift" -> f02Sql,
     "f03_benford" -> f03Sql,
     "f04_mcnemar" -> f04Sql,
-    "f05_cusum_changepoint" -> f05Sql)
+    "f05_cusum_changepoint" -> f05Sql,
+    "f06_chi2_drift" -> f06Sql)
 }

@@ -788,6 +788,101 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, adist
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  private val RerankDepth = 20 // ANN shortlist size feeding the exact stage
+
+  /** v10 — TWO-STAGE retrieval: v07's IVF-PQ index shortlists
+    * [[RerankDepth]] candidates per query by approximate distance, then an
+    * EXACT cosine re-rank (the codegen'd [[graft.functions.VecDot]]) runs
+    * over only those |Q|·[[RerankDepth]] rows and emits the top-[[TopK]].
+    * This is the production retrieval architecture in one plan: the
+    * compressed index decides WHO is close (corpus floats never enter the
+    * probe path), the float math runs only on the shortlist (re-reading
+    * |Q|·R embeddings — a broadcast-sized fetch at any corpus scale), and
+    * quantization error cannot mis-ORDER the final ranking, only
+    * mis-SELECT the shortlist (recall, tuned by R/NProbe, floor-pinned in
+    * the spec).
+    *
+    * Scale: stage 1 is exactly v07 (probe cost independent of corpus
+    * size); stage 2 joins the narrow shortlist back to the embedding
+    * table on its key — at 10^9 vectors that is R·|Q| point lookups
+    * against a broadcast of the QUERY vectors, shuffling only shortlist
+    * rows, never the corpus.
+    */
+  def v10TwoStageRerank(s: SparkSession, dir: String): DataFrame = {
+    val ranked = centroidRanked(s, dir).cache()
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel"))
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val cand = cells.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    val (codes, dt) = pqParts(s, dir)
+    val shortlist = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(r(sum(col("dist").cast("decimal(38,8)")).cast("double"), 6)
+        .as("adist"))
+      .withColumn("srank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist"), col("neighbor_id"))).cast("long"))
+      .filter(col("srank") <= RerankDepth)
+      .select("query_id", "neighbor_id", "adist")
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine", "adist")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v10Sql =
+    s"""WITH $centroidCtes,
+       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
+       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
+       |         WHERE c.vec_id <> p.query_id),
+       |$pqCtes,
+       |adc AS (SELECT cd.query_id, c.vec_id AS neighbor_id,
+       |    ${rSql("CAST(sum(CAST(dt.dist AS DECIMAL(38,8))) AS DOUBLE)", 6)}
+       |      AS adist
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN dt ON dt.query_id = cd.query_id AND dt.m = c.m
+       |    AND dt.clabel = c.code
+       |  GROUP BY 1, 2),
+       |shortlist AS (SELECT query_id, neighbor_id, adist
+       |  FROM (SELECT query_id, neighbor_id, adist,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY adist, neighbor_id) AS srank
+       |        FROM adc) WHERE srank <= $RerankDepth),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |reranked AS (SELECT s.query_id, s.neighbor_id, s.adist,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)}
+       |      AS cosine
+       |  FROM shortlist s
+       |  JOIN e n ON n.vec_id = s.neighbor_id
+       |  JOIN q ON q.query_id = s.query_id),
+       |final AS (SELECT query_id, neighbor_id, adist, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, cosine, adist
+       |FROM final WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   /** v08 — BINARY (1-bit sign) quantization ANN: every embedding collapses
     * to d/32 packed words (bit i = dim i's sign), queries rank
     * candidates by Hamming distance — `bit_count(xor)` per word, summed.
@@ -1092,6 +1187,7 @@ object Similarity {
     "v04_ann_ivf" -> (v04AnnIvf _),
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
+    "v10_two_stage_rerank" -> (v10TwoStageRerank _),
     "v08_ann_binary" -> (v08AnnBinary _),
     "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
@@ -1106,6 +1202,7 @@ object Similarity {
     "v04_ann_ivf" -> v04Sql,
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
+    "v10_two_stage_rerank" -> v10Sql,
     "v08_ann_binary" -> v08Sql,
     "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,

@@ -750,7 +750,72 @@ object TextOps {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Retrieval-chunk window/stride (tokens): 50-token chunks every 40
+    * tokens → 10-token overlap, the context-continuity margin.
+    */
+  private val RagWindow = 50L
+  private val RagStride = 40L
+
+  /** t19 — OVERLAPPING sliding-window chunking, the retrieval-side
+    * (RAG-indexing) counterpart of t08's disjoint training packing: chunks
+    * of [[RagWindow]] tokens start every [[RagStride]] tokens, so
+    * consecutive chunks share window−stride tokens of context — an answer
+    * span straddling a cut boundary appears whole in the next chunk.
+    * Chunk count per doc = ceil(max(0, n−window)/stride) + 1: the LAST
+    * chunk is the first whose end reaches the doc's end — no trailing
+    * chunk fully contained in its predecessor.
+    *
+    * Scale: t08's shape exactly — one pruned scan, an `explode(sequence)`
+    * fan-out of four narrow longs per chunk, no shuffle before the dump's
+    * order-by; the text itself is never re-read per chunk.
+    */
+  def t19ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n_tokens - $RagWindow, 0) + $RagStride - 1)" +
+            s" div $RagStride"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * RagStride + 1).as("tok_start"),
+        least(col("n_tokens"), col("chunk_idx") * RagStride + RagWindow)
+          .as("tok_end"))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start") + 1).as("n_chunk_tokens"),
+        // context shared with the PREVIOUS chunk (0 for the first)
+        when(col("chunk_idx") > 0,
+          greatest(
+            least(col("tok_end"), (col("chunk_idx") - 1) * RagStride + RagWindow)
+              - col("tok_start") + 1, lit(0L)))
+          .otherwise(lit(0L)).as("overlap_prev"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private def t19Sql = {
+    val t = tokensSql("text")
+    s"""SELECT doc_id, chunk_idx,
+       |  chunk_idx * $RagStride + 1 AS tok_start,
+       |  least(n_tokens, chunk_idx * $RagStride + $RagWindow) AS tok_end,
+       |  least(n_tokens, chunk_idx * $RagStride + $RagWindow)
+       |    - (chunk_idx * $RagStride + 1) + 1 AS n_chunk_tokens,
+       |  CASE WHEN chunk_idx > 0 THEN greatest(
+       |    least(least(n_tokens, chunk_idx * $RagStride + $RagWindow),
+       |          (chunk_idx - 1) * $RagStride + $RagWindow)
+       |      - (chunk_idx * $RagStride + 1) + 1, 0)
+       |  ELSE 0 END AS overlap_prev
+       |FROM (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(range(0,
+       |      (greatest(n_tokens - $RagWindow, 0) + $RagStride - 1)
+       |        // $RagStride + 1)) AS chunk_idx
+       |  FROM (SELECT doc_id, CAST(len($t) AS BIGINT) AS n_tokens
+       |        FROM documents)
+       |  WHERE n_tokens > 0)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_chunk_overlap" -> (t19ChunkOverlap _),
     "t18_zipf_check" -> (t18ZipfCheck _),
     "t14_char_diversity" -> (t14CharDiversity _),
     "e12_heavy_hitters" -> (e12HeavyHitters _),
@@ -766,6 +831,7 @@ object TextOps {
     "t09_pii_redact" -> (t09PiiRedact _))
 
   val oracles: Map[String, String] = Map(
+    "t19_chunk_overlap" -> t19Sql,
     "t18_zipf_check" -> t18Sql,
     "t14_char_diversity" -> t14Sql,
     "e12_heavy_hitters" -> e12Sql,

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{JaroWinklerAlgo, StringFunctions}
+import graft.operators.{Dedup, DriftOps, Similarity, TextOps}
+
+/** Round-5 additions: the JaroWinkler codegen expression + r02 linkage,
+  * f06 χ² drift, t19 overlapping retrieval chunks, v10 two-stage re-rank.
+  */
+class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerAlgo.jw(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro_winkler kernel matches the DuckDB-pinned probe set bit-exact") {
+    // expected values are DuckDB 1.0's jaro_winkler_similarity outputs,
+    // captured verbatim (the full 30k-pair fuzz ran at build time; this
+    // pins the corners: transposition floor-halving, the STRICT >0.7
+    // boost threshold, the 4-byte prefix cap, byte-level UTF-8, empties)
+    val pinned = Seq(
+      ("martha", "marhta") -> 0.9611111111111111,
+      ("dixon", "dicksonx") -> 0.8133333333333332,
+      ("jellyfish", "smellyfish") -> 0.8962962962962964,
+      ("DWAYNE", "DUANE") -> 0.8400000000000001,
+      ("TRATE", "TRACE") -> 0.9066666666666667,
+      ("aaaa", "aaaaaa") -> 0.9333333333333333,
+      ("prefix", "prefixxxxx") -> 0.92,
+      ("abQQQQQQ", "abZZZZZZ") -> 0.5, // jaro ≤ 0.7 → NO prefix boost
+      ("abcdXYZ", "abcdQRS") -> 0.8285714285714286, // > 0.7 → boosted
+      ("longprefixsame", "longprefixdiff") -> 0.8857142857142858, // cap 4
+      ("abcdef", "bcadef") -> 0.9444444444444445, // 3 mismatches → t = 1
+      ("日本語", "日本誤") -> 0.9555555555555556, // bytes, not codepoints
+      ("abc", "abc") -> 1.0,
+      ("", "abc") -> 0.0,
+      ("", "") -> 0.0,
+      ("a", "b") -> 0.0,
+      ("ab", "ba") -> 0.0) // window 0: no cross-position matches
+    pinned.foreach { case ((a, b), expect) =>
+      assert(jw(a, b) == expect, s"jw($a, $b)")
+      assert(jw(b, a) == expect, s"jw($b, $a) (symmetry)")
+    }
+  }
+
+  test("jaro_winkler expression: codegen path == kernel, null-safe, SQL-registered") {
+    import spark.implicits._
+    StringFunctions.register(spark)
+    val rows = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""),
+      ("日本語", "日本誤"), ("abcdef", "bcadef"))
+    val df = rows.toDF("a", "b")
+    // through the DataFrame (whole-stage codegen) and the SQL registry
+    val viaCol = df.select(StringFunctions.jaroWinkler(col("a"), col("b")))
+      .as[Double].collect()
+    val viaSql = df.selectExpr("jaro_winkler(a, b)").as[Double].collect()
+    val direct = rows.map { case (a, b) => jw(a, b) }
+    assert(viaCol.toSeq == direct && viaSql.toSeq == direct)
+    // null input → null out (BinaryExpression default null intolerance)
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b)").collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("r02 pairs are canonical, blocked, and threshold-bounded") {
+    val rows = Dedup.r02JaroLinkage(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) < r.getString(2), "canonical name order")
+      assert(r.getDouble(3) >= Dedup.JaroT && r.getDouble(3) <= 1.0)
+      assert(jw(r.getString(1), r.getString(2)) >= Dedup.JaroT - 5e-5,
+        "snapped similarity consistent with the kernel")
+    }
+  }
+
+  test("f06 per-bin terms sum to the textbook two-row chi-square") {
+    val rows = DriftOps.f06Chi2Drift(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    val cntR = rows.map(_.getLong(2).toDouble)
+    val cntC = rows.map(_.getLong(3).toDouble)
+    val (nR, nC) = (cntR.sum, cntC.sum)
+    val n = nR + nC
+    val textbook = rows.indices.map { i =>
+      val rowtot = cntR(i) + cntC(i)
+      val eR = rowtot * nR / n
+      val eC = rowtot * nC / n
+      (cntR(i) - eR) * (cntR(i) - eR) / eR +
+        (cntC(i) - eC) * (cntC(i) - eC) / eC
+    }.sum
+    val terms = rows.map(_.getDouble(4)).sum
+    // each of ≤ ~50 terms is snapped at 8 dp → total within 5e-7·bins
+    assert(math.abs(terms - textbook) < 1e-5,
+      s"sum of terms $terms vs textbook $textbook")
+    // same bin set as f01 (shared bin definition is the comparability
+    // contract with the streaming monitor)
+    val f01Bins = DriftOps.f01TvdDrift(spark, SfMid)
+      .select("bin").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == f01Bins)
+  }
+
+  test("t19 chunks tile every doc: cover [1, n], bounded width, exact overlap") {
+    val n = Tables.documents(spark, SfMid)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+    val byDoc = TextOps.t19ChunkOverlap(spark, SfMid).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, chunks) =>
+      assert(chunks.head.getLong(2) == 1L, "first chunk starts at token 1")
+      chunks.foreach { c =>
+        assert(c.getLong(3) - c.getLong(2) + 1 == c.getLong(4))
+        assert(c.getLong(4) >= 1L && c.getLong(4) <= 50L)
+      }
+      chunks.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(c.getLong(2) == p.getLong(2) + 40L, "stride 40")
+          assert(c.getLong(2) <= p.getLong(3) + 1, "no gap")
+          val overlap = math.max(0L,
+            math.min(c.getLong(3), p.getLong(3)) - c.getLong(2) + 1)
+          assert(c.getLong(5) == overlap, "overlap_prev exact")
+        case _ => ()
+      }
+      // the last chunk reaches the end of the doc, and only the last:
+      // every non-final chunk is full-width (window 50)
+      chunks.init.foreach(c => assert(c.getLong(4) == 50L))
+    }
+    // chunk count per doc = ceil(max(0, n-50)/40) + 1
+    val counts = byDoc.view.mapValues(_.length.toLong).toMap
+    n.collect().foreach { r =>
+      val nt = r.getLong(1)
+      if (nt > 0)
+        assert(counts(r.getLong(0)) == (math.max(0, nt - 50) + 39) / 40 + 1)
+    }
+  }
+
+  test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
+    val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val v10 = Similarity.v10TwoStageRerank(spark, SfMid).collect()
+    assert(v10.nonEmpty)
+    // every reported cosine equals the exact (v01-side) cosine when the
+    // same pair appears in the exact top-k — quantization can only
+    // mis-select the shortlist, never mis-score the survivors
+    v10.foreach { r =>
+      v01.get((r.getLong(0), r.getLong(2)))
+        .foreach(exact => assert(r.getDouble(3) == exact))
+    }
+    // recall@5 of the two-stage plan vs exact — floor-pinned like v02's
+    val hits = v10.count(r => v01.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / v01.size
+    assert(recall >= 0.35, s"two-stage recall@5 $recall")
+  }
+}
