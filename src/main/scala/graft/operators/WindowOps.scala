@@ -549,7 +549,68 @@ object WindowOps {
       |WHERE rnk <= 20
       |ORDER BY priority, rnk""".stripMargin
 
+  /** w16 — NATIVE `session_window` aggregation in batch: the same 30-minute
+    * sessionization as w05, spelled through Spark's built-in session-window
+    * operator instead of the manual lag→flag→running-sum chain. The oracle
+    * is the gaps-and-islands SQL — so this query cross-checks Spark's
+    * native session semantics against the classical spelling: sessions
+    * merge while the NEXT event starts strictly before prev_ts + gap
+    * (a gap of exactly 30:00 starts a new session — note w05's manual
+    * spelling uses `> 1800`, i.e. keeps the exact-boundary event; both are
+    * valid conventions, which is precisely why the check pins which one
+    * the native operator implements), and the emitted window end is
+    * last_ts + gap (the watermark-eviction horizon), not last_ts.
+    * Comparisons ride exact epoch MICROSECONDS (events.ts is nanos;
+    * div-1000 truncation identical both engines) — no floored-seconds
+    * approximation anywhere.
+    *
+    * Scale: one shuffle on user_id, then a per-key merge scan — the same
+    * plan Structured Streaming runs incrementally with state eviction at
+    * the watermark ([[graft.streaming.StreamPipeline]] holds the stream
+    * twin); batch and stream agree because the gap arithmetic is shared.
+    */
+  def w16SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r(Det.dsum(coalesce(col("value"), lit(0.0))), 4)
+          .as("session_value"))
+      .select(col("user_id"),
+        // events.ts surfaces as TimestampNTZ on the nanos-parquet read
+        // path; the session tz is UTC, so the cast is micros-identity
+        unix_micros(col("w.start").cast("timestamp")).as("session_start_us"),
+        unix_micros(col("w.end").cast("timestamp")).as("session_end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start_us")
+
+  private val w16Sql =
+    """SELECT user_id,
+      |  min(us) AS session_start_us,
+      |  max(us) + 1800000000 AS session_end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  SESSION_VALUE_EXPR AS session_value
+      |FROM (
+      |  SELECT user_id, us, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM (
+      |    SELECT user_id, us, value,
+      |      CASE WHEN lag(us, 1) OVER (PARTITION BY user_id ORDER BY us)
+      |               IS NULL
+      |             OR us - lag(us, 1) OVER (PARTITION BY user_id
+      |                 ORDER BY us) >= 1800000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+      |          FROM events)))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_start_us""".stripMargin
+      .replace("SESSION_VALUE_EXPR",
+        Det.sqlR(Det.sqlDsum("coalesce(value, 0.0)"), 4))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_session_window" -> (w16SessionWindow _),
     "w12_rank_family" -> (w12RankFamily _),
     "w11_cumulative_distinct" -> (w11CumulativeDistinct _),
     "w09_gap_fill" -> (w09GapFill _),
@@ -563,6 +624,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w16_session_window" -> w16Sql,
     "w12_rank_family" -> w12Sql,
     "w11_cumulative_distinct" -> w11Sql,
     "w09_gap_fill" -> w09Sql,

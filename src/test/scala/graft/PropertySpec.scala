@@ -323,4 +323,23 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(s1 == s2)
     assert(s1.zip(s3).count { case (x, y) => x == y } <= 2)
   }
+
+  test("jaro_winkler kernel: range, symmetry, identity, disjointness") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String) = graft.functions.JaroWinklerAlgo.jw(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val str = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcdeXY #1é".toSeq)).map(_.mkString))
+    for {
+      (a, b) <- samples(Gen.zip(str, str), 400)
+    } {
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"symmetry: ($a, $b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity: $a")
+      // fully disjoint byte sets share no matches → similarity 0
+      val disjoint = "zzzz" * (a.length.max(1) / 4 + 1)
+      if (a.nonEmpty) assert(jw(a, disjoint.take(a.length.max(1))) == 0.0)
+    }
+  }
 }

@@ -133,6 +133,32 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("w16 native session_window: disjoint, gap-padded, w05-refining") {
+    val w16 = operators.WindowOps.w16SessionWindow(spark, SfMid).collect()
+    assert(w16.nonEmpty)
+    val nEvents = Tables.events(spark, SfMid).count()
+    assert(w16.map(_.getLong(3)).sum == nEvents, "every event in one session")
+    w16.groupBy(_.getLong(0)).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.foreach(r =>
+        assert(r.getLong(2) - r.getLong(1) >= 1800000000L,
+          "end >= start + gap (window end is the eviction horizon)"))
+      sorted.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(c.getLong(1) >= p.getLong(2),
+            "sessions of one user never overlap")
+        case _ => ()
+      }
+    }
+    // the native operator splits on gap == 30:00 exactly (w05's manual
+    // spelling keeps it), so it can only REFINE w05's sessions per user
+    val w05Counts = operators.WindowOps.w05Sessionize(spark, SfMid)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w16Counts = w16.groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+    w16Counts.foreach { case (u, n) => assert(n >= w05Counts(u)) }
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
