@@ -211,4 +211,40 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate")
       || p.contains("SortAggregate"), p)
   }
+
+  test("r02 blocks on an equi-join with jaro_winkler as codegen'd residual") {
+    val df = operators.Dedup.r02JaroLinkage(spark, Sf)
+    val p = plan(df)
+    // the brand block is the join KEY; the expensive metric must be a
+    // residual predicate, never the join condition of a nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+    assert(p.contains("jaro_winkler"), p)
+    // and the expression stays inside whole-stage codegen (no fallback
+    // marker on the join/filter stage that evaluates it)
+    assert(!p.contains("codegen=false") || {
+      val bad = p.linesIterator
+        .filter(l => l.contains("jaro_winkler") && l.contains("codegen=false"))
+      bad.isEmpty
+    }, p)
+  }
+
+  test("v10's re-rank stage broadcasts queries and distance table, never the corpus") {
+    val p = plan(operators.Similarity.v10TwoStageRerank(spark, Sf))
+    // stage 1 (IVF-PQ) and stage 2 (exact re-rank) both hang off
+    // broadcast joins of the small sides; the corpus embedding table must
+    // not appear under a BroadcastExchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w16 session_window plans one user_id exchange then the session merge") {
+    val df = operators.WindowOps.w16SessionWindow(spark, Sf)
+    val p = plan(df)
+    // sessionization must shuffle on the user key once; the session
+    // assembly is the dedicated UpdatingSessionsExec (or a sort-based
+    // merge) — never a global single-partition window
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
