@@ -130,10 +130,111 @@ object Multimodal {
           .as("weighted_mean_byte"))
       .orderBy("media_type")
 
+  /** Perceptual-hash width: 16 proportional blocks → 15 gradient bits. */
+  private val PhBlocks = 16
+  /** Hamming radius for mm04 near-dups (must stay < band count 2). */
+  val PhRadius = 1
+
+  /** STUB perceptual hash — the dHash shape over the stub decode: the
+    * payload's bytes split into [[PhBlocks]] PROPORTIONAL blocks (byte i →
+    * block i·B/n, so the hash is resolution-independent, exactly why real
+    * dHash downsamples first), per-block brightness sums, and bit b = 1
+    * iff block b is brighter than block b+1 — a 15-bit gradient signature.
+    * With a real codec this is pixel rows after grayscale downsample; the
+    * arithmetic downstream (banding, Hamming verify) is unchanged.
+    */
+  def phashStub(r: MediaRow): (Long, Long) = {
+    val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+    val n = bytes.length
+    val s = new Array[Long](PhBlocks)
+    var i = 0
+    while (i < n) {
+      s(((i.toLong * PhBlocks) / n).toInt) += bytes(i) & 0xff
+      i += 1
+    }
+    var ph = 0L
+    var b = 0
+    while (b < PhBlocks - 1) {
+      if (s(b) > s(b + 1)) ph |= 1L << b
+      b += 1
+    }
+    (r.doc_id, ph)
+  }
+
+  /** mm04 — perceptual-hash near-dup over the media payloads: the
+    * image-dedup pipeline (pHash → banded LSH → Hamming verify) composed
+    * from this module's stub decode and the d04b banding discipline. Two
+    * 8/7-bit bands pigeonhole-cover radius [[PhRadius]] = 1 (a single
+    * differing bit lands in ONE band; the other band still collides), so
+    * the band join is provably lossless — and the ORACLE is the all-pairs
+    * SQL, whose equality proves exactly that, the d04b pattern.
+    *
+    * Scale: signatures are one narrow mapPartitions scan (payload never
+    * shuffles); candidates are band-bucket equi-join collisions; the
+    * verify is one `bit_count(xor)` per candidate. At 10^9 images this is
+    * the production shape — the all-pairs oracle exists only to certify
+    * the banding.
+    */
+  def mm04PerceptualNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, dir)
+      .filter(length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions(_.map(phashStub)).toDF("doc_id", "ph")
+      .cache()
+    val bands = hashes.select(col("doc_id"), col("ph"), explode(array(
+      struct(lit(0).as("band"), col("ph").bitwiseAND(lit(255L)).as("bk")),
+      struct(lit(1).as("band"), shiftright(col("ph"), 8).as("bk"))))
+      .as("e"))
+      .select(col("doc_id"), col("ph"), col("e.band"), col("e.bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.ph ^ y.ph)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhRadius)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** All-pairs oracle (banding-losslessness proof, d04b's pattern); the
+    * byte/ascii equivalence note on [[mm02Sql]] applies.
+    */
+  private val mm04Sql =
+    s"""WITH chars AS (
+       |  SELECT doc_id,
+       |    octet_length(encode(text)) AS n,
+       |    list_transform(string_split(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS cs
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |blocks AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $PhBlocks), b ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(cs) + 1),
+       |          i -> CASE WHEN ((i - 1) * $PhBlocks) // n = b
+       |               THEN cs[i] ELSE 0 END)),
+       |        (acc, x) -> acc + x)) AS s
+       |  FROM chars),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, ${PhBlocks - 1}),
+       |        b -> CASE WHEN s[b + 1] > s[b + 2]
+       |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+       |      (acc, x) -> acc + x) AS ph
+       |  FROM blocks)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+       |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ph, b.ph)) <= $PhRadius
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_media_meta" -> (mm01MediaMeta _),
     "mm02_media_features" -> (mm02MediaFeatures _),
-    "mm03_media_profile" -> (mm03MediaProfile _))
+    "mm03_media_profile" -> (mm03MediaProfile _),
+    "mm04_perceptual_neardup" -> (mm04PerceptualNeardup _))
 
   /** mm02's stub features ARE oracle-expressible on this ASCII corpus:
     * utf-8 payload bytes == char codes, so the byte fold mirrors as an
@@ -168,5 +269,6 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
-    "mm03_media_profile" -> mm03Sql)
+    "mm03_media_profile" -> mm03Sql,
+    "mm04_perceptual_neardup" -> mm04Sql)
 }

@@ -159,6 +159,31 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     w16Counts.foreach { case (u, n) => assert(n >= w05Counts(u)) }
   }
 
+  test("mm04 phash is resolution-independent and pairs are radius-bounded") {
+    import operators.Multimodal
+    // dHash's defining property: stretching the payload (each byte
+    // repeated k times — a "higher-resolution" rendering of the same
+    // media) scales every proportional block sum by k and so flips no
+    // gradient bit. EXACT when block boundaries align (len divisible by
+    // the block count — real dHash guarantees this by resampling to a
+    // fixed grid); misaligned lengths redistribute only boundary bytes.
+    val base = "the quick brown fox jumps over the lazy dog 048!".getBytes
+    assert(base.length % 16 == 0)
+    def row(p: Array[Byte]) =
+      operators.MediaRow(1L, "image", p, 64, 64, 0)
+    val h0 = Multimodal.phashStub(row(base))._2
+    Seq(2, 3, 7).foreach { k =>
+      val stretched = base.flatMap(b => Array.fill(k)(b))
+      assert(Multimodal.phashStub(row(stretched))._2 == h0, s"stretch $k")
+    }
+    val pairs = Multimodal.mm04PerceptualNeardup(spark, SfMid).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "canonical id order")
+      assert(r.getLong(2) <= Multimodal.PhRadius)
+    }
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
