@@ -78,6 +78,7 @@ object SparkEntry {
     "t18_zipf_check", "g22_capped_neighbor_features",
     "d09_embedding_neardup_canonical",
     "f06_chi2_drift", "t19_chunk_overlap", "r02_jaro_linkage",
-    "v10_two_stage_rerank", "w16_session_window", "mm04_perceptual_neardup"
+    "v10_two_stage_rerank", "w16_session_window", "mm04_perceptual_neardup",
+    "g23_scc"
   ).filter(queries.contains)
 }

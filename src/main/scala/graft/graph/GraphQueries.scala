@@ -26,7 +26,8 @@ object GraphQueries {
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
     "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
     "g21_assortativity" -> (NeighborAgg.g21Assortativity _),
-    "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _)
+    "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _),
+    "g23_scc" -> (Scc.q _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -38,6 +39,7 @@ object GraphQueries {
     "g03_connected_components" -> Components.qSql,
     "g04_component_stats" -> Components.componentStatsSql,
     "g05_weighted_edges" -> CoGraph.weightedEdgesSql,
+    "g23_scc" -> Scc.qSql,
     "g06_pagerank_loop" -> PageRankOps.qSql(),
     "g07_top_pagerank" -> PageRankOps.topQSql(),
     "g09_component_purity" -> Components.componentPuritySql,

@@ -1,0 +1,121 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** g23 — STRONGLY connected components over a directed fraud graph: the
+  * directed sibling of g03's undirected CC (SURVEY §2.10 G3), detecting
+  * mutual-reachability rings — "A's fraud activity leads to B and B's
+  * leads back to A" — the cycle structure money-mule / collusion analysis
+  * looks for, which undirected CC cannot see (any shared hour merges
+  * components regardless of direction).
+  *
+  * The directed edge set is the ARRIVAL CHAIN: within each error-activity
+  * hour bucket, one edge from the k-th to the (k+1)-th arriving user
+  * (by first error ts in the bucket, ties by id). |bucket|−1 edges per
+  * bucket instead of the co-activity clique's |bucket|² — time flows
+  * FORWARD inside a bucket, so mutual reachability requires cycles across
+  * buckets: exactly the repeated-co-arrival structure that distinguishes
+  * an organized ring from coincidental co-activity.
+  *
+  * Engine: GraphX `stronglyConnectedComponents` (label = lowest vertex id
+  * in the SCC — the same canonical label the oracle's min-over-mutual
+  * closure computes, so the check is EXACT). Oracle: recursive
+  * reachability closure + mutual intersection in DuckDB — feasible at the
+  * gate SFs; at sf1-density the closure hits the same Σcomp² wall as
+  * g03's (SCALE.md "oracle-side limits"), where the engine side keeps
+  * running (Pregel peels phases in parallel per superstep).
+  *
+  * Scale: the chain build is one bounded per-bucket window (rank within
+  * an hour's co-active users — bucket-bounded, never a global sort) and
+  * one self-join on (bucket, rank+1). GraphX SCC is the heavy iterative
+  * op here (forward+backward coloring phases); the numIter budget bounds
+  * the outer peeling loop and is diameter-bounded in practice — the
+  * fixpoint is oracle-asserted at the gate SFs.
+  */
+object Scc {
+
+  /** Outer-phase budget for GraphX SCC (each phase peels the SCCs whose
+    * colors converged; gate-SF graphs finish in far fewer).
+    */
+  private val SccIters = 50
+
+  /** Directed arrival-chain edges (src arrived immediately before dst in
+    * the bucket).
+    */
+  def chainEdges(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    val seq = act.withColumn("rk",
+      row_number().over(Window.partitionBy("hour_epoch")
+        .orderBy(col("first_ts"), col("user_id"))))
+    seq.as("a").join(seq.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("b.rk") === col("a.rk") + 1
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .distinct()
+  }
+
+  /** g23 query — (id, scc, scc_size) for every chain-touched vertex;
+    * scc = lowest member id.
+    */
+  def q(s: SparkSession, dir: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    val e = chainEdges(s, dir).cache()
+    val edgeRdd = e.select(col("src"), col("dst")).as[(Long, Long)]
+      .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val vtxRdd = e.select(col("src")).unionAll(e.select(col("dst")))
+      .distinct().as[Long].rdd.map(id => (id, ()))
+    val labels = Graph(vtxRdd, edgeRdd)
+      .stronglyConnectedComponents(SccIters)
+      .vertices.toDF("id", "scc")
+    val sizes = labels.groupBy(col("scc"))
+      .agg(count(lit(1)).as("scc_size"))
+    labels.join(sizes, Seq("scc"))
+      .select(col("id"), col("scc"), col("scc_size"))
+      .orderBy(col("id"))
+  }
+
+  val qSql: String =
+    """WITH RECURSIVE activity AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
+      |         min(ts) AS first_ts
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT h, user_id,
+      |         row_number() OVER (PARTITION BY h
+      |           ORDER BY first_ts, user_id) AS rk
+      |  FROM activity),
+      |edges AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM seq a JOIN seq b
+      |    ON a.h = b.h AND b.rk = a.rk + 1 AND a.user_id <> b.user_id),
+      |verts AS (SELECT DISTINCT src AS v FROM edges
+      |          UNION SELECT DISTINCT dst FROM edges),
+      |reach(s, d) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src),
+      |mutual AS (
+      |  SELECT a.s AS u, a.d AS v FROM reach a
+      |  JOIN reach b ON a.s = b.d AND a.d = b.s AND a.s <> a.d),
+      |lab AS (
+      |  SELECT verts.v AS id, least(verts.v, coalesce(min(mutual.u), verts.v))
+      |           AS scc
+      |  FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+      |  GROUP BY verts.v),
+      |sizes AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
+      |          FROM lab GROUP BY 1)
+      |SELECT lab.id, lab.scc, sizes.scc_size
+      |FROM lab JOIN sizes ON sizes.scc = lab.scc
+      |ORDER BY lab.id""".stripMargin
+}

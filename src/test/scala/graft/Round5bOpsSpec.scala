@@ -184,6 +184,36 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("g23 SCC labels == brute-force mutual reachability on the chain graph") {
+    val edges = graph.Scc.chainEdges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // Floyd–Warshall reachability on the sf0.001 chain graph (15 verts)
+    val idx = verts.zipWithIndex.toMap
+    val n = verts.length
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val expected = verts.map { v =>
+      val i = idx(v)
+      val mutual = verts.filter(u =>
+        u == v || (reach(i)(idx(u)) && reach(idx(u))(i)))
+      v -> mutual.min
+    }.toMap
+    val got = graph.Scc.q(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(got.length == n)
+    got.foreach { case (v, (scc, size)) =>
+      assert(scc == expected(v), s"vertex $v")
+      assert(size == expected.values.count(_ == scc))
+    }
+    // the sf0.001 graph has genuine directed structure: many singleton
+    // SCCs plus at least one nontrivial ring — NOT one giant component
+    val sccs = expected.values.toSeq.distinct
+    assert(sccs.length > 1 && got.map(_._2._2).max >= 2)
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
