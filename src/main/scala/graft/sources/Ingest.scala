@@ -234,11 +234,111 @@ object Ingest {
        |WHERE b < keep_permille
        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Poisson(1) inverse-CDF thresholds at the 1e-6 grid — SHARED INTEGER
+    * LITERALS (f03's Benford discipline: precomputed constants, never a
+    * runtime exp/factorial), floor(P(X ≤ k)·10⁶) for k = 0..8; a uniform
+    * draw ≥ the last threshold caps at 9 (P ≈ 1.1e-6).
+    */
+  private val PoissonCum: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L, 999916L, 999989L, 999998L)
+  private val BootReplicates = 32
+  private val BootM = 1000000L
+
+  /** x04 — DETERMINISTIC Poisson bootstrap over order totals: the
+    * one-pass, no-resample spelling of bootstrap confidence intervals at
+    * scale. Per (row, replicate) a hash-uniform draw maps through the
+    * Poisson(1) inverse CDF to an integer weight (Poisson-ized multinomial
+    * resampling — the standard approximation that makes bootstrap
+    * EMBARRASSINGLY data-parallel: weights are a pure row function, so no
+    * resampled copy of the data ever exists); replicate totals are exact
+    * decimal sums of weight·amount, and the replicate spread IS the
+    * sampling distribution of the total.
+    *
+    * Everything is engine-exact: integer thresholds (shared literals),
+    * the Knuth hash mix, DECIMAL totals snapped at 4 dp, and the
+    * mean/sd computed from decimal-exact Σx/Σx² in one identical double
+    * op sequence (sqrt is IEEE correctly-rounded — the one libm-adjacent
+    * call both engines agree on bit-for-bit).
+    *
+    * Scale: ONE scan with a 32× narrow fan-out (two longs per row) that
+    * map-side-combines into [[BootReplicates]] groups — shuffle volume is
+    * 32 rows per task regardless of data size. This is how you put a
+    * confidence interval on a 100 TB metric without moving the data.
+    */
+  def x04PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val u = graft.operators.Det.knuthBucket(
+      col("o_orderkey") * 101L + col("r") * 7919L, BootM)
+    val w = PoissonCum.zipWithIndex.foldRight(
+      lit(PoissonCum.length): org.apache.spark.sql.Column) {
+      case ((t, k), rest) => when(col("u") < t, k.toLong).otherwise(rest)
+    }
+    // integer CENTS end-to-end (DriftOps' carrier): replicate totals are
+    // BIGINT-exact to ~9e16 cents per replicate, and the Σx² pass squares
+    // through DECIMAL(19,0) — scale 0, so neither engine ever rounds
+    val totals = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        explode(sequence(lit(0), lit(BootReplicates - 1))).as("r"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("r"))
+      .agg(sum(col("cents") * col("w")).as("bt_cents"))
+    val summary = totals.agg(
+      sum(col("bt_cents")).as("sx"),
+      sum(col("bt_cents").cast("decimal(19,0)")
+        * col("bt_cents").cast("decimal(19,0)")).as("sxx"))
+    totals.crossJoin(broadcast(summary))
+      .select(col("r").cast("long").as("replicate"),
+        (col("bt_cents").cast("double") / 100.0).as("boot_total"),
+        graft.operators.Det.r(
+          col("sx").cast("double") / 100.0 / BootReplicates, 4).as("boot_mean"),
+        graft.operators.Det.r(
+          sqrt((col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / BootReplicates) / (BootReplicates - 1)) / 100.0, 4)
+          .as("boot_sd"))
+      .orderBy("replicate")
+  }
+
+  private val x04Sql = {
+    val whenChain = PoissonCum.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+    s"""WITH draws AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, r,
+       |    ${graft.operators.Det.sqlKnuthBucket(
+            "o_orderkey * 101 + r * 7919", BootM)} AS u
+       |  FROM orders CROSS JOIN (SELECT unnest(range(0, $BootReplicates)) AS r)),
+       |weighted AS (
+       |  SELECT r, cents,
+       |    CASE $whenChain ELSE ${PoissonCum.length} END AS w
+       |  FROM draws),
+       |totals AS (
+       |  SELECT r, CAST(sum(cents * w) AS BIGINT) AS bt_cents
+       |  FROM weighted GROUP BY r),
+       |summary AS (
+       |  SELECT CAST(sum(bt_cents) AS BIGINT) AS sx,
+       |         sum(CAST(bt_cents AS DECIMAL(19,0))
+       |             * CAST(bt_cents AS DECIMAL(19,0))) AS sxx
+       |  FROM totals)
+       |SELECT CAST(r AS BIGINT) AS replicate,
+       |  CAST(bt_cents AS DOUBLE) / 100.0 AS boot_total,
+       |  ${graft.operators.Det.sqlR(
+          s"CAST(sx AS DOUBLE) / 100.0 / $BootReplicates", 4)} AS boot_mean,
+       |  ${graft.operators.Det.sqlR(
+          s"sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+            s" / $BootReplicates) / ${BootReplicates - 1}) / 100.0", 4)} AS boot_sd
+       |FROM totals CROSS JOIN summary
+       |ORDER BY replicate""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_synthetic_transactions" -> (x01Synthetic _),
     "x02_stratified_sample" -> (x02StratifiedSample _),
-    "x03_stratified_hash" -> (x03StratifiedHash _))
+    "x03_stratified_hash" -> (x03StratifiedHash _),
+    "x04_poisson_bootstrap" -> (x04PoissonBootstrap _))
 
   val oracles: Map[String, String] = Map(
-    "x03_stratified_hash" -> x03Sql)
+    "x03_stratified_hash" -> x03Sql,
+    "x04_poisson_bootstrap" -> x04Sql)
 }

@@ -214,6 +214,31 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(sccs.length > 1 && got.map(_._2._2).max >= 2)
   }
 
+  test("x04 bootstrap replicates center on the true total, sd is sane") {
+    val rows = sources.Ingest.x04PoissonBootstrap(spark, SfMid).collect()
+    assert(rows.length == 32)
+    val trueTotal = Tables.orders(spark, SfMid)
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")))
+      .head().getLong(0).toDouble / 100.0
+    val totals = rows.map(_.getDouble(1))
+    val (mean, sd) = (rows.head.getDouble(2), rows.head.getDouble(3))
+    assert(sd > 0.0)
+    // Poisson(1) weights are mean-1: the bootstrap mean sits within a few
+    // standard errors of the point estimate (sd here IS the se of the
+    // total), and every replicate within ~6
+    assert(math.abs(mean - trueTotal) < 4 * sd / math.sqrt(32.0) * 5,
+      s"mean $mean vs true $trueTotal (sd $sd)")
+    totals.foreach(t => assert(math.abs(t - trueTotal) < 8 * sd))
+    // mean/sd columns are constant across rows and consistent with the
+    // replicate column to the 4-dp snap
+    assert(rows.forall(r => r.getDouble(2) == mean && r.getDouble(3) == sd))
+    val m2 = totals.sum / 32
+    assert(math.abs(m2 - mean) < 1e-3)
+    // deterministic: a second evaluation is identical
+    val again = sources.Ingest.x04PoissonBootstrap(spark, SfMid).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
