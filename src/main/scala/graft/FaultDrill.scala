@@ -38,7 +38,8 @@ object FaultDrill {
     val names: Seq[String] =
       if (args.length > 1) args(1).split(',').toSeq.filter(SparkEntry.queries.contains)
       else Seq("q10_join_revenue_per_nation", "d03_minhash_lsh",
-        "e12_heavy_hitters", "w13_grouped_topk", "t12_tfidf") ++
+        "e12_heavy_hitters", "w13_grouped_topk", "t12_tfidf",
+        "mm04_perceptual_neardup", "g23_scc") ++
         (if (reliableDir.isDefined) Seq("g06_pagerank_loop", "g14_label_propagation")
          else Nil)
     val master =
