@@ -398,11 +398,70 @@ object MartPipeline {
     "p04_calendar_dim" -> (p04CalendarDim _),
     "p01_mart_pipeline" -> (p01MartPipeline _),
     "p02_scd2_dimension" -> (p02Scd2Dimension _),
-    "p03_temporal_lookup" -> (p03TemporalLookup _))
+    "p03_temporal_lookup" -> (p03TemporalLookup _),
+    "p05_cdc_apply" -> (p05CdcApply _))
 
   val oracles: Map[String, String] = Map(
     "p04_calendar_dim" -> p04Sql,
     "p01_mart_pipeline" -> p01Sql,
     "p02_scd2_dimension" -> p02Sql,
-    "p03_temporal_lookup" -> p03Sql)
+    "p03_temporal_lookup" -> p03Sql,
+    "p05_cdc_apply" -> p05Sql)
+
+  /** p05 — CDC APPLY: materialize the CURRENT state table from a
+    * change-data-capture log (the ingestion shape every warehouse mirror
+    * of an OLTP source runs: a stream of upserts and deletes keyed by
+    * entity, latest change wins). The events table plays the changelog:
+    * `error` rows are DELETEs, everything else an UPSERT carrying
+    * `value`; change order is (ts, event_id) — a total order, so "latest"
+    * is engine-independent.
+    *
+    * Spelled as ONE `max(struct(...))` aggregate — struct comparison IS
+    * the (ts, event_id) ordering with the payload riding along — NOT the
+    * textbook `row_number() = 1` window: the aggregate partially
+    * combines map-side (each task reduces its rows to ≤|keys| structs
+    * BEFORE the exchange) and never sorts a partition, which at a
+    * billion-row changelog is the difference between a combine and a
+    * per-key sort. Deletes participate in the max (a delete newer than
+    * every upsert wins) and drop in the final filter.
+    *
+    * Scale: shuffle volume = |distinct keys| per task, one exchange, no
+    * window state. The same plan incrementalizes: new log days re-run
+    * the aggregate over (old state ∪ delta) — c04's MERGE is the
+    * two-table spelling of that step.
+    */
+  def p05CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val op = when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"),
+          op.as("op"),
+          coalesce(col("value"), lit(0.0)).as("value")).as("chg"))
+      .groupBy(col("user_id"))
+      .agg(max(col("chg")).as("last"))
+      .filter(col("last.op") =!= "D")
+      .select(col("user_id"),
+        col("last.us").as("changed_us"),
+        col("last.event_id").as("change_id"),
+        col("last.value").as("value"))
+      .orderBy("user_id")
+  }
+
+  // def, not val: declared below the `oracles` map that references it
+  private def p05Sql =
+    """SELECT user_id,
+      |  us AS changed_us, event_id AS change_id, value
+      |FROM (
+      |  SELECT user_id, us, event_id, op, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rk
+      |  FROM (
+      |    SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |      coalesce(value, 0.0) AS value
+      |    FROM events))
+      |WHERE rk = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
 }

@@ -239,6 +239,36 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("p05 CDC apply: max(struct) aggregate == row_number window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    val got = sinks.MartPipeline.p05CdcApply(spark, SfMid)
+    // the textbook spelling, computed independently here
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val expected = Tables.events(spark, SfMid)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("us").as("changed_us"),
+        col("event_id").as("change_id"), col("value"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // deletes really delete: users absent from the state table are
+    // exactly those whose latest change is an error row
+    val nUsers = Tables.events(spark, SfMid)
+      .select("user_id").distinct().count()
+    assert(got.count() < nUsers, "some users must end deleted")
+    // and the plan is the aggregate, not a window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
