@@ -609,7 +609,82 @@ object WindowOps {
       .replace("SESSION_VALUE_EXPR",
         Det.sqlR(Det.sqlDsum("coalesce(value, 0.0)"), 4))
 
+  /** Grid width for [[w17IntervalOverlapJoin]]'s bucketed interval join
+    * (1 hour in µs). Correct for ANY interval length — longer intervals
+    * just cover more buckets; with ≤1 h sessions each covers ≤ 2.
+    */
+  private val GridUs = 3600000000L
+
+  /** w17 — INTERVAL × INTERVAL overlap join, the fourth range-join shape
+    * (SCALE.md's family: as-of w04, trailing-range w06, point-in-interval
+    * w07): which users' error SESSIONS overlapped in time — concurrent
+    * fraud activity, the coordination signal. Sessions come from the
+    * native `session_window` operator (w16's semantics); the interval is
+    * the actual event extent [min ts, max ts], not the gap-padded window.
+    *
+    * Spark plans a raw `a.s <= b.e AND b.s <= a.e` join as BNLJ —
+    * quadratic. The scale spelling: each interval explodes onto the
+    * fixed [[GridUs]] grid buckets it covers (two narrow longs per
+    * bucket), candidates equi-join on the bucket, pairs dedup, and the
+    * overlap test is a residual. Cost = Σ per-bucket concurrency², the
+    * physical quantity the query measures anyway. The ORACLE is the
+    * naive quadratic SQL — equality proves the grid drops nothing
+    * (d04b's certification pattern).
+    */
+  def w17IntervalOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        min(unix_micros(col("ts").cast("timestamp"))).as("s_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("e_us"))
+      .select("user_id", "s_us", "e_us")
+    val bucketed = sess.select(col("user_id"), col("s_us"), col("e_us"),
+      explode(sequence(expr(s"s_us div $GridUs"), expr(s"e_us div $GridUs")))
+        .as("bucket"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket")
+          && col("a.user_id") < col("b.user_id"))
+      .filter(col("a.s_us") <= col("b.e_us")
+        && col("b.s_us") <= col("a.e_us"))
+      .select(
+        col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        col("a.s_us").as("start_a_us"), col("b.s_us").as("start_b_us"),
+        (least(col("a.e_us"), col("b.e_us"))
+          - greatest(col("a.s_us"), col("b.s_us"))).as("overlap_us"))
+      .distinct()
+      .orderBy("user_a", "user_b", "start_a_us", "start_b_us")
+  }
+
+  private def w17Sql =
+    """WITH sess AS (
+      |  SELECT user_id, session_idx,
+      |    min(us) AS s_us, max(us) AS e_us
+      |  FROM (
+      |    SELECT user_id, us,
+      |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS session_idx
+      |    FROM (
+      |      SELECT user_id, us,
+      |        CASE WHEN lag(us, 1) OVER (PARTITION BY user_id ORDER BY us)
+      |                 IS NULL
+      |               OR us - lag(us, 1) OVER (PARTITION BY user_id
+      |                   ORDER BY us) >= 1800000000
+      |             THEN 1 ELSE 0 END AS is_new
+      |      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS us
+      |            FROM events WHERE event_type = 'error')))
+      |  GROUP BY 1, 2)
+      |SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+      |  a.s_us AS start_a_us, b.s_us AS start_b_us,
+      |  least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id
+      | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+      |ORDER BY user_a, user_b, start_a_us, start_b_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_interval_overlap" -> (w17IntervalOverlapJoin _),
     "w16_session_window" -> (w16SessionWindow _),
     "w12_rank_family" -> (w12RankFamily _),
     "w11_cumulative_distinct" -> (w11CumulativeDistinct _),
@@ -624,6 +699,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w17_interval_overlap" -> w17Sql,
     "w16_session_window" -> w16Sql,
     "w12_rank_family" -> w12Sql,
     "w11_cumulative_distinct" -> w11Sql,

@@ -269,6 +269,31 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
       .findFirstIn(plan).isDefined, plan)
   }
 
+  test("w17 bucketed interval join == naive overlap join, and never BNLJ") {
+    val got = operators.WindowOps.w17IntervalOverlapJoin(spark, SfMid)
+    // independent naive spelling (the quadratic reference, fine at test SF)
+    val sess = Tables.events(spark, SfMid)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("s_us"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("e_us"))
+      .select("user_id", "s_us", "e_us")
+    val naive = sess.as("a").join(sess.as("b"),
+        col("a.user_id") < col("b.user_id")
+          && col("a.s_us") <= col("b.e_us")
+          && col("b.s_us") <= col("a.e_us"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        col("a.s_us").as("start_a_us"), col("b.s_us").as("start_b_us"),
+        (least(col("a.e_us"), col("b.e_us"))
+          - greatest(col("a.s_us"), col("b.s_us"))).as("overlap_us"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    got.collect().foreach(r => assert(r.getLong(4) >= 0L))
+    // the production plan is the grid equi-join, never a nested loop
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
