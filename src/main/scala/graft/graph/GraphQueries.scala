@@ -27,7 +27,8 @@ object GraphQueries {
     "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
     "g21_assortativity" -> (NeighborAgg.g21Assortativity _),
     "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _),
-    "g23_scc" -> (Scc.q _)
+    "g23_scc" -> (Scc.q _),
+    "g24_pingpong" -> (Scc.g24PingPong _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -40,6 +41,7 @@ object GraphQueries {
     "g04_component_stats" -> Components.componentStatsSql,
     "g05_weighted_edges" -> CoGraph.weightedEdgesSql,
     "g23_scc" -> Scc.qSql,
+    "g24_pingpong" -> Scc.g24Sql,
     "g06_pagerank_loop" -> PageRankOps.qSql(),
     "g07_top_pagerank" -> PageRankOps.topQSql(),
     "g09_component_purity" -> Components.componentPuritySql,

@@ -85,6 +85,91 @@ object Scc {
       .orderBy(col("id"))
   }
 
+  /** Window for [[g24PingPong]]'s return leg (6 h in µs), also the grid
+    * width — so a leg-1 edge covers exactly 2 candidate buckets (w07's
+    * point-in-interval discipline).
+    */
+  private val PingWindowUs = 21600000000L
+
+  /** Directed co-activity INSTANCES with event time: one row per
+    * (bucket, earlier → later user pair), timed at the LATER user's first
+    * arrival — g01's co-occurrence edge set given the direction time
+    * already defines, plus the timestamp temporal motifs need. Bucket-
+    * quadratic like g01 (the documented shape); at 100 TB the per-bucket
+    * cap discipline is g22's, applied before this fan-out.
+    */
+  def chainInstances(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("user_id"))
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("first_us"))
+    act.as("a").join(act.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id")
+          && (col("a.first_us") < col("b.first_us")
+            || (col("a.first_us") === col("b.first_us")
+              && col("a.user_id") < col("b.user_id"))))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"),
+        col("b.first_us").as("t_us"))
+  }
+
+  /** g24 — TEMPORAL MOTIF: the a→b→a "ping-pong" (a hands off to b, b
+    * hands back to a within [[PingWindowUs]]) — the round-trip pattern
+    * money-mule detection keys on; a static motif find (the façade's
+    * `(a)-[]->(b); (b)-[]->(a)`) cannot express the time constraint,
+    * which is the whole signal: a reciprocal edge three weeks later is
+    * noise, one within two hours is a loop.
+    *
+    * Scale: Spark plans the raw `t2 > t1 AND t2 <= t1 + W` self-join as
+    * BNLJ; here leg 1 explodes onto the two [[PingWindowUs]] grid
+    * buckets its window covers and leg 2 keys at its own bucket, so the
+    * join is an equi-join on (pair, bucket) with the time test residual
+    * (w07's bounded-bucket discipline — provably covers the window).
+    */
+  def g24PingPong(s: SparkSession, dir: String): DataFrame = {
+    val inst = chainInstances(s, dir).cache()
+    val leg1 = inst.select(col("src"), col("dst"), col("t_us").as("t1_us"),
+      explode(sequence(expr(s"t_us div $PingWindowUs"),
+        expr(s"t_us div $PingWindowUs") + 1)).as("bucket"))
+    val leg2 = inst.select(col("src").as("r_src"), col("dst").as("r_dst"),
+      col("t_us").as("t2_us"),
+      expr(s"t_us div $PingWindowUs").as("r_bucket"))
+    leg1.join(leg2,
+        col("dst") === col("r_src") && col("src") === col("r_dst")
+          && col("bucket") === col("r_bucket"))
+      .filter(col("t2_us") > col("t1_us")
+        && col("t2_us") <= col("t1_us") + PingWindowUs)
+      .select(col("src").as("user_a"), col("dst").as("user_b"),
+        col("t1_us"), col("t2_us"),
+        (col("t2_us") - col("t1_us")).as("gap_us"))
+      .distinct()
+      .orderBy("user_a", "user_b", "t1_us", "t2_us")
+  }
+
+  private val instancesCte: String =
+    """activity AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
+      |         min(epoch_ns(ts) // 1000) AS first_us
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |inst AS (
+      |  SELECT a.user_id AS src, b.user_id AS dst, b.first_us AS t_us
+      |  FROM activity a JOIN activity b
+      |    ON a.h = b.h AND a.user_id <> b.user_id
+      |   AND (a.first_us < b.first_us
+      |        OR (a.first_us = b.first_us AND a.user_id < b.user_id)))""".stripMargin
+
+  val g24Sql: String =
+    s"""WITH $instancesCte
+       |SELECT DISTINCT e1.src AS user_a, e1.dst AS user_b,
+       |  e1.t_us AS t1_us, e2.t_us AS t2_us,
+       |  e2.t_us - e1.t_us AS gap_us
+       |FROM inst e1 JOIN inst e2
+       |  ON e1.dst = e2.src AND e1.src = e2.dst
+       | AND e2.t_us > e1.t_us AND e2.t_us <= e1.t_us + $PingWindowUs
+       |ORDER BY user_a, user_b, t1_us, t2_us""".stripMargin
+
   val qSql: String =
     """WITH RECURSIVE activity AS (
       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,

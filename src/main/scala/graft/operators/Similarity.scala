@@ -883,6 +883,93 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine, adist
        |FROM final WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  private val MrlDims = 16 // prefix dimensions for the Matryoshka stage
+
+  /** v11 — MATRYOSHKA (prefix-dimension) two-stage retrieval: rank the
+    * whole corpus by cosine over only the FIRST [[MrlDims]] dimensions
+    * (MRL-style embeddings front-load information, so the prefix is a
+    * usable coarse scorer at 1/4 the arithmetic and — stored as its own
+    * column — 1/4 the scan bytes), shortlist [[RerankDepth]], then exact
+    * full-dimension re-rank, v10's discipline. Unlike v10's IVF-PQ
+    * stage 1 (index structures to maintain), the Matryoshka ladder needs
+    * NO index at all — the prefix IS the embedding's own head — which is
+    * why it has become the default cheap first stage for MRL-trained
+    * models.
+    *
+    * Scale: stage 1 is a corpus scan of a narrow prefix column with
+    * broadcast queries (v01's plan at 1/4 width); stage 2 fetches |Q|·R
+    * full vectors by key. Both stages deterministic arithmetic → exact
+    * oracle.
+    */
+  def v11MatryoshkaRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val pre = Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, MrlDims).as("pe"))
+      .withColumn("pn", sqrt(dot(col("pe"), col("pe"))))
+      .filter(col("pn") > 0)
+    val pq = pre.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("pe").as("qpe"),
+        col("pn").as("qpn"))
+    val shortlist = pre.join(broadcast(pq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r(dot(col("qpe"), col("pe")) / (col("qpn") * col("pn")), 6)
+          .as("pcos"))
+      .withColumn("srank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("pcos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("srank") <= RerankDepth)
+      .select("query_id", "neighbor_id", "pcos")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    shortlist
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pcos"),
+        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine", "pcos")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v11Sql = {
+    val pslice = s"embedding[1:$MrlDims]"
+    s"""WITH e AS ($withNormSql),
+       |pre AS (
+       |  SELECT vec_id, $pslice AS pe,
+       |    sqrt(${dotSql(pslice, pslice)}) AS pn
+       |  FROM embeddings
+       |  WHERE sqrt(${dotSql(pslice, pslice)}) > 0),
+       |pq AS (SELECT vec_id AS query_id, pe AS qpe, pn AS qpn
+       |       FROM pre WHERE vec_id < $NQueries),
+       |scored AS (SELECT pq.query_id, pre.vec_id AS neighbor_id,
+       |    ${rSql(s"${dotSql("pq.qpe", "pre.pe")} / (pq.qpn * pre.pn)", 6)}
+       |      AS pcos
+       |  FROM pre JOIN pq ON pre.vec_id <> pq.query_id),
+       |shortlist AS (SELECT query_id, neighbor_id, pcos
+       |  FROM (SELECT query_id, neighbor_id, pcos,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY pcos DESC, neighbor_id) AS srank
+       |        FROM scored) WHERE srank <= $RerankDepth),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |reranked AS (SELECT sl.query_id, sl.neighbor_id, sl.pcos,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)}
+       |      AS cosine
+       |  FROM shortlist sl
+       |  JOIN e n ON n.vec_id = sl.neighbor_id
+       |  JOIN q ON q.query_id = sl.query_id),
+       |final AS (SELECT query_id, neighbor_id, pcos, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM reranked)
+       |SELECT query_id, rank, neighbor_id, cosine, pcos
+       |FROM final WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** v08 — BINARY (1-bit sign) quantization ANN: every embedding collapses
     * to d/32 packed words (bit i = dim i's sign), queries rank
     * candidates by Hamming distance — `bit_count(xor)` per word, summed.
@@ -1188,6 +1275,7 @@ object Similarity {
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "v10_two_stage_rerank" -> (v10TwoStageRerank _),
+    "v11_matryoshka_rerank" -> (v11MatryoshkaRerank _),
     "v08_ann_binary" -> (v08AnnBinary _),
     "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
@@ -1203,6 +1291,7 @@ object Similarity {
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
     "v10_two_stage_rerank" -> v10Sql,
+    "v11_matryoshka_rerank" -> v11Sql,
     "v08_ann_binary" -> v08Sql,
     "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,

@@ -294,6 +294,44 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
       && !p.contains("CartesianProduct"), p)
   }
 
+  test("v11 matryoshka: exact final cosines, recall floor, prefix stage honest") {
+    val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val v11 = Similarity.v11MatryoshkaRerank(spark, SfMid).collect()
+    assert(v11.nonEmpty)
+    v11.foreach { r =>
+      v01.get((r.getLong(0), r.getLong(2)))
+        .foreach(exact => assert(r.getDouble(3) == exact))
+      // prefix cosine is a genuine cosine: bounded
+      assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+    val hits = v11.count(r => v01.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.toDouble / v01.size >= 0.35,
+      s"matryoshka recall@5 ${hits.toDouble / v01.size}")
+  }
+
+  test("g24 ping-pong == naive temporal self-join, window honored") {
+    val got = graph.Scc.g24PingPong(spark, SfMid)
+    val inst = graph.Scc.chainInstances(spark, SfMid)
+    val naive = inst.as("e1").join(inst.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") === col("e2.dst")
+          && col("e2.t_us") > col("e1.t_us")
+          && col("e2.t_us") <= col("e1.t_us") + 21600000000L)
+      .select(col("e1.src").as("user_a"), col("e1.dst").as("user_b"),
+        col("e1.t_us").as("t1_us"), col("e2.t_us").as("t2_us"),
+        (col("e2.t_us") - col("e1.t_us")).as("gap_us"))
+      .distinct()
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+    val rows = got.collect()
+    assert(rows.nonEmpty, "sf0.01 must contain ping-pongs")
+    rows.foreach(r =>
+      assert(r.getLong(4) > 0L && r.getLong(4) <= 21600000000L))
+    // production plan: bucket equi-join, not BNLJ
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
