@@ -574,7 +574,63 @@ object Relational {
 
   private val q19Sql = q19Body("nation", "customer")
 
+  /** The ONE SQL text [[q20RecursiveDecay]] runs on BOTH engines — every
+    * construct (recursive UNION ALL CTE, window row_number, max_by,
+    * floor-div spelling) chosen from the intersection of Spark 4 and
+    * DuckDB SQL, so the oracle check certifies Spark 4.1's native
+    * `WITH RECURSIVE` execution against DuckDB's mature implementation
+    * on identical text.
+    */
+  private val q20Text =
+    """WITH RECURSIVE chain AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders),
+      |walk(o_custkey, rn, decayed) AS (
+      |  SELECT o_custkey, rn, cents FROM chain WHERE rn = 1
+      |  UNION ALL
+      |  SELECT c.o_custkey, c.rn,
+      |    CAST(floor(w.decayed / 2.0) AS BIGINT) + c.cents
+      |  FROM walk w JOIN chain c
+      |    ON c.o_custkey = w.o_custkey AND c.rn = w.rn + 1)
+      |SELECT o_custkey, CAST(max(rn) AS BIGINT) AS n_orders,
+      |  max_by(decayed, rn) AS decayed_cents
+      |FROM walk
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q20 — NATIVE RECURSIVE CTE (Spark 4's `WITH RECURSIVE`): walk each
+    * customer's order chain in date order computing the integer decay
+    * recurrence bal_n = ⌊bal_{n−1}/2⌋ + cents_n — a genuine recurrence no
+    * window aggregate expresses (each step depends on the previous
+    * OUTPUT, not the previous inputs; the "running half-life balance" of
+    * credit scoring). The recursion is LINEAR — each iteration joins the
+    * frontier (one row per still-extending customer chain) to its rank's
+    * successor, so the working set SHRINKS as short chains finish; with
+    * UNION ALL (all Spark 4 supports in recursion) that linearity is what
+    * keeps the plan bounded — a graph walk here would explode, which is
+    * exactly why the closure oracles live DuckDB-side only (g03/g23).
+    *
+    * The oracle is the IDENTICAL SQL text ([[q20Text]]) — this check
+    * certifies the new native recursion execution itself cross-engine.
+    *
+    * Scale: iterations = max chain length (orders per customer — tens,
+    * data-bounded, not data-sized); each iteration one keyed equi-join of
+    * the shrinking frontier against a rank-partitioned chain table.
+    */
+  def q20RecursiveDecay(s: SparkSession, dir: String): DataFrame = {
+    // total walk rows = |orders| (one per chain element), which trips
+    // Spark's 1M-row recursion safety default past sf0.1 — raise the
+    // guard, don't disable it: runaway recursion should still abort
+    s.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
+    graft.Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q20Text)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_recursive_decay" -> (q20RecursiveDecay _),
     "q17_pipe_syntax" -> (q17PipeSyntax _),
     "q18_correlated_subqueries" -> (q18CorrelatedSubqueries _),
     "q19_lateral_topn" -> (q19LateralTopn _),
@@ -597,6 +653,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_recursive_decay" -> q20Text,
     "q17_pipe_syntax" -> q17Sql,
     "q18_correlated_subqueries" -> q18Sql,
     "q19_lateral_topn" -> q19Sql,

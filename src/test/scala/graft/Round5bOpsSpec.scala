@@ -332,6 +332,27 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
       && !p.contains("CartesianProduct"), p)
   }
 
+  test("q20 native recursion == sequential recurrence replayed in Scala") {
+    val got = operators.Relational.q20RecursiveDecay(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val chains = Tables.orders(spark, SfMid)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getLong(0))
+    chains.foreach { case (cust, rows) =>
+      // o_orderdate surfaces as LocalDateTime on this read path; its ISO
+      // toString sorts identically to the SQL date order
+      val ordered = rows.sortBy(r => (r.get(1).toString, r.getLong(2)))
+      val bal = ordered.map(_.getLong(3))
+        .foldLeft(0L)((acc, c) => acc / 2 + c) // seed 0/2+c1 == c1
+      val (n, decayed) = got(cust)
+      assert(n == ordered.length, s"chain length for $cust")
+      assert(decayed == bal, s"decayed balance for $cust")
+    }
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
