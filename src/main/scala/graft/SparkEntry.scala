@@ -82,6 +82,7 @@ object SparkEntry {
     "d09_embedding_neardup_canonical",
     "f06_chi2_drift", "t19_chunk_overlap", "r02_jaro_linkage",
     "v10_two_stage_rerank", "w16_session_window", "mm04_perceptual_neardup",
-    "g23_scc", "x04_poisson_bootstrap", "p05_cdc_apply", "w17_interval_overlap", "v11_matryoshka_rerank", "g24_pingpong"
+    "g23_scc", "x04_poisson_bootstrap", "p05_cdc_apply", "w17_interval_overlap", "v11_matryoshka_rerank", "g24_pingpong", "c09_leakage_safe_split",
+    "x05_group_reservoir"
   ).filter(queries.contains)
 }

@@ -491,8 +491,12 @@ object Dedup {
        |WHERE ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} >= $JaccardT
        |ORDER BY i.id_a, i.id_b""".stripMargin
 
-  private def d07Sql =
-    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($d02Sql)),
+  /** Shared CTE chain ending in `cc(doc_id, canonical_id)` — the near-dup
+    * cluster closure both [[d07DedupClusters]]'s and [[c09LeakageSafeSplit]]'s
+    * oracles build on.
+    */
+  private def ccClusterCtes =
+    s"""pairs AS (SELECT id_a, id_b FROM ($d02Sql)),
        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |      UNION SELECT id_b, id_a FROM pairs),
        |verts AS (SELECT DISTINCT src AS id FROM e),
@@ -500,7 +504,10 @@ object Dedup {
        |  SELECT id, id FROM verts
        |  UNION
        |  SELECT r.id, e.dst FROM reach r JOIN e ON r.x = e.src),
-       |cc AS (SELECT id AS doc_id, min(x) AS canonical_id FROM reach GROUP BY 1),
+       |cc AS (SELECT id AS doc_id, min(x) AS canonical_id FROM reach GROUP BY 1)""".stripMargin
+
+  private def d07Sql =
+    s"""WITH RECURSIVE $ccClusterCtes,
        |sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
        |          FROM cc GROUP BY 1)
        |SELECT doc_id, canonical_id, cluster_size,
@@ -654,9 +661,58 @@ object Dedup {
        |ORDER BY a.p_brand, name_a, name_b""".stripMargin
   }
 
+  /** c09 — LEAKAGE-SAFE train/val/test split: assign every document a
+    * split by hashing its NEAR-DUP CLUSTER id (d07's GraphX closure;
+    * singletons are their own cluster), never its own id — the split
+    * hygiene rule training pipelines get wrong most often: hash the doc
+    * id and two near-duplicates straddle train and test, leaking the
+    * answer. Hashing the CANONICAL id makes same-cluster-same-split true
+    * BY CONSTRUCTION (spec-asserted), not by post-hoc filtering.
+    * Knuth-bucket 10-way: 0–7 train, 8 val, 9 test.
+    *
+    * Scale: clusters come from the d07 pipeline (LSH-bounded pair stream
+    * → GraphX CC); the assignment itself is a broadcast-sized left join
+    * (only pair members have cluster rows) plus a pure row hash.
+    */
+  def c09LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = {
+      import org.apache.spark.graphx.{Edge, Graph, VertexId}
+      val session = s
+      import session.implicits._
+      val pairs = d02NgramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+      val edgeRdd = pairs.as[(Long, Long)].rdd
+        .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+      Graph.fromEdges(edgeRdd, ())
+        .connectedComponents().vertices.toDF("doc_id", "canonical_id")
+    }
+    val bucket = Det.knuthBucket(col("cluster_id"), 10L)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket <= 7L, "train").when(bucket === 8L, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  private def c09Sql = {
+    val bucket = Det.sqlKnuthBucket("cluster_id", 10L)
+    s"""WITH RECURSIVE $ccClusterCtes,
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(cc.canonical_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN $bucket <= 7 THEN 'train'
+       |       WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_record_linkage" -> (r01RecordLinkage _),
     "r02_jaro_linkage" -> (r02JaroLinkage _),
+    "c09_leakage_safe_split" -> (c09LeakageSafeSplit _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -674,6 +730,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "r01_record_linkage" -> r01Sql,
     "r02_jaro_linkage" -> r02Sql,
+    "c09_leakage_safe_split" -> c09Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

@@ -332,13 +332,55 @@ object Ingest {
        |ORDER BY replicate""".stripMargin
   }
 
+  private val ReservoirK = 20
+
+  /** x05 — EXACT-k-per-stratum deterministic sample: the [[ReservoirK]]
+    * orders with the smallest Knuth-hash draw per priority stratum —
+    * "bottom-k by hash", the mergeable/deterministic form of per-group
+    * reservoir sampling (two bottom-k sketches union by re-taking the k
+    * smallest, so per-day samples roll up to per-month samples without
+    * re-scanning — the property rate-based x03 lacks, and RNG-based
+    * reservoirs only have with careful weight bookkeeping).
+    *
+    * Runs through the library's own [[graft.plans.GroupedTopK]] physical
+    * operator in ASCENDING mode: per-key bounded heaps, partial map-side
+    * pass, shuffle capped at k rows per stratum per task — sampling cost
+    * independent of data size. The oracle is the definitional
+    * `row_number` spelling.
+    */
+  def x05GroupReservoir(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        graft.operators.Det.knuthBucket(col("o_orderkey"), 1000000000L)
+          .cast("double").as("u"))
+    graft.plans.GroupedTopK(base, Seq("o_orderpriority"), "u", "o_orderkey",
+        ReservoirK, descending = false)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("u").cast("long").as("u"))
+      .orderBy("o_orderpriority", "u", "o_orderkey")
+  }
+
+  private def x05Sql = {
+    val u = graft.operators.Det.sqlKnuthBucket("o_orderkey", 1000000000L)
+    s"""SELECT o_orderpriority, o_orderkey, CAST(u AS BIGINT) AS u
+       |FROM (
+       |  SELECT o_orderpriority, o_orderkey, u,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY u, o_orderkey) AS rk
+       |  FROM (SELECT o_orderpriority, o_orderkey, $u AS u FROM orders))
+       |WHERE rk <= $ReservoirK
+       |ORDER BY o_orderpriority, u, o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_synthetic_transactions" -> (x01Synthetic _),
     "x02_stratified_sample" -> (x02StratifiedSample _),
     "x03_stratified_hash" -> (x03StratifiedHash _),
-    "x04_poisson_bootstrap" -> (x04PoissonBootstrap _))
+    "x04_poisson_bootstrap" -> (x04PoissonBootstrap _),
+    "x05_group_reservoir" -> (x05GroupReservoir _))
 
   val oracles: Map[String, String] = Map(
     "x03_stratified_hash" -> x03Sql,
-    "x04_poisson_bootstrap" -> x04Sql)
+    "x04_poisson_bootstrap" -> x04Sql,
+    "x05_group_reservoir" -> x05Sql)
 }

@@ -353,6 +353,47 @@ class Round5bOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("c09 split never separates near-duplicates; ratios near 80/10/10") {
+    val split = Dedup.c09LeakageSafeSplit(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.nonEmpty)
+    // the leakage invariant: every near-dup pair shares a split
+    val pairs = Dedup.d02NgramJaccardPairs(spark, SfMid).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val (ca, sa) = split(p.getLong(0))
+      val (cb, sb) = split(p.getLong(1))
+      assert(ca == cb && sa == sb,
+        s"pair ${p.getLong(0)}/${p.getLong(1)} straddles $sa/$sb")
+    }
+    // same cluster → same split, by construction
+    split.values.groupBy(_._1).values
+      .foreach(g => assert(g.map(_._2).toSet.size == 1))
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(_._2).view.mapValues(_.size / n)
+    assert(frac("train") > 0.6 && frac("train") < 0.95)
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+  }
+
+  test("x05 bottom-k-by-hash is exact-k, deterministic, and mergeable") {
+    val rows = sources.Ingest.x05GroupReservoir(spark, SfMid).collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    byGroup.values.foreach(g => assert(g.length == 20))
+    // mergeability: bottom-k of (bottom-k of each half) == global bottom-k
+    val base = Tables.orders(spark, SfMid)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        operators.Det.knuthBucket(col("o_orderkey"), 1000000000L).as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    byGroup.foreach { case (prio, got) =>
+      val all = base.filter(_._1 == prio).sortBy(t => (t._3, t._2))
+      val (h1, h2) = all.splitAt(all.length / 2)
+      val merged = (h1.take(20) ++ h2.take(20)).sortBy(t => (t._3, t._2)).take(20)
+      assert(merged.toSeq == all.take(20).toSeq, "sketch union == global")
+      assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+        all.take(20).map(t => (t._2, t._3)).toSeq, s"operator output $prio")
+    }
+  }
+
   test("v10 re-rank: exact cosines, v01-consistent, recall floor over v07") {
     val v01 = Similarity.v01CosineTopk(spark, SfMid).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
