@@ -491,7 +491,168 @@ object Corpus {
        |    AS mean_kept_quality
        |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Tokens per packed training sequence (c10). Real runs use 2k–8k; 512
+    * keeps several boundary crossings per source at sf0.01.
+    */
+  private val SeqLen = 512L
+
+  /** c10 — sequence-packing accounting for the concat-and-chunk pretraining
+    * layout: within each source, documents are concatenated in doc_id order
+    * and the token stream is chunked into fixed [[SeqLen]]-token training
+    * sequences. Each doc's span is [start_off, end_off) in the stream, so
+    * its first/last sequence ids are integer divisions of the offsets — a
+    * window cumsum, no explode of the token stream itself. Per source the
+    * manifest reports: docs, tokens, sequence count, how many docs straddle
+    * a sequence boundary (they become attention-contaminated unless the
+    * loader masks across the cut — THE number a pretraining team asks for),
+    * and the padding wasted in the final partial sequence.
+    *
+    * Scale: one narrow scan → one window keyed by `source` (millions of
+    * domains at web scale — parallelism is the domain count) → a per-source
+    * aggregate on the same partitioning, so Catalyst plans ONE exchange.
+    * Zero-token docs contribute nothing and are excluded up front.
+    */
+  def c10SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum(col("n_tokens")).over(run))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_off div $SeqLen"))
+      .withColumn("last_seq", expr(s"(end_off - 1) div $SeqLen"))
+    packed.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("last_seq")) + 1).as("n_seqs"),
+        sum((col("last_seq") > col("first_seq")).cast("long"))
+          .as("n_boundary_docs"),
+        r(sum((col("last_seq") > col("first_seq")).cast("long"))
+            .cast("double") / count(lit(1)), 6).as("frac_boundary_docs"))
+      .withColumn("pad_tokens", col("n_seqs") * SeqLen - col("total_tokens"))
+      .withColumn("pad_frac",
+        r(col("pad_tokens").cast("double") / (col("n_seqs") * SeqLen), 6))
+      .orderBy("source")
+  }
+
+  private val c10Sql = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, CAST(len($t) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE len($t) > 0),
+       |packed AS (
+       |  SELECT source, n_tokens,
+       |    (end_off - n_tokens) // $SeqLen AS first_seq,
+       |    (end_off - 1) // $SeqLen AS last_seq
+       |  FROM (
+       |    SELECT source, n_tokens,
+       |      sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS end_off
+       |    FROM toks)),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       |    CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_boundary_docs,
+       |    ${rSql("CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) " +
+                "AS DOUBLE) / count(*)", 6)} AS frac_boundary_docs
+       |  FROM packed GROUP BY 1)
+       |SELECT source, n_docs, total_tokens, n_seqs, n_boundary_docs,
+       |  frac_boundary_docs,
+       |  n_seqs * $SeqLen - total_tokens AS pad_tokens,
+       |  ${rSql(s"CAST(n_seqs * $SeqLen - total_tokens AS DOUBLE) " +
+            s"/ (n_seqs * $SeqLen)", 6)} AS pad_frac
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** Epoch cap for c11 — no source is repeated more than this many times
+    * (past ~4 epochs repetition hurts; Muennighoff et al. 2023).
+    */
+  private val MaxEpochs = 4L
+  /** Shards per epoch replica set (c11's writer-parallelism key). */
+  private val EpochShards = 16L
+
+  /** c11 — epoch-aware upsampling: under-represented sources are repeated
+    * toward token balance. Per-source epoch counts are deterministic
+    * integer arithmetic — the source with the most tokens trains 1 epoch,
+    * the smallest [[MaxEpochs]], linearly interpolated in exact integers
+    * (no RNG, no float weights), then every (doc, epoch) replica row is
+    * MATERIALIZED via explode(sequence(1, reps)) and dealt a shard id.
+    * Output: the per-(source, epoch) manifest — docs, tokens, distinct
+    * shards touched — i.e. exactly what a downstream writer partitions by.
+    *
+    * Scale: the per-source totals table is domain-cardinality (small —
+    * broadcast); the explode multiplies rows by ≤ [[MaxEpochs]] BEFORE the
+    * shard/manifest aggregate but carries only (doc_id, source, n_tokens),
+    * never text. At 100 TB the replica stream goes straight to the sharded
+    * writer — the wide payload is joined back AFTER sampling, once.
+    */
+  def c11EpochUpsample(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = toks.groupBy("source")
+      .agg(sum(col("n_tokens")).as("tok"))
+    val bounds = totals.agg(
+      max(col("tok")).as("max_tok"), min(col("tok")).as("min_tok"))
+    val reps = totals.crossJoin(broadcast(bounds))
+      .withColumn("reps",
+        lit(1L) + when(col("max_tok") > col("min_tok"),
+          expr(s"((max_tok - tok) * (${MaxEpochs - 1})) div (max_tok - min_tok)"))
+          .otherwise(lit(0L)))
+      .select("source", "reps")
+    toks.join(broadcast(reps), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("reps"))).as("epoch"))
+      .withColumn("shard",
+        pmod(col("doc_id") * MaxEpochs + col("epoch"), lit(EpochShards)))
+      .groupBy("source", "epoch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        countDistinct(col("shard")).as("n_shards"))
+      .orderBy("source", "epoch")
+  }
+
+  private val c11Sql = {
+    val t = tokensSql("text")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, CAST(len($t) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |totals AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok
+       |  FROM toks GROUP BY 1),
+       |bounds AS (
+       |  SELECT max(tok) AS max_tok, min(tok) AS min_tok FROM totals),
+       |reps AS (
+       |  SELECT source,
+       |    1 + CASE WHEN max_tok > min_tok
+       |          THEN ((max_tok - tok) * ${MaxEpochs - 1}) // (max_tok - min_tok)
+       |          ELSE 0 END AS reps
+       |  FROM totals CROSS JOIN bounds),
+       |replicas AS (
+       |  SELECT t.doc_id, t.source, t.n_tokens, e.epoch,
+       |    (t.doc_id * $MaxEpochs + e.epoch) % $EpochShards AS shard
+       |  FROM toks t
+       |  JOIN reps r ON r.source = t.source
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $MaxEpochs)) AS epoch) e
+       |  WHERE e.epoch <= r.reps)
+       |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+       |FROM replicas GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_sequence_packing" -> (c10SequencePacking _),
+    "c11_epoch_upsample" -> (c11EpochUpsample _),
     "c01_training_corpus" -> (c01TrainingCorpus _),
     "c02_corpus_budget" -> (c02CorpusBudget _),
     "c03_mixture_sample" -> (c03MixtureSample _),
@@ -502,6 +663,8 @@ object Corpus {
     "c08_domain_cap" -> (c08DomainCap _))
 
   val oracles: Map[String, String] = Map(
+    "c10_sequence_packing" -> c10Sql,
+    "c11_epoch_upsample" -> c11Sql,
     "c01_training_corpus" -> c01Sql,
     "c02_corpus_budget" -> c02Sql,
     "c03_mixture_sample" -> c03Sql,

@@ -521,7 +521,161 @@ object DriftOps {
        |ORDER BY bin""".stripMargin
   }
 
+  /** Wide exact-integer carrier for rank sums: Σ ca·(2·pre+t+1) ≤ n·(3n+2),
+    * and the variance numerator n1·n2·(n³−n−T) ≤ n⁵/4 — inside 38 digits
+    * up to ~3×10⁷ rows per test window; beyond that, pre-aggregate into
+    * value buckets first (the bins are already there).
+    */
+  private val Dec38 = "decimal(38,0)"
+
+  /** f07 — exact two-sample Mann–Whitney U (Wilcoxon rank-sum) between the
+    * deterministic hash halves of the order totals: the nonparametric
+    * location-shift drift test, completing the battery (f01 TVD = shape,
+    * f02 KS = sup-CDF, f07 = stochastic dominance). Everything is INTEGER
+    * until the final division: ranks are kept DOUBLED (2·rank = 2·pre +
+    * t + 1 where pre = items strictly below, t = ties at the value — an
+    * odd/even-safe integer), so midranks never touch a float; the doubled
+    * rank sums, U statistics, and the tie-corrected variance numerator
+    * n1·n2·(n³−n−Σ(t³−t)) are DECIMAL(38,0)-exact, and the z-score's only
+    * float ops (one divide, one sqrt) run on bit-identical doubles in both
+    * engines.
+    *
+    * Scale: f02's two-level prefix-sum layout — per-value counts cum-summed
+    * within their bounded amount bucket, plus an exclusive prefix over the
+    * ~50-row bucket-total table. No global sort, no global window; the
+    * final statistics are a 1-row aggregate.
+    */
+  def f07MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .select(
+        cents(col("o_totalprice")).as("v"),
+        hashSplit(col("o_orderkey"), 2).as("split"))
+    val perV = base.groupBy("v")
+      .agg(
+        sum(when(col("split") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("bucket",
+        floor(col("v").cast("double") / lit(BinCents.toDouble)).cast("long"))
+      .cache() // consumed by within-cums and bucket totals
+    val withinW = Window.partitionBy("bucket").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = perV
+      .withColumn("wa", sum(col("ca")).over(withinW))
+      .withColumn("wb", sum(col("cb")).over(withinW))
+    val bucketTot = perV.groupBy("bucket")
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val prefixW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketPrefix = bucketTot // bounded (~50 rows): global window is fine
+      .withColumn("pa", sum(col("ba")).over(prefixW) - col("ba"))
+      .withColumn("pb", sum(col("bb")).over(prefixW) - col("bb"))
+      .select(col("bucket").as("pbucket"), col("pa"), col("pb"))
+    val t = (col("ca") + col("cb")).cast(Dec38)
+    val pre = (col("pa") + col("wa") + col("pb") + col("wb")).cast(Dec38) - t
+    val rank2 = pre * 2 + t + 1 // doubled midrank, exact integer
+    val sums = within.join(bucketPrefix, col("bucket") === col("pbucket"))
+      .select(
+        col("ca"), col("cb"),
+        (col("ca").cast(Dec38) * rank2).as("r2a_term"),
+        (col("cb").cast(Dec38) * rank2).as("r2b_term"),
+        (t * t * t - t).as("tie_term"))
+      .agg(
+        sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cur"),
+        sum(col("r2a_term")).as("r2a"), sum(col("r2b_term")).as("r2b"),
+        sum(col("tie_term")).as("tt"))
+    val n1 = col("n_ref").cast(Dec38)
+    val n2 = col("n_cur").cast(Dec38)
+    val n = n1 + n2
+    val u2Ref = col("r2a") - n1 * (n1 + 1)
+    val u2Cur = col("r2b") - n2 * (n2 + 1)
+    val varNum = n1 * n2 * ((n * n * n - n).cast(Dec38) - col("tt"))
+    val varDen = (n * (n - 1) * 12).cast("double")
+    val zRef = (u2Ref.cast("double") - (n1 * n2).cast("double")) /
+      (sqrt(varNum.cast("double") / varDen) * 2)
+    sums.select(
+      col("n_ref"), col("n_cur"),
+      u2Ref.cast("double").as("u2_ref"),
+      u2Cur.cast("double").as("u2_cur"),
+      col("tt").cast("double").as("tie_term"),
+      when(varNum > 0, r(zRef, 6)).otherwise(lit(null).cast("double"))
+        .as("z_ref"))
+  }
+
+  private val f07Sql = {
+    // HUGEINT (int128), not DECIMAL: DuckDB decimal multiplication widens
+    // p1+p2 past the 38-digit cap and binds to DOUBLE; int128 products stay
+    // exact over the same range as Spark's DECIMAL(38,0) side
+    val d38 = "HUGEINT"
+    s"""WITH base AS (
+       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+       |         ${Det.sqlKnuthBucket("o_orderkey", 2L)} AS split
+       |  FROM orders),
+       |per_v AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+       |    CAST(floor(CAST(v AS DOUBLE) / $BinCents.0) AS BIGINT) AS bucket
+       |  FROM base GROUP BY 1),
+       |within AS (
+       |  SELECT *,
+       |    sum(ca) OVER (PARTITION BY bucket ORDER BY v
+       |                  ROWS UNBOUNDED PRECEDING) AS wa,
+       |    sum(cb) OVER (PARTITION BY bucket ORDER BY v
+       |                  ROWS UNBOUNDED PRECEDING) AS wb
+       |  FROM per_v),
+       |bucket_tot AS (
+       |  SELECT bucket, CAST(sum(ca) AS BIGINT) AS ba,
+       |         CAST(sum(cb) AS BIGINT) AS bb
+       |  FROM per_v GROUP BY 1),
+       |bucket_prefix AS (
+       |  SELECT bucket,
+       |    CAST(sum(ba) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |         - ba AS BIGINT) AS pa,
+       |    CAST(sum(bb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       |         - bb AS BIGINT) AS pb
+       |  FROM bucket_tot),
+       |terms AS (
+       |  SELECT w.ca, w.cb,
+       |    CAST(w.ca AS $d38)
+       |      * ((CAST(p.pa + w.wa + p.pb + w.wb AS $d38)
+       |            - CAST(w.ca + w.cb AS $d38)) * 2
+       |         + CAST(w.ca + w.cb AS $d38) + 1) AS r2a_term,
+       |    CAST(w.cb AS $d38)
+       |      * ((CAST(p.pa + w.wa + p.pb + w.wb AS $d38)
+       |            - CAST(w.ca + w.cb AS $d38)) * 2
+       |         + CAST(w.ca + w.cb AS $d38) + 1) AS r2b_term,
+       |    CAST(w.ca + w.cb AS $d38) * CAST(w.ca + w.cb AS $d38)
+       |      * CAST(w.ca + w.cb AS $d38)
+       |      - CAST(w.ca + w.cb AS $d38) AS tie_term
+       |  FROM within w JOIN bucket_prefix p ON w.bucket = p.bucket),
+       |sums AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS n_ref,
+       |         CAST(sum(cb) AS BIGINT) AS n_cur,
+       |         CAST(sum(r2a_term) AS $d38) AS r2a,
+       |         CAST(sum(r2b_term) AS $d38) AS r2b,
+       |         CAST(sum(tie_term) AS $d38) AS tt
+       |  FROM terms),
+       |fin AS (
+       |  SELECT n_ref, n_cur, r2a, r2b, tt,
+       |    CAST(n_ref AS $d38) AS n1, CAST(n_cur AS $d38) AS n2,
+       |    CAST(n_ref AS $d38) + CAST(n_cur AS $d38) AS n
+       |  FROM sums)
+       |SELECT n_ref, n_cur,
+       |  CAST(r2a - n1 * (n1 + 1) AS DOUBLE) AS u2_ref,
+       |  CAST(r2b - n2 * (n2 + 1) AS DOUBLE) AS u2_cur,
+       |  CAST(tt AS DOUBLE) AS tie_term,
+       |  CASE WHEN n1 * n2 * (CAST(n * n * n - n AS $d38) - tt) > 0 THEN
+       |    ${Det.sqlR(
+             s"(CAST(r2a - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE)) " +
+               s"/ (sqrt(CAST(n1 * n2 * (CAST(n * n * n - n AS $d38) - tt) AS DOUBLE) " +
+               s"/ CAST(CAST(n * (n - 1) * 12 AS $d38) AS DOUBLE)) * 2)", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS z_ref
+       |FROM fin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f07_mann_whitney" -> (f07MannWhitney _),
     "f01_tvd_drift" -> (f01TvdDrift _),
     "f02_ks_drift" -> (f02KsDrift _),
     "f03_benford" -> (f03Benford _),
@@ -530,6 +684,7 @@ object DriftOps {
     "f06_chi2_drift" -> (f06Chi2Drift _))
 
   val oracles: Map[String, String] = Map(
+    "f07_mann_whitney" -> f07Sql,
     "f01_tvd_drift" -> f01Sql,
     "f02_ks_drift" -> f02Sql,
     "f03_benford" -> f03Sql,

@@ -592,6 +592,79 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** Probes for the FILTERED search (v12): deeper than v04's [[NProbe]]
+    * because the metadata predicate thins every cell — the standard
+    * filtered-ANN compensation (probe more, filter inside the cell).
+    */
+  private val FilteredProbe = NProbe + 2
+
+  /** v12 — metadata-FILTERED approximate nearest neighbors: v04's IVF
+    * search under a structured predicate (here: even-labeled vectors only —
+    * the stand-in for "lang = 'en'" / "license = permissive" facets every
+    * production vector store filters on). The filter is applied to the
+    * CANDIDATE side *before* any distance arithmetic — pre-filtering, not
+    * post-filtering — so no vec_dot is ever spent on a vector the predicate
+    * excludes, and the probe depth rises to [[FilteredProbe]] so thinned
+    * cells still fill the top-k. Post-filtering (rank first, filter after)
+    * returns < k results whenever the filter is selective; this spelling
+    * cannot.
+    *
+    * Scale: identical layout to v04 (cell id = partition key, codebook
+    * broadcast) with one extra catalyst-pruned predicate on the cell scan —
+    * at 100 TB the facet column rides the same parquet row group as the
+    * cell id, so the filter prunes before the candidate join, shrinking
+    * (never growing) every probe.
+    */
+  def v12AnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val ranked = centroidRanked(s, dir).cache()
+    val cells = ranked.filter(col("rk") === 1 && col("label") % 2 === 0)
+      .select(col("vec_id"), col("clabel"))
+    val probes = ranked
+      .filter(col("vec_id") < NQueries && col("rk") <= FilteredProbe)
+      .select(col("vec_id").as("query_id"), col("clabel"))
+    val e0 = withNorm(s, dir)
+    val q = e0.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cand = cells.join(broadcast(probes), Seq("clabel"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+    cand
+      .join(e0, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v12Sql =
+    s"""WITH $centroidCtes,
+       |cells AS (SELECT vec_id, clabel FROM ranked
+       |          WHERE rk = 1 AND label % 2 = 0),
+       |probes AS (SELECT vec_id AS query_id, clabel
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $FilteredProbe),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
+       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
+       |         WHERE c.vec_id <> p.query_id),
+       |exact AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
+       |  FROM cand cd
+       |  JOIN e n ON n.vec_id = cd.vec_id
+       |  JOIN q ON q.query_id = cd.query_id),
+       |rankedq AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM exact)
+       |SELECT query_id, rank, neighbor_id, cosine
+       |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   private val PqSubspaces = 16 // M: subvectors per embedding
   private val PqCodes = 64 // codewords per subspace codebook
 
@@ -1272,6 +1345,7 @@ object Similarity {
     "v02_ann_lsh" -> (v02AnnLsh _),
     "v03_centroid_assign" -> (v03CentroidAssign _),
     "v04_ann_ivf" -> (v04AnnIvf _),
+    "v12_ann_filtered" -> (v12AnnFiltered _),
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "v10_two_stage_rerank" -> (v10TwoStageRerank _),
@@ -1288,6 +1362,7 @@ object Similarity {
     "v02_ann_lsh" -> v02Sql,
     "v03_centroid_assign" -> v03Sql,
     "v04_ann_ivf" -> v04Sql,
+    "v12_ann_filtered" -> v12Sql,
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
     "v10_two_stage_rerank" -> v10Sql,

@@ -267,6 +267,52 @@ object TextOps {
        |ORDER BY cnt DESC, token""".stripMargin
   }
 
+  /** t20 — per-source vocabulary growth (the Heaps'-law / lexical-diversity
+    * screen): vocabulary size, token count, type–token ratio, and the hapax
+    * fraction (words seen exactly once — the sensitive end of the
+    * distribution: template/boilerplate sources collapse to near-zero
+    * hapaxes while organic text holds 40–60%). Run per SOURCE because
+    * that's the actionable grain — a source whose vocab stops growing with
+    * its token count is machine-generated or deduplicate-worthy.
+    *
+    * Scale: explode → (source, word) count with map-side combine → a
+    * per-source re-aggregate on the SAME source-hashed partitioning
+    * (Catalyst plans one exchange for both). Vocab tables are the classic
+    * long-tail shape; the word-level pass never leaves its combiner above
+    * a few MB per executor because counts fold before the shuffle.
+    */
+  def t20VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        sum((col("cnt") === 1).cast("long")).as("hapax"),
+        r(count(lit(1)).cast("double") / sum(col("cnt")), 6)
+          .as("type_token_ratio"),
+        r(sum((col("cnt") === 1).cast("long")).cast("double")
+          / count(lit(1)), 6).as("hapax_frac"))
+      .orderBy("source")
+  }
+
+  private def t20Sql = {
+    val t = tokensSql("text")
+    s"""WITH counts AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT source, unnest($t) AS word FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  ${rSql("CAST(count(*) AS DOUBLE) / sum(cnt)", 6)} AS type_token_ratio,
+       |  ${rSql("CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+            "/ count(*)", 6)} AS hapax_frac
+       |FROM counts GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** t06 — repetition-based quality rules (the Gopher/C4 filter family):
     * mean word length bounds, most-frequent-token fraction, duplicate
     * word-3-gram fraction, alphabetic-character ratio, composed into a
@@ -825,6 +871,7 @@ object TextOps {
     "t03_quality_score" -> (t03QualityScore _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_token_freq" -> (t05TokenFreq _),
+    "t20_vocab_growth" -> (t20VocabGrowth _),
     "t06_repetition_rules" -> (t06RepetitionRules _),
     "t07_decontaminate" -> (t07Decontaminate _),
     "t08_chunk_pack" -> (t08ChunkPack _),
@@ -841,6 +888,7 @@ object TextOps {
     "t03_quality_score" -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_token_freq" -> t05Sql,
+    "t20_vocab_growth" -> t20Sql,
     "t06_repetition_rules" -> t06Sql,
     "t07_decontaminate" -> t07Sql,
     "t08_chunk_pack" -> t08Sql,

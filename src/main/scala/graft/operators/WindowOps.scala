@@ -683,7 +683,103 @@ object WindowOps {
       | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
       |ORDER BY user_a, user_b, start_a_us, start_b_us""".stripMargin
 
+  /** w18 — NEAREST as-of join: each purchase enriched with whichever error
+    * is closer in time — the last at-or-before (w04's "state as of now") or
+    * the first strictly after (w10's "next failure") — ties going backward.
+    * The third as-of direction (backward w04 / forward w10 / nearest w18):
+    * sensor-alignment and label-attribution pipelines ask for exactly this
+    * ("the error closest to the purchase"), and naive spellings range-join
+    * the two streams into a BroadcastNestedLoop. Here both candidate frames
+    * ride ONE (user, ts, type, id) sort — `last(ignoreNulls)` over
+    * preceding..current and `first(ignoreNulls)` over current..following —
+    * so the plan is a single shuffle+sort with two frame passes, no join
+    * at all. Tie order is shared with w04/w10: a same-instant error sorts
+    * before the purchase, so it is the BACKWARD candidate at distance 0.
+    *
+    * Scale: identical to w04/w10 — per-partition state is two (value, ts)
+    * pairs; the sort is the same (user, ts) sort every per-user operator
+    * reuses, so AQE can reuse the exchange across the family.
+    */
+  def w18AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("err_value",
+        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
+      .withColumn("err_ts",
+        when(col("event_type") === "error", col("ts")))
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val secsB = unix_timestamp(col("ts")) - unix_timestamp(col("last_err_ts"))
+    val secsF = unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts"))
+    val takeBack = col("last_err_ts").isNotNull &&
+      (col("next_err_ts").isNull || secsB <= secsF)
+    ev
+      .withColumn("last_err_value", last(col("err_value"), ignoreNulls = true).over(back))
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(back))
+      .withColumn("next_err_value", first(col("err_value"), ignoreNulls = true).over(fwd))
+      .withColumn("next_err_ts", first(col("err_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("purchase_value"),
+        when(takeBack, col("last_err_value"))
+          .when(col("next_err_ts").isNotNull, col("next_err_value"))
+          .as("nearest_err_value"),
+        when(takeBack, lit("before"))
+          .when(col("next_err_ts").isNotNull, lit("after"))
+          .as("nearest_dir"),
+        when(takeBack, secsB)
+          .when(col("next_err_ts").isNotNull, secsF)
+          .as("nearest_abs_secs"))
+      .orderBy("event_id")
+  }
+
+  private val w18Sql =
+    """SELECT event_id, user_id,
+      |  coalesce(value, 0.0) AS purchase_value,
+      |  CASE WHEN take_back THEN last_err_value
+      |       WHEN next_err_ts IS NOT NULL THEN next_err_value END
+      |    AS nearest_err_value,
+      |  CASE WHEN take_back THEN 'before'
+      |       WHEN next_err_ts IS NOT NULL THEN 'after' END AS nearest_dir,
+      |  CASE WHEN take_back THEN secs_b
+      |       WHEN next_err_ts IS NOT NULL THEN secs_f END AS nearest_abs_secs
+      |FROM (
+      |  SELECT *,
+      |    -- floor, not CAST: Spark's unix_timestamp TRUNCATES sub-second
+      |    -- parts while DuckDB's BIGINT cast rounds-to-nearest
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - CAST(floor(epoch(last_err_ts)) AS BIGINT) AS secs_b,
+      |    CAST(floor(epoch(next_err_ts)) AS BIGINT)
+      |      - CAST(floor(epoch(ts)) AS BIGINT) AS secs_f,
+      |    last_err_ts IS NOT NULL AND (next_err_ts IS NULL
+      |      OR CAST(floor(epoch(ts)) AS BIGINT)
+      |           - CAST(floor(epoch(last_err_ts)) AS BIGINT)
+      |         <= CAST(floor(epoch(next_err_ts)) AS BIGINT)
+      |              - CAST(floor(epoch(ts)) AS BIGINT)) AS take_back
+      |  FROM (
+      |    SELECT event_id, user_id, event_type, value, ts,
+      |      last_value(err_value IGNORE NULLS) OVER wb AS last_err_value,
+      |      last_value(err_ts IGNORE NULLS) OVER wb AS last_err_ts,
+      |      first_value(err_value IGNORE NULLS) OVER wf AS next_err_value,
+      |      first_value(err_ts IGNORE NULLS) OVER wf AS next_err_ts
+      |    FROM (
+      |      SELECT event_id, user_id, event_type, value, ts,
+      |        CASE WHEN event_type = 'error' THEN coalesce(value, 0.0) END AS err_value,
+      |        CASE WHEN event_type = 'error' THEN ts END AS err_ts
+      |      FROM events WHERE event_type IN ('purchase', 'error'))
+      |    WINDOW
+      |      wb AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |      wf AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
+      |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_asof_nearest" -> (w18AsofNearest _),
     "w17_interval_overlap" -> (w17IntervalOverlapJoin _),
     "w16_session_window" -> (w16SessionWindow _),
     "w12_rank_family" -> (w12RankFamily _),
@@ -699,6 +795,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w18_asof_nearest" -> w18Sql,
     "w17_interval_overlap" -> w17Sql,
     "w16_session_window" -> w16Sql,
     "w12_rank_family" -> w12Sql,

@@ -399,14 +399,16 @@ object MartPipeline {
     "p01_mart_pipeline" -> (p01MartPipeline _),
     "p02_scd2_dimension" -> (p02Scd2Dimension _),
     "p03_temporal_lookup" -> (p03TemporalLookup _),
-    "p05_cdc_apply" -> (p05CdcApply _))
+    "p05_cdc_apply" -> (p05CdcApply _),
+    "p06_incremental_agg" -> (p06IncrementalAgg _))
 
   val oracles: Map[String, String] = Map(
     "p04_calendar_dim" -> p04Sql,
     "p01_mart_pipeline" -> p01Sql,
     "p02_scd2_dimension" -> p02Sql,
     "p03_temporal_lookup" -> p03Sql,
-    "p05_cdc_apply" -> p05Sql)
+    "p05_cdc_apply" -> p05Sql,
+    "p06_incremental_agg" -> p06Sql)
 
   /** p05 — CDC APPLY: materialize the CURRENT state table from a
     * change-data-capture log (the ingestion shape every warehouse mirror
@@ -448,6 +450,64 @@ object MartPipeline {
         col("last.value").as("value"))
       .orderBy("user_id")
   }
+
+  /** p06 — incremental aggregate maintenance (the IVM step behind every
+    * "refresh the mart nightly without rescanning history" pipeline): the
+    * materialized state (orders with key%10 ≠ 7 — yesterday's aggregate)
+    * is MERGED with the delta batch's partial aggregate (key%10 = 7 —
+    * tonight's arrivals) instead of recomputed. The merge algebra is the
+    * point: count and decimal-sum add, max takes greatest, and the
+    * algebraic mean is re-derived from the merged sum/count — never
+    * averaged across batches (avg-of-avgs is the classic IVM bug).
+    * Non-mergeable aggregates (exact COUNT DISTINCT, medians) are
+    * deliberately absent — at scale those maintain through sketches
+    * (e13's HLL union, e10's histogram rollup).
+    *
+    * The DuckDB oracle RECOMPUTES the aggregate from the full table —
+    * exact hash equality of merge-path and recompute-path is precisely
+    * the IVM correctness theorem for this query.
+    *
+    * Scale: each side is a bounded (status × month) map-side-combined
+    * aggregate; the merge is a tiny full-outer join on the group key. A
+    * 100 TB history is never rescanned — only the delta is, which is the
+    * entire economic argument for maintaining marts incrementally.
+    */
+  def p06IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      col("o_totalprice"))
+    val isDelta = pmod(col("o_orderkey"), lit(10L)) === 7L
+    def partial(df: DataFrame): DataFrame = df.groupBy("status", "month")
+      .agg(count(lit(1)).as("n"),
+        Det.dsumDec(col("o_totalprice")).as("tot"),
+        max(col("o_totalprice")).as("mx"))
+    val state = partial(o.filter(!isDelta))
+    val delta = partial(o.filter(isDelta))
+    val zero = lit(0).cast(Det.MoneyType)
+    state.as("s").join(delta.as("d"), Seq("status", "month"), "full_outer")
+      .select(col("status"), col("month"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s.tot"), zero) + coalesce(col("d.tot"), zero))
+          .cast("double").as("total"),
+        greatest(col("s.mx"), col("d.mx")).as("max_price"))
+      .withColumn("avg_price",
+        Det.r(col("total") / col("n_orders"), 4))
+      .orderBy("status", "month")
+  }
+
+  private def p06Sql =
+    s"""SELECT o_orderstatus AS status,
+       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlDsum("o_totalprice")} AS total,
+       |  max(o_totalprice) AS max_price,
+       |  ${Det.sqlR(s"${Det.sqlDsum("o_totalprice")} / count(*)", 4)}
+       |    AS avg_price
+       |FROM orders
+       |GROUP BY 1, 2 ORDER BY status, month""".stripMargin
 
   // def, not val: declared below the `oracles` map that references it
   private def p05Sql =

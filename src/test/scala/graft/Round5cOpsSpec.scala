@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, DriftOps, Similarity, TextOps, WindowOps}
+import graft.sinks.MartPipeline
+
+/** Round-5 second-wave additions: w18 nearest as-of, c10 sequence packing,
+  * c11 epoch upsampling, f07 Mann–Whitney U, v12 filtered ANN, t20 vocab
+  * growth, p06 incremental aggregate maintenance. The oracle gate proves
+  * engine equality; these specs pin the SEMANTIC invariants each operator
+  * promises (the properties a user would file a bug about).
+  */
+class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("w18 picks whichever error is closer, ties going backward") {
+    val rows = WindowOps.w18AsofNearest(spark, SfMid)
+      .select("event_id", "nearest_dir", "nearest_abs_secs").collect()
+    assert(rows.nonEmpty)
+    // cross-check against the independent w04/w10 spellings: when both
+    // candidates exist, the nearest distance is their minimum; direction
+    // 'before' iff backward <= forward
+    val back = WindowOps.w04AsofJoin(spark, SfMid)
+      .select(col("event_id"), col("secs_since_error")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val fwd = WindowOps.w10AsofForward(spark, SfMid)
+      .select(col("event_id"), col("secs_to_error")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      (back(id), fwd(id)) match {
+        case (Some(b), Some(f)) =>
+          assert(r.getLong(2) == math.min(b, f), s"event $id distance")
+          assert(r.getString(1) == (if (b <= f) "before" else "after"),
+            s"event $id direction")
+        case (Some(b), None) =>
+          assert(r.getString(1) == "before" && r.getLong(2) == b)
+        case (None, Some(f)) =>
+          assert(r.getString(1) == "after" && r.getLong(2) == f)
+        case (None, None) =>
+          assert(r.isNullAt(1) && r.isNullAt(2))
+      }
+    }
+  }
+
+  test("c10 packing manifest is internally consistent per source") {
+    val rows = Corpus.c10SequencePacking(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(nDocs, tot, nSeqs, nBoundary) =
+        Seq("n_docs", "total_tokens", "n_seqs", "n_boundary_docs")
+          .map(c => r.getLong(r.fieldIndex(c)))
+      val pad = r.getLong(r.fieldIndex("pad_tokens"))
+      assert(nSeqs == (tot + 511) / 512, "n_seqs = ceil(tokens / seqlen)")
+      assert(pad == nSeqs * 512 - tot && pad >= 0 && pad < 512)
+      assert(nBoundary >= 0 && nBoundary <= nDocs)
+    }
+    // the testdata's multi-hundred-token docs must actually straddle chunks
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_boundary_docs"))).sum > 0)
+  }
+
+  test("c11 epochs stay within [1, 4] and replicate token-light sources more") {
+    val perSrc = Corpus.c11EpochUpsample(spark, SfMid)
+      .groupBy("source")
+      .agg(max(col("epoch")).as("reps"),
+        first(col("tokens")).as("tok_epoch1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perSrc.forall { case (_, reps, _) => reps >= 1 && reps <= 4 })
+    assert(perSrc.map(_._2).distinct.length > 1, "upsampling must vary")
+    // monotone: a source with strictly more base tokens never gets MORE
+    // epochs than a lighter one
+    val sorted = perSrc.sortBy(_._3)
+    sorted.sliding(2).foreach {
+      case Array((_, r1, t1), (_, r2, t2)) if t1 < t2 =>
+        assert(r1 >= r2, s"reps must be antitone in tokens ($t1:$r1 vs $t2:$r2)")
+      case _ =>
+    }
+  }
+
+  test("f07 doubled-U identity and sign consistency") {
+    val r = DriftOps.f07MannWhitney(spark, SfMid).collect().head
+    val n1 = r.getLong(r.fieldIndex("n_ref"))
+    val n2 = r.getLong(r.fieldIndex("n_cur"))
+    val u1 = r.getDouble(r.fieldIndex("u2_ref"))
+    val u2 = r.getDouble(r.fieldIndex("u2_cur"))
+    assert(n1 > 0 && n2 > 0)
+    // U identity: U1 + U2 = n1*n2 (doubled on both sides) — exact, the
+    // arithmetic is integer until the final cast
+    assert(u1 + u2 == 2.0 * n1 * n2)
+    // the halves are a uniform hash split of one distribution: |z| small
+    val z = r.getDouble(r.fieldIndex("z_ref"))
+    assert(math.abs(z) < 5.0, s"hash halves should not differ wildly (z=$z)")
+  }
+
+  test("v12 respects the metadata filter and never under-fills vs post-filter") {
+    val out = Similarity.v12AnnFiltered(spark, SfMid)
+    val labels = spark.read.parquet(s"$SfMid/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    // every returned neighbor satisfies the predicate (pre-filtering)
+    val bad = out.join(labels, out("neighbor_id") === labels("vec_id"))
+      .filter(pmod(col("label"), lit(2)) =!= 0).count()
+    assert(bad == 0, "filtered ANN returned a neighbor outside the predicate")
+    // every query fills its full top-k (post-filtering would under-fill)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5))
+  }
+
+  test("t20 vocab growth invariants: hapax <= vocab <= tokens") {
+    val rows = TextOps.t20VocabGrowth(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vocab = r.getLong(r.fieldIndex("vocab"))
+      val toks = r.getLong(r.fieldIndex("n_tokens"))
+      val hapax = r.getLong(r.fieldIndex("hapax"))
+      assert(hapax <= vocab && vocab <= toks && vocab > 0)
+    }
+  }
+
+  test("p06 merge path == recompute path (IVM correctness) on a second grain") {
+    // the oracle already proves (status, month); re-prove on a DIFFERENT
+    // grain inside Spark alone: merge by priority, compare to recompute
+    val o = spark.read.parquet(s"$SfMid/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        col("o_totalprice"))
+    val isDelta = pmod(col("o_orderkey"), lit(10L)) === 7L
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        graft.operators.Det.dsumDec(col("o_totalprice")).as("tot"))
+    val merged = agg(o.filter(!isDelta)).as("s")
+      .join(agg(o.filter(isDelta)).as("d"), Seq("prio"), "full_outer")
+      .select(col("prio"),
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+        (coalesce(col("s.tot"), lit(0).cast(graft.operators.Det.MoneyType))
+          + coalesce(col("d.tot"), lit(0).cast(graft.operators.Det.MoneyType)))
+          .as("tot"))
+    val direct = agg(o)
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+  }
+
+  test("p06 registered query returns the full month range") {
+    val rows = MartPipeline.p06IncrementalAgg(spark, SfMid).collect()
+    assert(rows.length > 10)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("n_orders")) > 0))
+  }
+}
