@@ -674,7 +674,73 @@ object DriftOps {
        |FROM fin""".stripMargin
   }
 
+  /** f08 — two-proportion z-test on the purchase-conversion rate between
+    * the deterministic hash halves of the event stream: the A/B-test /
+    * canary-release statistic (is the treatment half converting at the
+    * control half's rate?). All counting is exact integers; the only float
+    * ops are the four divisions, one multiply chain, and one sqrt of the
+    * pooled-variance formula z = (p̂₁−p̂₂) / √(p̂(1−p̂)(1/n₁+1/n₂)),
+    * spelled op-for-op identically in both engines on bit-identical
+    * integer inputs. Degenerate pools (p̂ ∈ {0,1}, zero variance) → NULL.
+    *
+    * Scale: one narrow scan → a 2-row map-combined aggregate; nothing
+    * downstream ever sees the data again. This is the cheapest statistic
+    * in the battery and the one to run per-canary-deploy.
+    */
+  def f08TwoProportion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(
+        hashSplit(col("event_id"), 2).as("split"),
+        (col("event_type") === "purchase").cast("long").as("is_conv"))
+    val agg = ev.agg(
+      sum(when(col("split") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("split") === 0, col("is_conv")).otherwise(0L)).as("x_ref"),
+      sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_cur"),
+      sum(when(col("split") === 1, col("is_conv")).otherwise(0L)).as("x_cur"))
+    val p1 = col("x_ref").cast("double") / col("n_ref").cast("double")
+    val p2 = col("x_cur").cast("double") / col("n_cur").cast("double")
+    val pp = (col("x_ref") + col("x_cur")).cast("double") /
+      (col("n_ref") + col("n_cur")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / col("n_ref").cast("double")
+        + lit(1.0) / col("n_cur").cast("double")))
+    agg.select(
+      col("n_ref"), col("x_ref"), col("n_cur"), col("x_cur"),
+      r(p1, 6).as("conv_ref"), r(p2, 6).as("conv_cur"),
+      when(col("n_ref") > 0 && col("n_cur") > 0
+        && col("x_ref") + col("x_cur") > 0
+        && col("x_ref") + col("x_cur") < col("n_ref") + col("n_cur"),
+        r((p1 - p2) / se, 6)).otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  private val f08Sql = {
+    val p1 = "CAST(x_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)"
+    val p2 = "CAST(x_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)"
+    val pp = "CAST(x_ref + x_cur AS DOUBLE) / CAST(n_ref + n_cur AS DOUBLE)"
+    val se = s"sqrt($pp * (1.0 - $pp) " +
+      s"* (1.0 / CAST(n_ref AS DOUBLE) + 1.0 / CAST(n_cur AS DOUBLE)))"
+    s"""WITH agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(sum(CASE WHEN split = 0 THEN is_conv ELSE 0 END) AS BIGINT) AS x_ref,
+       |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+       |    CAST(sum(CASE WHEN split = 1 THEN is_conv ELSE 0 END) AS BIGINT) AS x_cur
+       |  FROM (
+       |    SELECT ${Det.sqlKnuthBucket("event_id", 2L)} AS split,
+       |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+       |    FROM events))
+       |SELECT n_ref, x_ref, n_cur, x_cur,
+       |  ${Det.sqlR(p1, 6)} AS conv_ref,
+       |  ${Det.sqlR(p2, 6)} AS conv_cur,
+       |  CASE WHEN n_ref > 0 AND n_cur > 0 AND x_ref + x_cur > 0
+       |            AND x_ref + x_cur < n_ref + n_cur THEN
+       |    ${Det.sqlR(s"($p1 - $p2) / $se", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS z
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f08_two_proportion" -> (f08TwoProportion _),
     "f07_mann_whitney" -> (f07MannWhitney _),
     "f01_tvd_drift" -> (f01TvdDrift _),
     "f02_ks_drift" -> (f02KsDrift _),
@@ -684,6 +750,7 @@ object DriftOps {
     "f06_chi2_drift" -> (f06Chi2Drift _))
 
   val oracles: Map[String, String] = Map(
+    "f08_two_proportion" -> f08Sql,
     "f07_mann_whitney" -> f07Sql,
     "f01_tvd_drift" -> f01Sql,
     "f02_ks_drift" -> f02Sql,

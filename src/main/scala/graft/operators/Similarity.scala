@@ -665,6 +665,71 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** v13 — index-quality evaluation: recall@k of the IVF index (v04)
+    * against the brute-force ground truth (v01), per query and summarized.
+    * The operator every vector-store deployment runs before trusting an
+    * index — and the reason the exact path (v01) exists at all. Both
+    * sides are this library's own operators composed in ONE plan; the
+    * oracle recomputes the same composition in SQL, so the equality check
+    * certifies the EVALUATION logic, while the recall VALUES certify the
+    * index (pinned ≥ threshold in the spec, not here — recall is a
+    * quality metric, not an invariant).
+    *
+    * Scale: ground truth is only ever computed for the (small) query
+    * sample — recall evaluation at 100 TB is always sampled; the join is
+    * on (query_id, neighbor_id), k·|sample| rows a side, broadcast-sized.
+    */
+  def v13AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = v01CosineTopk(s, dir).select(col("query_id"), col("neighbor_id"))
+    val ann = v04AnnIvf(s, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_at_k", r(col("n_hits").cast("double") / TopK, 4))
+      .orderBy("query_id")
+  }
+
+  private def v13Sql =
+    s"""WITH $centroidCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |bf AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |    ${rSql(s"${dotSql("q.qe", "e2.embedding")} / (q.qn * e2.nrm)", 6)} AS cosine
+       |  FROM e e2 JOIN q ON e2.vec_id <> q.query_id),
+       |bfr AS (SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |        FROM bf)
+       |  WHERE rank <= $TopK),
+       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, clabel
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
+       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
+       |         WHERE c.vec_id <> p.query_id),
+       |iexact AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
+       |  FROM cand cd
+       |  JOIN e n ON n.vec_id = cd.vec_id
+       |  JOIN q ON q.query_id = cd.query_id),
+       |ivfr AS (SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id) AS rank
+       |        FROM iexact)
+       |  WHERE rank <= $TopK)
+       |SELECT b.query_id,
+       |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_hits,
+       |  ${rSql(
+          s"CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) " +
+            s"AS DOUBLE) / $TopK", 4)} AS recall_at_k
+       |FROM bfr b LEFT JOIN ivfr i
+       |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |GROUP BY 1 ORDER BY b.query_id""".stripMargin
+
   private val PqSubspaces = 16 // M: subvectors per embedding
   private val PqCodes = 64 // codewords per subspace codebook
 
@@ -1346,6 +1411,7 @@ object Similarity {
     "v03_centroid_assign" -> (v03CentroidAssign _),
     "v04_ann_ivf" -> (v04AnnIvf _),
     "v12_ann_filtered" -> (v12AnnFiltered _),
+    "v13_ann_recall" -> (v13AnnRecall _),
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "v10_two_stage_rerank" -> (v10TwoStageRerank _),
@@ -1363,6 +1429,7 @@ object Similarity {
     "v03_centroid_assign" -> v03Sql,
     "v04_ann_ivf" -> v04Sql,
     "v12_ann_filtered" -> v12Sql,
+    "v13_ann_recall" -> v13Sql,
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
     "v10_two_stage_rerank" -> v10Sql,

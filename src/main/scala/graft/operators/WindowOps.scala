@@ -778,7 +778,88 @@ object WindowOps {
       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)))
       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** Max age of a backward as-of match before it is considered stale (w19).
+    * Six hours: ~11% of this testdata's purchases have an error that
+    * recent, so BOTH branches (fresh match / stale-dropped) carry real
+    * rows through the oracle.
+    */
+  private val AsofToleranceSecs = 21600L
+
+  /** w19 — TOLERANCE-bounded as-of join (pandas `merge_asof(tolerance=…)` /
+    * kdb `wj` semantics): each purchase takes the last error at-or-before
+    * it — but ONLY if that error is within [[AsofToleranceSecs]]; staler
+    * state is reported as NO match (NULL value/age, matched=false) rather
+    * than silently joining hours-old state. This is the as-of variant
+    * sensor-fusion and market-data pipelines actually run: joining a
+    * quote from last Tuesday to today's trade is worse than joining
+    * nothing.
+    *
+    * The tolerance is applied AFTER the single-sort window match — the
+    * frame state stays one (value, ts) pair and the plan is byte-identical
+    * to w04's (one shuffle+sort, no range join); a range-join spelling of
+    * the same semantics would buy no pruning (the window already evaluates
+    * each row once) and cost a second shuffle.
+    *
+    * Scale: identical to w04; the staleness predicate is a per-row
+    * projection, free at any scale.
+    */
+  def w19AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .withColumn("err_value",
+        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
+      .withColumn("err_ts",
+        when(col("event_type") === "error", col("ts")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val age = unix_timestamp(col("ts")) - unix_timestamp(col("last_err_ts"))
+    val fresh = col("last_err_ts").isNotNull && age <= AsofToleranceSecs
+    ev
+      .withColumn("last_err_value", last(col("err_value"), ignoreNulls = true).over(w))
+      .withColumn("last_err_ts", last(col("err_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("value"), lit(0.0)).as("purchase_value"),
+        when(fresh, col("last_err_value")).as("err_value"),
+        when(fresh, age).as("secs_since_error"),
+        fresh.as("matched"))
+      .orderBy("event_id")
+  }
+
+  private val w19Sql =
+    s"""SELECT event_id, user_id,
+       |  coalesce(value, 0.0) AS purchase_value,
+       |  CASE WHEN matched THEN last_err_value END AS err_value,
+       |  CASE WHEN matched THEN age END AS secs_since_error,
+       |  matched
+       |FROM (
+       |  SELECT *,
+       |    -- floor, not CAST: Spark's unix_timestamp TRUNCATES sub-second
+       |    -- parts while DuckDB's BIGINT cast rounds-to-nearest
+       |    coalesce(last_err_ts IS NOT NULL
+       |      AND CAST(floor(epoch(ts)) AS BIGINT)
+       |            - CAST(floor(epoch(last_err_ts)) AS BIGINT)
+       |          <= $AsofToleranceSecs, FALSE) AS matched,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - CAST(floor(epoch(last_err_ts)) AS BIGINT) AS age
+       |  FROM (
+       |    SELECT event_id, user_id, event_type, value, ts,
+       |      last_value(err_value IGNORE NULLS) OVER w AS last_err_value,
+       |      last_value(err_ts IGNORE NULLS) OVER w AS last_err_ts
+       |    FROM (
+       |      SELECT event_id, user_id, event_type, value, ts,
+       |        CASE WHEN event_type = 'error' THEN coalesce(value, 0.0) END AS err_value,
+       |        CASE WHEN event_type = 'error' THEN ts END AS err_ts
+       |      FROM events WHERE event_type IN ('purchase', 'error'))
+       |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_asof_tolerance" -> (w19AsofTolerance _),
     "w18_asof_nearest" -> (w18AsofNearest _),
     "w17_interval_overlap" -> (w17IntervalOverlapJoin _),
     "w16_session_window" -> (w16SessionWindow _),
@@ -795,6 +876,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w19_asof_tolerance" -> w19Sql,
     "w18_asof_nearest" -> w18Sql,
     "w17_interval_overlap" -> w17Sql,
     "w16_session_window" -> w16Sql,

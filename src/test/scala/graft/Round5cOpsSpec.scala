@@ -108,6 +108,60 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5))
   }
 
+  test("w19 tolerance: fresh matches agree with w04, stale ones are nulled") {
+    val tol = WindowOps.w19AsofTolerance(spark, SfMid)
+      .select("event_id", "err_value", "secs_since_error", "matched").collect()
+    val back = WindowOps.w04AsofJoin(spark, SfMid)
+      .select(col("event_id"), col("last_err_value"), col("secs_since_error"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(1), r.getLong(2)))))
+      .toMap
+    assert(tol.count(_.getBoolean(3)) > 0, "some matches must be fresh")
+    assert(tol.count(r => !r.getBoolean(3)) > 0, "some must be stale/absent")
+    tol.foreach { r =>
+      val id = r.getLong(0)
+      back(id) match {
+        case Some((v, secs)) if secs <= 21600L =>
+          assert(r.getBoolean(3) && r.getDouble(1) == v && r.getLong(2) == secs)
+        case _ =>
+          assert(!r.getBoolean(3) && r.isNullAt(1) && r.isNullAt(2))
+      }
+    }
+  }
+
+  test("f08 split counts reconcile with direct totals and z is finite") {
+    val r = DriftOps.f08TwoProportion(spark, SfMid).collect().head
+    val total = spark.read.parquet(s"$SfMid/events.parquet").count()
+    val conv = spark.read.parquet(s"$SfMid/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(r.fieldIndex("n_ref")) + r.getLong(r.fieldIndex("n_cur"))
+      == total)
+    assert(r.getLong(r.fieldIndex("x_ref")) + r.getLong(r.fieldIndex("x_cur"))
+      == conv)
+    val z = r.getDouble(r.fieldIndex("z"))
+    assert(!z.isNaN && math.abs(z) < 5.0, s"uniform hash halves (z=$z)")
+  }
+
+  test("v13 recall is the true intersection of v01 and v04 top-k") {
+    val out = Similarity.v13AnnRecall(spark, SfMid).collect()
+    assert(out.length == 10) // one row per query vector
+    val exact = Similarity.v01CosineTopk(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.v04AnnIvf(spark, SfMid)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val q = r.getLong(r.fieldIndex("query_id"))
+      val hits = r.getLong(r.fieldIndex("n_hits"))
+      val expected = exact.filter(_._1 == q).intersect(ann.filter(_._1 == q))
+      assert(hits == expected.size, s"query $q")
+      val rec = r.getDouble(r.fieldIndex("recall_at_k"))
+      assert(rec >= 0.0 && rec <= 1.0 && rec == hits / 5.0)
+    }
+  }
+
   test("t20 vocab growth invariants: hapax <= vocab <= tokens") {
     val rows = TextOps.t20VocabGrowth(spark, SfMid).collect()
     assert(rows.nonEmpty)
