@@ -83,6 +83,10 @@ object SparkEntry {
     "f06_chi2_drift", "t19_chunk_overlap", "r02_jaro_linkage",
     "v10_two_stage_rerank", "w16_session_window", "mm04_perceptual_neardup",
     "g23_scc", "x04_poisson_bootstrap", "p05_cdc_apply", "w17_interval_overlap", "v11_matryoshka_rerank", "g24_pingpong", "c09_leakage_safe_split",
-    "x05_group_reservoir"
+    "x05_group_reservoir",
+    "c10_sequence_packing", "c11_epoch_upsample", "f07_mann_whitney",
+    "f08_two_proportion", "v12_ann_filtered", "v13_ann_recall",
+    "t20_vocab_growth", "p06_incremental_agg", "w18_asof_nearest",
+    "w19_asof_tolerance"
   ).filter(queries.contains)
 }
