@@ -709,7 +709,95 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** d10 — LSH banding-curve evaluation: candidate recall and precision of
+    * the d03 MinHash band scheme against the d02 exact inverted-index
+    * ground truth, over the SAME capped shingle dictionary. The dedup
+    * family's analogue of v13 (index-quality evaluation): before trusting
+    * 8 bands × 2 rows at production scale, measure what fraction of true
+    * ≥-threshold pairs ever COLLIDE in a band (candidate recall — LSH's
+    * only source of false negatives, since the verifier is exact) and what
+    * fraction of collisions are true pairs (candidate precision — the
+    * knob that prices the verify stage). These two numbers ARE the
+    * banding curve (recall ≈ 1−(1−j²)⁸ integrated over the pair-similarity
+    * distribution); tuning bands/rows at 100 TB is done by re-running
+    * exactly this operator on a sample.
+    *
+    * Scale: ground truth is the df-capped inverted index — superlinear but
+    * bounded (Σ df² with df ≤ 64), which is precisely why the evaluation
+    * runs on a SAMPLE at production scale; the LSH side is the linear
+    * path being evaluated.
+    */
+  def d10LshEvaluation(s: SparkSession, dir: String): DataFrame = {
+    val ds = shingleIds(s, dir).cache()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // exact ground truth (d02's spelling)
+    val truePairs = ds.as("a")
+      .join(ds.as("b"), col("a.sid") === col("b.sid")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(r(col("c").cast("double")
+        / (col("sa.n") + col("sb.n") - col("c")), 4) >= JaccardT)
+      .select("id_a", "id_b")
+    // LSH candidates (d03's band scheme)
+    val sig = ds.groupBy("doc_id")
+      .agg(min(perm(0, col("sid"))).as("h1"),
+        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
+    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct().cache()
+    val common = truePairs.join(cand, Seq("id_a", "id_b"))
+    val stats = truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_cand_true"))))
+    stats.select(
+      col("n_true"), col("n_cand"), col("n_cand_true"),
+      when(col("n_true") > 0,
+        r(col("n_cand_true").cast("double") / col("n_true"), 4))
+        .otherwise(lit(null).cast("double")).as("cand_recall"),
+      when(col("n_cand") > 0,
+        r(col("n_cand_true").cast("double") / col("n_cand"), 4))
+        .otherwise(lit(null).cast("double")).as("cand_precision"))
+  }
+
+  private def d10Sql =
+    s"""WITH $shingleIdsSql,
+       |$lshCoreSql,
+       |true_pairs AS (
+       |  SELECT e.id_a, e.id_b
+       |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |        FROM ds a JOIN ds b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) e
+       |  JOIN sizes sa ON sa.doc_id = e.id_a
+       |  JOIN sizes sb ON sb.doc_id = e.id_b
+       |  WHERE ${rSql("CAST(e.c AS DOUBLE) / (sa.n + sb.n - e.c)", 4)}
+       |        >= $JaccardT),
+       |counts AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM true_pairs t
+       |       JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+       |      AS n_cand_true)
+       |SELECT n_true, n_cand, n_cand_true,
+       |  CASE WHEN n_true > 0 THEN
+       |    ${rSql("CAST(n_cand_true AS DOUBLE) / n_true", 4)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS cand_recall,
+       |  CASE WHEN n_cand > 0 THEN
+       |    ${rSql("CAST(n_cand_true AS DOUBLE) / n_cand", 4)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS cand_precision
+       |FROM counts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_lsh_evaluation" -> (d10LshEvaluation _),
     "r01_record_linkage" -> (r01RecordLinkage _),
     "r02_jaro_linkage" -> (r02JaroLinkage _),
     "c09_leakage_safe_split" -> (c09LeakageSafeSplit _),
@@ -728,6 +816,7 @@ object Dedup {
     * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
+    "d10_lsh_evaluation" -> d10Sql,
     "r01_record_linkage" -> r01Sql,
     "r02_jaro_linkage" -> r02Sql,
     "c09_leakage_safe_split" -> c09Sql,

@@ -730,6 +730,81 @@ object Similarity {
        |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
        |GROUP BY 1 ORDER BY b.query_id""".stripMargin
 
+  /** d11 — SemDeDup (semantic dedup via learned clusters, Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its centroid cell
+    * (k-means in the paper; the shared [[centroidRanked]] assignment here),
+    * compare pairs ONLY within a cell, and drop the higher id of every
+    * pair above the cosine threshold — keep-min canonicalization. The
+    * semantic complement of d05b: LSH buckets are data-OBLIVIOUS
+    * (hyperplanes), cells are data-DEPENDENT (they follow the embedding
+    * distribution), which is exactly why SemDeDup catches paraphrase-level
+    * duplicates that shingle/LSH dedup cannot. Output is the per-cluster
+    * dedup manifest (members, duplicate pairs, dropped, kept) — what a
+    * pipeline reports after the pass.
+    *
+    * Scale: THE selling point of the recipe — pair cost is Σ|cell|²
+    * instead of n², controlled by k (the paper runs 50k clusters for
+    * hundreds of millions of docs; cost per cell is bounded by balanced
+    * k-means). Cell id is the shuffle key; the within-cell join is an
+    * equi-join, no BNLJ; dropping is a semi-join, not a collect.
+    */
+  def d11SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val members = centroidRanked(s, dir).filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel")).cache()
+    val e0 = withNorm(s, dir)
+    val m = members.join(e0, Seq("vec_id"))
+      .select(col("clabel"), col("vec_id"), col("embedding"), col("nrm"))
+    val pairs = m.as("a")
+      .join(m.as("b"), col("a.clabel") === col("b.clabel")
+        && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.clabel").as("clabel"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        r(dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .cache()
+    val dropped = pairs.select(col("clabel"), col("id_b").as("vec_id"))
+      .distinct()
+    val pairStats = pairs.groupBy("clabel").agg(count(lit(1)).as("n_dup_pairs"))
+    val dropStats = dropped.groupBy("clabel").agg(count(lit(1)).as("n_dropped"))
+    members.groupBy("clabel").agg(count(lit(1)).as("n_members"))
+      .join(pairStats, Seq("clabel"), "left_outer")
+      .join(dropStats, Seq("clabel"), "left_outer")
+      .select(col("clabel"),
+        col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("clabel")
+  }
+
+  private def d11Sql =
+    s"""WITH $centroidCtes,
+       |members AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+       |m AS (SELECT mm.clabel, mm.vec_id, e.embedding, e.nrm
+       |      FROM members mm JOIN e ON e.vec_id = mm.vec_id),
+       |pairs AS (
+       |  SELECT a.clabel, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM m a JOIN m b
+       |    ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+       |  WHERE ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)}
+       |        >= $NearDupT),
+       |pair_stats AS (SELECT clabel, CAST(count(*) AS BIGINT) AS n_dup_pairs
+       |               FROM pairs GROUP BY 1),
+       |drop_stats AS (SELECT clabel, CAST(count(*) AS BIGINT) AS n_dropped
+       |               FROM (SELECT DISTINCT clabel, id_b FROM pairs)
+       |               GROUP BY 1),
+       |mem_stats AS (SELECT clabel, CAST(count(*) AS BIGINT) AS n_members
+       |              FROM members GROUP BY 1)
+       |SELECT ms.clabel, ms.n_members,
+       |  coalesce(ps.n_dup_pairs, 0) AS n_dup_pairs,
+       |  coalesce(dst.n_dropped, 0) AS n_dropped,
+       |  ms.n_members - coalesce(dst.n_dropped, 0) AS n_kept
+       |FROM mem_stats ms
+       |LEFT JOIN pair_stats ps ON ps.clabel = ms.clabel
+       |LEFT JOIN drop_stats dst ON dst.clabel = ms.clabel
+       |ORDER BY ms.clabel""".stripMargin
+
   private val PqSubspaces = 16 // M: subvectors per embedding
   private val PqCodes = 64 // codewords per subspace codebook
 
@@ -1412,6 +1487,7 @@ object Similarity {
     "v04_ann_ivf" -> (v04AnnIvf _),
     "v12_ann_filtered" -> (v12AnnFiltered _),
     "v13_ann_recall" -> (v13AnnRecall _),
+    "d11_semdedup" -> (d11SemDedup _),
     "v05_ann_pq" -> (v05AnnPq _),
     "v07_ann_ivfpq" -> (v07AnnIvfPq _),
     "v10_two_stage_rerank" -> (v10TwoStageRerank _),
@@ -1430,6 +1506,7 @@ object Similarity {
     "v04_ann_ivf" -> v04Sql,
     "v12_ann_filtered" -> v12Sql,
     "v13_ann_recall" -> v13Sql,
+    "d11_semdedup" -> d11Sql,
     "v05_ann_pq" -> v05Sql,
     "v07_ann_ivfpq" -> v07Sql,
     "v10_two_stage_rerank" -> v10Sql,

@@ -162,6 +162,36 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("d10 LSH evaluation: golden banding-curve numbers at sf0.01") {
+    val r = graft.operators.Dedup.d10LshEvaluation(spark, SfMid).collect().head
+    // deterministic data + deterministic permutations → pinned goldens:
+    // all 25 true >=0.5-Jaccard pairs collide in a band (recall 1.0 — the
+    // r=2 banding is generous at this threshold), 8 of 33 candidates are
+    // below-threshold noise the verifier discards
+    assert(r.getLong(r.fieldIndex("n_true")) == 25L)
+    assert(r.getLong(r.fieldIndex("n_cand")) == 33L)
+    assert(r.getLong(r.fieldIndex("n_cand_true")) == 25L)
+    assert(r.getDouble(r.fieldIndex("cand_recall")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("cand_precision")) == 0.7576)
+  }
+
+  test("d11 SemDeDup manifest: kept+dropped reconcile and clusters partition the corpus") {
+    val rows = Similarity.d11SemDedup(spark, SfMid).collect()
+    assert(rows.length == 10) // one row per centroid cell
+    rows.foreach { r =>
+      val m = r.getLong(r.fieldIndex("n_members"))
+      val d = r.getLong(r.fieldIndex("n_dropped"))
+      val k = r.getLong(r.fieldIndex("n_kept"))
+      val p = r.getLong(r.fieldIndex("n_dup_pairs"))
+      assert(k == m - d && d <= p && d >= 0)
+    }
+    val total = rows.map(r => r.getLong(r.fieldIndex("n_members"))).sum
+    val corpus = spark.read.parquet(s"$SfMid/embeddings.parquet").count()
+    assert(total == corpus, "cells must partition every vector")
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_dropped"))).sum > 0,
+      "the pass must actually drop semantic near-dups on this data")
+  }
+
   test("t20 vocab growth invariants: hapax <= vocab <= tokens") {
     val rows = TextOps.t20VocabGrowth(spark, SfMid).collect()
     assert(rows.nonEmpty)
