@@ -87,6 +87,7 @@ object SparkEntry {
     "c10_sequence_packing", "c11_epoch_upsample", "f07_mann_whitney",
     "f08_two_proportion", "v12_ann_filtered", "v13_ann_recall",
     "t20_vocab_growth", "p06_incremental_agg", "w18_asof_nearest",
-    "w19_asof_tolerance", "d10_lsh_evaluation", "d11_semdedup"
+    "w19_asof_tolerance", "d10_lsh_evaluation", "d11_semdedup",
+    "t21_fuzzy_decontam", "a09_seasonal_anomalies"
   ).filter(queries.contains)
 }

@@ -443,7 +443,73 @@ object Analytics {
               "* sum(CAST(v * c AS DECIMAL(18,0))) AS DOUBLE)", 6)} AS gini
        |FROM cum GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** a09 — seasonality-adjusted revenue anomalies: daily order revenue
+    * compared against its ISO-weekday baseline (mean of the SAME weekday's
+    * days), flagged when the residual leaves the weekday's ±2σ band. The
+    * monitoring query every revenue dashboard runs — a raw daily threshold
+    * misfires every weekend; conditioning on weekday is the minimal
+    * seasonal model that stops that. Weekday from pure epoch-day
+    * arithmetic ((d+3)%7+1 — p04's spelling, no timezone), baseline and σ
+    * through the exact decimal carriers ([[Det.dsum]]/[[Det.dstddev]]), so
+    * the band is engine- and partition-order-independent.
+    *
+    * Scale: one scan → per-day aggregate (bounded by the date span) →
+    * 7-row weekday stats broadcast back over the daily table. Nothing
+    * downstream of the first aggregate ever sees row-level data.
+    */
+  def a09SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Det
+    val daily = Tables.orders(s, dir)
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+        .as("d"), col("o_totalprice"))
+      .groupBy("d")
+      .agg(Det.r(Det.dsum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("iso_dow", (col("d") + 3) % 7 + 1)
+      .cache() // consumed by the weekday stats and the final projection
+    val dow = daily.groupBy("iso_dow")
+      .agg(
+        Det.r(Det.dsum(col("revenue")) / count(lit(1)), 4).as("baseline"),
+        Det.dstddev(col("revenue"), 4).as("sigma"),
+        count(lit(1)).as("n_days"))
+    daily.join(broadcast(dow), Seq("iso_dow"))
+      .select(
+        col("d").as("epoch_day"), col("iso_dow"), col("revenue"),
+        col("baseline"),
+        Det.r(col("revenue") - col("baseline"), 4).as("residual"),
+        when(col("n_days") > 1,
+          abs(Det.r(col("revenue") - col("baseline"), 4))
+            > col("sigma") * 2).as("is_anomaly"))
+      .orderBy("epoch_day")
+  }
+
+  private val a09Sql = {
+    import graft.operators.Det
+    s"""WITH daily AS (
+       |  SELECT d,
+       |    ${Det.sqlR(Det.sqlDsum("o_totalprice"), 2)} AS revenue,
+       |    (d + 3) % 7 + 1 AS iso_dow
+       |  FROM (SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+       |               o_totalprice
+       |        FROM orders)
+       |  GROUP BY d),
+       |dow AS (
+       |  SELECT iso_dow,
+       |    ${Det.sqlR(s"${Det.sqlDsum("revenue")} / count(*)", 4)} AS baseline,
+       |    ${Det.sqlDstddev("revenue", 4)} AS sigma,
+       |    CAST(count(*) AS BIGINT) AS n_days
+       |  FROM daily GROUP BY 1)
+       |SELECT daily.d AS epoch_day, CAST(daily.iso_dow AS BIGINT) AS iso_dow,
+       |  daily.revenue, dow.baseline,
+       |  ${Det.sqlR("daily.revenue - dow.baseline", 4)} AS residual,
+       |  CASE WHEN dow.n_days > 1 THEN
+       |    abs(${Det.sqlR("daily.revenue - dow.baseline", 4)}) > dow.sigma * 2
+       |  END AS is_anomaly
+       |FROM daily JOIN dow ON dow.iso_dow = daily.iso_dow
+       |ORDER BY epoch_day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a09_seasonal_anomalies" -> (a09SeasonalAnomalies _),
     "a08_gini_concentration" -> (a08GiniConcentration _),
     "a07_rfm_segments" -> (a07RfmSegments _),
     "a06_cooccurrence_lift" -> (a06CooccurrenceLift _),
@@ -454,6 +520,7 @@ object Analytics {
     "a05_funnel" -> (a05Funnel _))
 
   val oracles: Map[String, String] = Map(
+    "a09_seasonal_anomalies" -> a09Sql,
     "a08_gini_concentration" -> a08Sql,
     "a07_rfm_segments" -> a07Sql,
     "a06_cooccurrence_lift" -> a06Sql,

@@ -313,6 +313,95 @@ object TextOps {
        |FROM counts GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  /** t21's contamination window: 8 consecutive tokens (the PaLM-family
+    * recipe band; GPT-3 used 13 — at this testdata's 30–150-token doc
+    * lengths, 8 keeps enough windows per doc to be meaningful).
+    */
+  private val ContamK = 8
+  /** t21's eval slice: doc_id % 5 == 0 — a 20% held-out set. */
+  private val EvalMod = 5L
+
+  /** Distinct word k-grams of a token array as strings (callers pre-filter
+    * `size(t) >= k`); the k-wide sibling of [[TextFn.shingles3]].
+    */
+  private def gramsK(t: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - (k - 1)), i =>
+      concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+  private def gramsKSql(t: String, k: Int): String = {
+    val parts = (0 until k).map(j =>
+      if (j == 0) s"$t[i]" else s"$t[i + $j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, greatest(len($t) - ${k - 2}, 1)), " +
+      s"i -> $parts))"
+  }
+
+  /** t21 — FUZZY test-set decontamination (the n-gram-overlap recipe from
+    * the GPT-3/PaLM reports): a training document is contaminated if it
+    * shares ANY [[ContamK]]-token window with the held-out eval slice —
+    * catching partial copies and paraphrase-with-shared-runs leaks that
+    * t07's exact-fingerprint match cannot. Output is the per-source audit:
+    * train docs, flagged docs, flagged fraction, and the max distinct
+    * shared windows any one doc carries (the "how bad is the worst leak"
+    * number).
+    *
+    * Scale: the join is an equi-join on the gram — at 100 TB key it by
+    * `xxhash64(gram)` (8 bytes vs ~50) and df-cap boilerplate grams
+    * exactly as the shingle dictionary does ([[Dedup.MaxShingleDf]]);
+    * the eval side is distinct-gram-deduped BEFORE the join so each
+    * train window matches at most once per eval gram. Both sides explode
+    * only (doc_id, gram) — never text.
+    */
+  def t21FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .filter(size(col("t")) >= ContamK)
+      .select(col("doc_id"), col("source"),
+        explode(gramsK(col("t"), ContamK)).as("g"))
+    val evalGrams = grams.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select("g").distinct()
+    val train = grams.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+    val hits = train.join(evalGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val trainDocs = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .select(col("doc_id"), col("source"))
+    trainDocs.join(hits, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(col("n_shared").isNotNull.cast("long")).as("n_flagged"),
+        r(sum(col("n_shared").isNotNull.cast("long")).cast("double")
+          / count(lit(1)), 4).as("frac_flagged"),
+        coalesce(max(col("n_shared")), lit(0L)).as("max_shared_grams"))
+      .orderBy("source")
+  }
+
+  private def t21Sql = {
+    val t = tokensSql("text")
+    s"""WITH grams AS (
+       |  SELECT doc_id, source, unnest(${gramsKSql("t", ContamK)}) AS g
+       |  FROM (SELECT doc_id, source, $t AS t FROM documents)
+       |  WHERE len(t) >= $ContamK),
+       |eval_grams AS (
+       |  SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM grams JOIN eval_grams USING (g)
+       |  WHERE doc_id % $EvalMod <> 0
+       |  GROUP BY 1),
+       |train AS (
+       |  SELECT doc_id, source FROM documents WHERE doc_id % $EvalMod <> 0)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(sum(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_flagged,
+       |  ${rSql("CAST(sum(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END) " +
+            "AS DOUBLE) / count(*)", 4)} AS frac_flagged,
+       |  CAST(coalesce(max(h.n_shared), 0) AS BIGINT) AS max_shared_grams
+       |FROM train LEFT JOIN hits h USING (doc_id)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** t06 — repetition-based quality rules (the Gopher/C4 filter family):
     * mean word length bounds, most-frequent-token fraction, duplicate
     * word-3-gram fraction, alphabetic-character ratio, composed into a
@@ -872,6 +961,7 @@ object TextOps {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_token_freq" -> (t05TokenFreq _),
     "t20_vocab_growth" -> (t20VocabGrowth _),
+    "t21_fuzzy_decontam" -> (t21FuzzyDecontam _),
     "t06_repetition_rules" -> (t06RepetitionRules _),
     "t07_decontaminate" -> (t07Decontaminate _),
     "t08_chunk_pack" -> (t08ChunkPack _),
@@ -889,6 +979,7 @@ object TextOps {
     "t04_fingerprint" -> t04Sql,
     "t05_token_freq" -> t05Sql,
     "t20_vocab_growth" -> t20Sql,
+    "t21_fuzzy_decontam" -> t21Sql,
     "t06_repetition_rules" -> t06Sql,
     "t07_decontaminate" -> t07Sql,
     "t08_chunk_pack" -> t08Sql,

@@ -192,6 +192,42 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
       "the pass must actually drop semantic near-dups on this data")
   }
 
+  test("t21 fuzzy decontamination: flagged counts reconcile and are pinned") {
+    val rows = TextOps.t21FuzzyDecontam(spark, SfMid).collect()
+    rows.foreach { r =>
+      val nTrain = r.getLong(r.fieldIndex("n_train"))
+      val nFlag = r.getLong(r.fieldIndex("n_flagged"))
+      val maxSh = r.getLong(r.fieldIndex("max_shared_grams"))
+      assert(nFlag <= nTrain)
+      assert((nFlag > 0) == (maxSh > 0))
+    }
+    // deterministic corpus → pinned: 14 train docs share an 8-gram window
+    // with the 20% eval slice (the planted near-dups leak through)
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_flagged"))).sum == 14L)
+    val evalDocs = spark.read.parquet(s"$SfMid/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_train"))).sum + evalDocs
+      == 500L)
+  }
+
+  test("a09 seasonal anomalies: residuals centered per weekday, band respected") {
+    val rows = graft.operators.Analytics.a09SeasonalAnomalies(spark, SfMid)
+      .collect()
+    assert(rows.nonEmpty)
+    // per weekday, residuals sum to ~0 (mean-centered; rounding at 4 dp
+    // leaves at most 5e-5 per day)
+    rows.groupBy(r => r.getLong(r.fieldIndex("iso_dow"))).foreach {
+      case (_, days) =>
+        val sum = days.map(r => r.getDouble(r.fieldIndex("residual"))).sum
+        assert(math.abs(sum) <= 5e-5 * days.length + 1e-6)
+    }
+    val n = rows.length
+    val anomalies = rows.count(r => !r.isNullAt(r.fieldIndex("is_anomaly"))
+      && r.getBoolean(r.fieldIndex("is_anomaly")))
+    // a 2-sigma band flags a small minority, never none on 2.4k days
+    assert(anomalies > 0 && anomalies < n / 10)
+  }
+
   test("t20 vocab growth invariants: hapax <= vocab <= tokens") {
     val rows = TextOps.t20VocabGrowth(spark, SfMid).collect()
     assert(rows.nonEmpty)
