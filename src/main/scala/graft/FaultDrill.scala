@@ -13,14 +13,16 @@ import org.apache.spark.sql.SparkSession
   * compares the faulted result against a clean run of the same query in
   * the same session.
   *
-  * Usage (from the packaged jar — sbt's layered classloader cannot
-  * serialize lambdas for foreign executor JVMs):
+  * Usage (via spark-submit from the packaged jar — sbt's layered
+  * classloader cannot serialize lambdas for foreign executor JVMs, and a
+  * raw `java -cp` + executor extraClassPath launch intermittently fails
+  * deserializing cached/RDD plans with duplicate scala-library loaders;
+  * `spark.jars` distribution is the reliable shape):
   * {{{
-  * SPARK_SCALA_VERSION=2.13 java -cp "<graft.jar>:<spark-jars-wildcard>" \
-  *   -Dspark.executor.extraClassPath=<graft.jar> \
-  *   graft.FaultDrill /root/testdata/sf0.01 q10_join_revenue_per_nation,d03_minhash_lsh
+  * SPARK_SCALA_VERSION=2.13 /opt/spark/bin/spark-submit \
+  *   --master 'local-cluster[3,4,4096]' --class graft.FaultDrill \
+  *   <graft.jar> /root/testdata/sf0.01 q10_join_revenue_per_nation,d03_minhash_lsh
   * }}}
-  * where the wildcard is the Spark dist's jars dir with a `*` glob.
   *
   * Scope: queries whose state is lineage-recomputable. The iterative
   * graph loops use eager `localCheckpoint` (truncated lineage living ON
@@ -39,7 +41,10 @@ object FaultDrill {
       if (args.length > 1) args(1).split(',').toSeq.filter(SparkEntry.queries.contains)
       else Seq("q10_join_revenue_per_nation", "d03_minhash_lsh",
         "e12_heavy_hitters", "w13_grouped_topk", "t12_tfidf",
-        "mm04_perceptual_neardup", "g23_scc") ++
+        "mm04_perceptual_neardup", "g23_scc",
+        // round-5 session-3 paths: centroid-cell semantic dedup (cached
+        // assignment + within-cell join) and the two-frame as-of window
+        "d11_semdedup", "w18_asof_nearest") ++
         (if (reliableDir.isDefined) Seq("g06_pagerank_loop", "g14_label_propagation")
          else Nil)
     val master =
