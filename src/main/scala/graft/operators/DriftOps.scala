@@ -687,16 +687,34 @@ object DriftOps {
     * downstream ever sees the data again. This is the cheapest statistic
     * in the battery and the one to run per-canary-deploy.
     */
-  def f08TwoProportion(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  def f08TwoProportion(s: SparkSession, dir: String): DataFrame =
+    twoProportionRow(conversionSplits(Tables.events(s, dir)))
+
+  /** Running conversion counts (split, n, x) per deterministic hash half —
+    * the SHARED state shape of the batch test and the streaming canary
+    * monitor ([[graft.streaming.DriftStream.conversionSplits]]): as a
+    * streaming complete-mode aggregate its state is bounded at exactly
+    * 2 rows forever (the key domain is the hash range, not the data).
+    */
+  def conversionSplits(events: DataFrame): DataFrame =
+    events
       .select(
         hashSplit(col("event_id"), 2).as("split"),
         (col("event_type") === "purchase").cast("long").as("is_conv"))
-    val agg = ev.agg(
-      sum(when(col("split") === 0, 1L).otherwise(0L)).as("n_ref"),
-      sum(when(col("split") === 0, col("is_conv")).otherwise(0L)).as("x_ref"),
-      sum(when(col("split") === 1, 1L).otherwise(0L)).as("n_cur"),
-      sum(when(col("split") === 1, col("is_conv")).otherwise(0L)).as("x_cur"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("is_conv")).as("x"))
+
+  /** Fold the 2-row split table into the f08 statistic row — ONE
+    * arithmetic definition consumed by both the batch operator and the
+    * live monitor reading the stream's sink table, so the two can never
+    * disagree (parity is spec-pinned on identical input).
+    */
+  def twoProportionRow(splits: DataFrame): DataFrame = {
+    val agg = splits.agg(
+      sum(when(col("split") === 0, col("n")).otherwise(0L)).as("n_ref"),
+      sum(when(col("split") === 0, col("x")).otherwise(0L)).as("x_ref"),
+      sum(when(col("split") === 1, col("n")).otherwise(0L)).as("n_cur"),
+      sum(when(col("split") === 1, col("x")).otherwise(0L)).as("x_cur"))
     val p1 = col("x_ref").cast("double") / col("n_ref").cast("double")
     val p2 = col("x_cur").cast("double") / col("n_cur").cast("double")
     val pp = (col("x_ref") + col("x_cur")).cast("double") /

@@ -30,4 +30,15 @@ object DriftStream {
       .select(DriftOps.amountBin(col("amount")).as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming side of the f08 two-proportion canary: running conversion
+    * counts per hash split over the live event feed — 2-row complete-mode
+    * state forever, same argument as [[amountBins]]. The monitor reads the
+    * sink table and folds it through [[DriftOps.twoProportionRow]] — the
+    * IDENTICAL arithmetic the batch test runs, so a canary alert from the
+    * stream and a backfill recomputation can never disagree
+    * (StreamStatefulSpec pins stream ≡ batch on the same events).
+    */
+  def conversionSplits(events: DataFrame): DataFrame =
+    DriftOps.conversionSplits(events)
 }

@@ -159,4 +159,30 @@ class StreamStatefulSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toList
     assert(users == List(10L % 7), s"only the within-window pair joins: $users")
   }
+
+  test("streaming canary z-stat == batch f08 on the same events (parity)") {
+    import graft.operators.DriftOps
+    import graft.streaming.DriftStream
+    // file-stream the sf0.001 events table through the SAME split-count
+    // aggregate the batch operator composes, complete-mode into a sink
+    // table, then fold the sink with the shared arithmetic
+    val path = s"$Sf/events.parquet"
+    // the file source wants a DIRECTORY feed (its production shape: files
+    // landing in a drop dir) — stage the single-file table into one
+    val dir = java.nio.file.Files.createTempDirectory("canary_feed")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = DriftStream.conversionSplits(stream)
+      .writeStream.format("memory").queryName("canary_t")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val fromStream =
+      DriftOps.twoProportionRow(spark.table("canary_t")).collect().head
+    val fromBatch = DriftOps.f08TwoProportion(spark, Sf).collect().head
+    assert(fromStream == fromBatch,
+      s"stream $fromStream != batch $fromBatch")
+    assert(!fromStream.isNullAt(fromStream.fieldIndex("z")))
+  }
 }
