@@ -597,6 +597,7 @@ object Corpus {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .cache() // feeds totals (twice, via bounds) and the replica join
     val totals = toks.groupBy("source")
       .agg(sum(col("n_tokens")).as("tok"))
     val bounds = totals.agg(

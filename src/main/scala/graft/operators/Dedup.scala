@@ -173,6 +173,16 @@ object Dedup {
     */
   def d02NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(s, dir).cache()
+    exactJaccardPairs(ds).orderBy("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard ≥ [[JaccardT]] pairs (id_a, id_b, jaccard) from a
+    * (doc_id, sid) inverted-index frame — d02's core, extracted so the
+    * ground truth d10's banding-curve evaluation grades is BY CONSTRUCTION
+    * the same definition d02 publishes (mirrors the SQL side sharing
+    * [[shingleIdsSql]]).
+    */
+  private def exactJaccardPairs(ds: DataFrame): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("a")
       .join(ds.as("b"), col("a.sid") === col("b.sid")
@@ -186,7 +196,31 @@ object Dedup {
         r(col("c").cast("double")
           / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
       .filter(col("jaccard") >= JaccardT)
-      .orderBy("id_a", "id_b")
+  }
+
+  /** 16-permutation MinHash signature of a (doc_id, sid) frame — ONE
+    * spelling shared by d03 (dictionary ids), d06 (xxhash ids), and the
+    * d10 evaluation, so "the band scheme being graded" can never drift
+    * from "the band scheme that runs".
+    */
+  private def minhashSig(ds: DataFrame): DataFrame =
+    ds.groupBy("doc_id")
+      .agg(min(perm(0, col("sid"))).as("h1"),
+        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
+
+  /** Band-bucket candidate pairs (id_a < id_b) of a [[minhashSig]] frame:
+    * [[Bands]] bands × 2 rows, equi-join on (band, bucket-key).
+    */
+  private def lshCandidates(sig: DataFrame): DataFrame = {
+    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+    bands.as("x")
+      .join(bands.as("y"), col("x.band") === col("y.band")
+        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
   }
 
   private def d02Sql =
@@ -215,19 +249,8 @@ object Dedup {
     */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(s, dir).cache()
-    val sig = ds.groupBy("doc_id")
-      .agg(min(perm(0, col("sid"))).as("h1"),
-        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
-      .cache()
-    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
-      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bk"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band")
-        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val sig = minhashSig(ds).cache()
+    val cand = lshCandidates(sig)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(ds.as("p"), col("id_a") === col("p.doc_id"))
@@ -417,18 +440,7 @@ object Dedup {
     val ds = cappedShingleRows(s, dir) // same cap contract as every path
       .select(col("doc_id"),
         (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache()
-    val sig = ds.groupBy("doc_id")
-      .agg(min(perm(0, col("sid"))).as("h1"),
-        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
-    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
-      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bk"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band")
-        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cand = lshCandidates(minhashSig(ds))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(ds.as("p"), col("id_a") === col("p.doc_id"))
@@ -729,31 +741,10 @@ object Dedup {
     */
   def d10LshEvaluation(s: SparkSession, dir: String): DataFrame = {
     val ds = shingleIds(s, dir).cache()
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // exact ground truth (d02's spelling)
-    val truePairs = ds.as("a")
-      .join(ds.as("b"), col("a.sid") === col("b.sid")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .filter(r(col("c").cast("double")
-        / (col("sa.n") + col("sb.n") - col("c")), 4) >= JaccardT)
-      .select("id_a", "id_b")
-    // LSH candidates (d03's band scheme)
-    val sig = ds.groupBy("doc_id")
-      .agg(min(perm(0, col("sid"))).as("h1"),
-        (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
-    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
-      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bk"))
-    val cand = bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band")
-        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct().cache()
+    // ground truth and candidates through the SHARED d02/d03 cores — the
+    // evaluation grades exactly the scheme that runs, by construction
+    val truePairs = exactJaccardPairs(ds).select("id_a", "id_b")
+    val cand = lshCandidates(minhashSig(ds)).cache()
     val common = truePairs.join(cand, Seq("id_a", "id_b"))
     val stats = truePairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))

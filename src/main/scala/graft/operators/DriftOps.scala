@@ -724,7 +724,13 @@ object DriftOps {
         + lit(1.0) / col("n_cur").cast("double")))
     agg.select(
       col("n_ref"), col("x_ref"), col("n_cur"), col("x_cur"),
-      r(p1, 6).as("conv_ref"), r(p2, 6).as("conv_cur"),
+      // guarded: an EMPTY split (possible in an early canary micro-batch
+      // where every id so far hashed one way) must yield NULL like
+      // DuckDB's x/0, not a NaN/ANSI-divide hazard
+      when(col("n_ref") > 0, r(p1, 6)).otherwise(lit(null).cast("double"))
+        .as("conv_ref"),
+      when(col("n_cur") > 0, r(p2, 6)).otherwise(lit(null).cast("double"))
+        .as("conv_cur"),
       when(col("n_ref") > 0 && col("n_cur") > 0
         && col("x_ref") + col("x_cur") > 0
         && col("x_ref") + col("x_cur") < col("n_ref") + col("n_cur"),

@@ -543,12 +543,20 @@ object Similarity {
     * tuned by NProbe alone with no reindex. Exact distances ride the
     * codegen'd vec_dot.
     */
-  def v04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF probe-and-rank: each query's top-`probes` cells are
+    * searched, cell membership optionally restricted by `cellFilter`
+    * BEFORE any distance arithmetic (v12's pre-filtering). ONE definition
+    * of candidate generation, ranking, and tie-break for the plain index
+    * (v04), its filtered variant (v12), and — through v04 — the recall
+    * evaluation (v13), so the three can never diverge.
+    */
+  private def ivfSearch(s: SparkSession, dir: String,
+      cellFilter: Column, probeDepth: Int): DataFrame = {
     val ranked = centroidRanked(s, dir).cache()
-    val cells = ranked.filter(col("rk") === 1)
+    val cells = ranked.filter(col("rk") === 1 && cellFilter)
       .select(col("vec_id"), col("clabel"))
     val probes = ranked
-      .filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+      .filter(col("vec_id") < NQueries && col("rk") <= probeDepth)
       .select(col("vec_id").as("query_id"), col("clabel"))
     val e0 = withNorm(s, dir)
     val q = e0.filter(col("vec_id") < NQueries)
@@ -570,11 +578,14 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  private def v04Sql =
-    s"""WITH $centroidCtes,
-       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
+  /** SQL mirror of [[ivfSearch]]'s CTE chain (ends in `rankedq`); assumes
+    * [[centroidCtes]] is in scope.
+    */
+  private def ivfSqlChain(cellPred: String, probeDepth: Int) =
+    s"""cells AS (SELECT vec_id, clabel FROM ranked
+       |          WHERE rk = 1 AND $cellPred),
        |probes AS (SELECT vec_id AS query_id, clabel
-       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
+       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $probeDepth),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
        |      FROM e WHERE vec_id < $NQueries),
        |cand AS (SELECT DISTINCT p.query_id, c.vec_id
@@ -588,7 +599,14 @@ object Similarity {
        |rankedq AS (SELECT query_id, neighbor_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM exact)
+       |  FROM exact)""".stripMargin
+
+  def v04AnnIvf(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, lit(true), NProbe)
+
+  private def v04Sql =
+    s"""WITH $centroidCtes,
+       |${ivfSqlChain("TRUE", NProbe)}
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
@@ -615,53 +633,12 @@ object Similarity {
     * cell id, so the filter prunes before the candidate join, shrinking
     * (never growing) every probe.
     */
-  def v12AnnFiltered(s: SparkSession, dir: String): DataFrame = {
-    val ranked = centroidRanked(s, dir).cache()
-    val cells = ranked.filter(col("rk") === 1 && col("label") % 2 === 0)
-      .select(col("vec_id"), col("clabel"))
-    val probes = ranked
-      .filter(col("vec_id") < NQueries && col("rk") <= FilteredProbe)
-      .select(col("vec_id").as("query_id"), col("clabel"))
-    val e0 = withNorm(s, dir)
-    val q = e0.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"))
-    val cand = cells.join(broadcast(probes), Seq("clabel"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id").distinct()
-    cand
-      .join(e0, Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
-          .as("cosine"))
-      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
-  }
+  def v12AnnFiltered(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, col("label") % 2 === 0, FilteredProbe)
 
   private def v12Sql =
     s"""WITH $centroidCtes,
-       |cells AS (SELECT vec_id, clabel FROM ranked
-       |          WHERE rk = 1 AND label % 2 = 0),
-       |probes AS (SELECT vec_id AS query_id, clabel
-       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $FilteredProbe),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-       |      FROM e WHERE vec_id < $NQueries),
-       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
-       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
-       |         WHERE c.vec_id <> p.query_id),
-       |exact AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
-       |  FROM cand cd
-       |  JOIN e n ON n.vec_id = cd.vec_id
-       |  JOIN q ON q.query_id = cd.query_id),
-       |rankedq AS (SELECT query_id, neighbor_id, cosine,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM exact)
+       |${ivfSqlChain("label % 2 = 0", FilteredProbe)}
        |SELECT query_id, rank, neighbor_id, cosine
        |FROM rankedq WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
@@ -692,8 +669,7 @@ object Similarity {
 
   private def v13Sql =
     s"""WITH $centroidCtes,
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
-       |      FROM e WHERE vec_id < $NQueries),
+       |${ivfSqlChain("TRUE", NProbe)},
        |bf AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
        |    ${rSql(s"${dotSql("q.qe", "e2.embedding")} / (q.qn * e2.nrm)", 6)} AS cosine
        |  FROM e e2 JOIN q ON e2.vec_id <> q.query_id),
@@ -703,23 +679,8 @@ object Similarity {
        |            ORDER BY cosine DESC, neighbor_id) AS rank
        |        FROM bf)
        |  WHERE rank <= $TopK),
-       |cells AS (SELECT vec_id, clabel FROM ranked WHERE rk = 1),
-       |probes AS (SELECT vec_id AS query_id, clabel
-       |           FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe),
-       |cand AS (SELECT DISTINCT p.query_id, c.vec_id
-       |         FROM cells c JOIN probes p ON p.clabel = c.clabel
-       |         WHERE c.vec_id <> p.query_id),
-       |iexact AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-       |    ${rSql(s"${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)", 6)} AS cosine
-       |  FROM cand cd
-       |  JOIN e n ON n.vec_id = cd.vec_id
-       |  JOIN q ON q.query_id = cd.query_id),
        |ivfr AS (SELECT query_id, neighbor_id
-       |  FROM (SELECT query_id, neighbor_id,
-       |          row_number() OVER (PARTITION BY query_id
-       |            ORDER BY cosine DESC, neighbor_id) AS rank
-       |        FROM iexact)
-       |  WHERE rank <= $TopK)
+       |        FROM rankedq WHERE rank <= $TopK)
        |SELECT b.query_id,
        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
        |       AS BIGINT) AS n_hits,

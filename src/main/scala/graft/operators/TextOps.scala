@@ -357,6 +357,7 @@ object TextOps {
       .filter(size(col("t")) >= ContamK)
       .select(col("doc_id"), col("source"),
         explode(gramsK(col("t"), ContamK)).as("g"))
+      .cache() // the dominant stage; consumed by BOTH join sides
     val evalGrams = grams.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select("g").distinct()
     val train = grams.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)

@@ -109,8 +109,12 @@ object WindowOps {
     * 'error' sorts before 'purchase' (tag order), so a same-instant error
     * counts as prior; event_id breaks exact ties deterministically.
     */
-  def w04AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+  /** Shared purchase/error union frame of the as-of family (w04/w10/w18/
+    * w19): ONE definition of the err_value/err_ts marker columns, so the
+    * four directions can never disagree on what counts as error state.
+    */
+  private def purchaseErrorEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts"))
@@ -118,8 +122,19 @@ object WindowOps {
         when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
       .withColumn("err_ts",
         when(col("event_type") === "error", col("ts")))
-    val w = Window.partitionBy("user_id")
+
+  /** The as-of family's ONE tie order: at an equal timestamp 'error' sorts
+    * before 'purchase', so a same-instant error belongs to the BACKWARD
+    * direction (already happened) in every member — w18's nearest-join
+    * equivalence with w04/w10 depends on all four sharing this spec.
+    */
+  private def asofOrder =
+    Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_type"), col("event_id"))
+
+  def w04AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = purchaseErrorEvents(s, dir)
+    val w = asofOrder
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev
       .withColumn("last_err_value", last(col("err_value"), ignoreNulls = true).over(w))
@@ -170,16 +185,8 @@ object WindowOps {
     * the same (user, ts) sort every other per-user operator reuses.
     */
   def w10AsofForward(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts"))
-      .withColumn("err_value",
-        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
-      .withColumn("err_ts",
-        when(col("event_type") === "error", col("ts")))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_type"), col("event_id"))
+    val ev = purchaseErrorEvents(s, dir)
+    val w = asofOrder
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ev
       .withColumn("next_err_value", first(col("err_value"), ignoreNulls = true).over(w))
@@ -701,18 +708,9 @@ object WindowOps {
     * reuses, so AQE can reuse the exchange across the family.
     */
   def w18AsofNearest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts"))
-      .withColumn("err_value",
-        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
-      .withColumn("err_ts",
-        when(col("event_type") === "error", col("ts")))
-    val order = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_type"), col("event_id"))
-    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = purchaseErrorEvents(s, dir)
+    val back = asofOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = asofOrder.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val secsB = unix_timestamp(col("ts")) - unix_timestamp(col("last_err_ts"))
     val secsF = unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts"))
     val takeBack = col("last_err_ts").isNotNull &&
@@ -804,16 +802,8 @@ object WindowOps {
     * projection, free at any scale.
     */
   def w19AsofTolerance(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), col("ts"))
-      .withColumn("err_value",
-        when(col("event_type") === "error", coalesce(col("value"), lit(0.0))))
-      .withColumn("err_ts",
-        when(col("event_type") === "error", col("ts")))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_type"), col("event_id"))
+    val ev = purchaseErrorEvents(s, dir)
+    val w = asofOrder
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val age = unix_timestamp(col("ts")) - unix_timestamp(col("last_err_ts"))
     val fresh = col("last_err_ts").isNotNull && age <= AsofToleranceSecs
