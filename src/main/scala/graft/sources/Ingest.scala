@@ -372,15 +372,82 @@ object Ingest {
        |ORDER BY o_orderpriority, u, o_orderkey""".stripMargin
   }
 
+  /** Embargo width for x06, in days: test rows start this many days after
+    * the train cutoff, so features windowed up to `EmbargoDays` back can
+    * never straddle the boundary. (2 days against this testdata's ~30-day
+    * span; production uses the feature-window width.)
+    */
+  private val EmbargoDays = 2L
+
+  /** x06 — temporal embargo (purged) split of the event stream: train =
+    * the first 70% of the covered day span, then [[EmbargoDays]] of
+    * EMBARGO rows excluded from both sides, then test. The time-series
+    * complement of c09's entity-level leakage-safe split: random or
+    * hash splits leak FUTURE information into training whenever features
+    * are windowed aggregates (w06's trailing features, a04's cohorts),
+    * and rows adjacent to the cutoff leak through the window overlap —
+    * the embargo purges exactly that band (López de Prado's purged
+    * K-fold, single-split form). The cutoff day is pure integer
+    * arithmetic on the observed span (min + span·7/10), so the split is
+    * reproducible from the data alone — no config drift between the
+    * pipeline and its backfill.
+    *
+    * Output: the per-split audit (rows, users, day range) a training job
+    * logs before fitting. Scale: one narrow scan, a 2-row broadcast of
+    * the span bounds, a 3-key aggregate — scan-bound at any size.
+    */
+  def x06TemporalEmbargoSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+    val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    ev.crossJoin(broadcast(span))
+      // `div`, not `/`: Column `/` is double division; the cutoff must be
+      // the same integer day both engines compute
+      .withColumn("cutoff", col("d0") + expr("(d1 - d0) * 7 div 10"))
+      .withColumn("split",
+        when(col("d") <= col("cutoff"), "train")
+          .when(col("d") <= col("cutoff") + EmbargoDays, "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("d")).as("first_day"),
+        max(col("d")).as("last_day"))
+      .orderBy("split")
+  }
+
+  private val x06Sql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id,
+       |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+       |  FROM events),
+       |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM ev),
+       |tagged AS (
+       |  SELECT user_id, d,
+       |    CASE WHEN d <= d0 + (d1 - d0) * 7 // 10 THEN 'train'
+       |         WHEN d <= d0 + (d1 - d0) * 7 // 10 + $EmbargoDays
+       |           THEN 'embargo'
+       |         ELSE 'test' END AS split
+       |  FROM ev CROSS JOIN span)
+       |SELECT split,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  min(d) AS first_day, max(d) AS last_day
+       |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_synthetic_transactions" -> (x01Synthetic _),
     "x02_stratified_sample" -> (x02StratifiedSample _),
     "x03_stratified_hash" -> (x03StratifiedHash _),
     "x04_poisson_bootstrap" -> (x04PoissonBootstrap _),
-    "x05_group_reservoir" -> (x05GroupReservoir _))
+    "x05_group_reservoir" -> (x05GroupReservoir _),
+    "x06_temporal_embargo" -> (x06TemporalEmbargoSplit _))
 
   val oracles: Map[String, String] = Map(
     "x03_stratified_hash" -> x03Sql,
     "x04_poisson_bootstrap" -> x04Sql,
-    "x05_group_reservoir" -> x05Sql)
+    "x05_group_reservoir" -> x05Sql,
+    "x06_temporal_embargo" -> x06Sql)
 }

@@ -228,6 +228,22 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(anomalies > 0 && anomalies < n / 10)
   }
 
+  test("x06 temporal embargo split: ordered, disjoint, gap-complete") {
+    val rows = graft.sources.Ingest.x06TemporalEmbargoSplit(spark, SfMid)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("train", "embargo", "test"),
+      "all three bands must be populated on this span")
+    val (train, emb, test) = (rows("train"), rows("embargo"), rows("test"))
+    // strict temporal order with no overlap: train < embargo < test
+    assert(train._4 < emb._3 && emb._4 < test._3)
+    // embargo width is exactly the configured 2 days
+    assert(emb._4 - emb._3 <= 2L)
+    // every event is in exactly one band
+    val total = spark.read.parquet(s"$SfMid/events.parquet").count()
+    assert(train._1 + emb._1 + test._1 == total)
+  }
+
   test("t20 vocab growth invariants: hapax <= vocab <= tokens") {
     val rows = TextOps.t20VocabGrowth(spark, SfMid).collect()
     assert(rows.nonEmpty)
