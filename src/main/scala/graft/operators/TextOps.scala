@@ -324,7 +324,7 @@ object TextOps {
   /** Distinct word k-grams of a token array as strings (callers pre-filter
     * `size(t) >= k`); the k-wide sibling of [[TextFn.shingles3]].
     */
-  private def gramsK(t: Column, k: Int): Column =
+  private[graft] def gramsK(t: Column, k: Int): Column =
     array_distinct(transform(sequence(lit(1), size(t) - (k - 1)), i =>
       concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
   private def gramsKSql(t: String, k: Int): String = {

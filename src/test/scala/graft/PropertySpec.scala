@@ -342,4 +342,70 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       if (a.nonEmpty) assert(jw(a, disjoint.take(a.length.max(1))) == 0.0)
     }
   }
+
+  test("gramsK(3) agrees with shingles3 on arbitrary token arrays") {
+    // the t21 k-gram helper must be the k-wide generalization of the
+    // established shingle primitive every dedup path builds on
+    import spark.implicits._
+    val gDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      .map(_.mkString(" "))
+    val docs = samples(gDoc, 60).zipWithIndex.map { case (t, i) => (i, t) }
+    val df = docs.toDF("id", "text")
+      .select(col("id"), graft.operators.TextFn.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("id"),
+        graft.operators.TextOps.gramsK(col("t"), 3).as("g3"),
+        graft.operators.TextFn.shingles3(col("t")).as("s3"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id ${r.getInt(0)}")
+    }
+  }
+
+  test("w18 nearest as-of matches a brute-force reference on random event sets") {
+    import spark.implicits._
+    val gEvents = Gen.listOfN(40, for {
+      user <- Gen.choose(1, 3)
+      secs <- Gen.choose(0, 500)
+      typ <- Gen.frequency(4 -> Gen.const("purchase"),
+        3 -> Gen.const("error"), 2 -> Gen.const("click"))
+      value <- Gen.choose(1, 99)
+    } yield (user.toLong, secs.toLong, typ, value.toDouble))
+    samples(gEvents, 6).zipWithIndex.foreach { case (events, k) =>
+      val rows = events.zipWithIndex.map { case ((u, secs, typ, v), i) =>
+        (i.toLong, u, typ, v, new java.sql.Timestamp(secs * 1000L), "{}")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"w18_prop_$k")
+      rows.toDF("event_id", "user_id", "event_type", "value", "ts", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = graft.operators.WindowOps.w18AsofNearest(spark, dir.toString)
+        .collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(4)) None
+          else Some((r.getString(4), r.getLong(5))))).toMap
+      // brute-force reference: the as-of family's documented tie order —
+      // at an equal timestamp an error is the BACKWARD candidate
+      val byId = rows.map(r => r._1 -> r).toMap
+      rows.filter(_._3 == "purchase").foreach { p =>
+        val errs = rows.filter(e => e._3 == "error" && e._2 == p._2)
+        val back = errs.filter(e => e._5.getTime <= p._5.getTime)
+          .sortBy(e => (e._5.getTime, e._1)).lastOption
+        val fwd = errs.filter(e => e._5.getTime > p._5.getTime)
+          .sortBy(e => (e._5.getTime, e._1)).headOption
+        val expect = (back, fwd) match {
+          case (Some(b), Some(f))
+            if (p._5.getTime - b._5.getTime) <= (f._5.getTime - p._5.getTime) =>
+            Some(("before", (p._5.getTime - b._5.getTime) / 1000))
+          case (Some(_), Some(f)) =>
+            Some(("after", (f._5.getTime - p._5.getTime) / 1000))
+          case (Some(b), None) =>
+            Some(("before", (p._5.getTime - b._5.getTime) / 1000))
+          case (None, Some(f)) =>
+            Some(("after", (f._5.getTime - p._5.getTime) / 1000))
+          case _ => None
+        }
+        assert(got(p._1) == expect, s"sample $k event ${p._1} (${byId(p._1)})")
+      }
+    }
+  }
 }
