@@ -88,6 +88,7 @@ object SparkEntry {
     "f08_two_proportion", "v12_ann_filtered", "v13_ann_recall",
     "t20_vocab_growth", "p06_incremental_agg", "w18_asof_nearest",
     "w19_asof_tolerance", "d10_lsh_evaluation", "d11_semdedup",
-    "t21_fuzzy_decontam", "a09_seasonal_anomalies", "x06_temporal_embargo"
+    "t21_fuzzy_decontam", "a09_seasonal_anomalies", "x06_temporal_embargo",
+    "c12_corpus_datasheet"
   ).filter(queries.contains)
 }

@@ -651,7 +651,108 @@ object Corpus {
        |FROM replicas GROUP BY 1, 2 ORDER BY source, epoch""".stripMargin
   }
 
+  /** c12 — the corpus DATASHEET (Gebru et al.'s "Datasheets for Datasets",
+    * per-language grain): the one-page accounting a training-data release
+    * ships — volume (docs, sources, tokens), central quality (exact
+    * decimal mean of the shared quality score), exact duplicate exposure
+    * (docs whose fingerprint+text repeats within the language), and the
+    * exact discrete token-length distribution (p50/p90 via e18's
+    * histogram-cumsum spelling, no sampling). Every number composes an
+    * operator the library already certifies — the datasheet is a VIEW
+    * over the engine, not new machinery.
+    *
+    * Scale: three per-language aggregates over one cached narrow frame —
+    * the histogram percentile is per-(lang, n_tokens), bounded by
+    * distinct lengths, never the corpus; the dup check groups by the
+    * 8-byte fingerprint first. All shuffles are language-keyed.
+    */
+  def c12CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = TextOps.qualitySignals(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("quality_score"), charFingerprint(col("text")).as("fp"),
+        col("text"))
+      .cache()
+    val vol = base.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        r(sum(col("quality_score").cast("decimal(38,8)")).cast("double")
+          / sum(col("quality_score").isNotNull.cast("long")), 4)
+          .as("mean_quality"))
+    val dups = base.groupBy(col("lang"), col("fp"), col("text"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
+    val hist = base.groupBy(col("lang"), col("n_tokens").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    def q(k: Int) = min(when(
+      col("cum") >= floor((col("n") * k + lit(99)) / lit(100.0)).cast("long"),
+      col("v"))).as(s"p${k}_tokens")
+    val pct = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("lang")
+      .agg(q(50), q(90))
+    vol.join(dups, Seq("lang")).join(pct, Seq("lang"))
+      .orderBy("lang")
+  }
+
+  private val c12Sql = {
+    s"""WITH base AS (
+       |  SELECT q.doc_id, d.lang, d.source, q.n_tokens, q.quality_score,
+       |    ${charFingerprintSql("q.text")} AS fp, q.text
+       |  FROM (${TextOps.qualitySignalsSql}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id),
+       |vol AS (
+       |  SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    ${rSql("CAST(sum(CAST(quality_score AS DECIMAL(38,8))) AS DOUBLE) " +
+            "/ sum(CASE WHEN quality_score IS NOT NULL THEN 1 ELSE 0 END)", 4)}
+       |      AS mean_quality
+       |  FROM base GROUP BY 1),
+       |dups AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_dup_docs
+       |  FROM (SELECT lang, fp, text, count(*) AS c
+       |        FROM base GROUP BY 1, 2, 3)
+       |  GROUP BY 1),
+       |hist AS (
+       |  SELECT lang, n_tokens AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, v, c,
+       |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM hist),
+       |pct AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum >= CAST(floor((n * 50 + 99) / 100.0) AS BIGINT)
+       |             THEN v END) AS p50_tokens,
+       |    min(CASE WHEN cum >= CAST(floor((n * 90 + 99) / 100.0) AS BIGINT)
+       |             THEN v END) AS p90_tokens
+       |  FROM cum GROUP BY 1)
+       |SELECT vol.lang, vol.n_docs, vol.n_sources, vol.total_tokens,
+       |  vol.mean_quality, dups.n_dup_docs, pct.p50_tokens, pct.p90_tokens
+       |FROM vol
+       |JOIN dups ON dups.lang = vol.lang
+       |JOIN pct ON pct.lang = vol.lang
+       |ORDER BY vol.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_corpus_datasheet" -> (c12CorpusDatasheet _),
     "c10_sequence_packing" -> (c10SequencePacking _),
     "c11_epoch_upsample" -> (c11EpochUpsample _),
     "c01_training_corpus" -> (c01TrainingCorpus _),
@@ -664,6 +765,7 @@ object Corpus {
     "c08_domain_cap" -> (c08DomainCap _))
 
   val oracles: Map[String, String] = Map(
+    "c12_corpus_datasheet" -> c12Sql,
     "c10_sequence_packing" -> c10Sql,
     "c11_epoch_upsample" -> c11Sql,
     "c01_training_corpus" -> c01Sql,

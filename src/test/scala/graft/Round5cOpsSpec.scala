@@ -228,6 +228,22 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(anomalies > 0 && anomalies < n / 10)
   }
 
+  test("c12 corpus datasheet reconciles with the raw corpus") {
+    val rows = Corpus.c12CorpusDatasheet(spark, SfMid).collect()
+    val docs = spark.read.parquet(s"$SfMid/documents.parquet")
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_docs"))).sum == docs.count())
+    assert(rows.map(r => r.getString(r.fieldIndex("lang"))).toSet
+      == docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    rows.foreach { r =>
+      val p50 = r.getLong(r.fieldIndex("p50_tokens"))
+      val p90 = r.getLong(r.fieldIndex("p90_tokens"))
+      val mq = r.getDouble(r.fieldIndex("mean_quality"))
+      assert(p50 <= p90 && p50 > 0)
+      assert(mq > 0.0 && mq <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_dup_docs")) >= 0)
+    }
+  }
+
   test("x06 temporal embargo split: ordered, disjoint, gap-complete") {
     val rows = graft.sources.Ingest.x06TemporalEmbargoSplit(spark, SfMid)
       .collect().map(r => r.getString(0) ->
