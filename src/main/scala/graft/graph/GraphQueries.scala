@@ -28,7 +28,8 @@ object GraphQueries {
     "g21_assortativity" -> (NeighborAgg.g21Assortativity _),
     "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _),
     "g23_scc" -> (Scc.q _),
-    "g24_pingpong" -> (Scc.g24PingPong _)
+    "g24_pingpong" -> (Scc.g24PingPong _),
+    "g25_reciprocity" -> (Scc.g25Reciprocity _)
   )
 
   /** g08 is GraphX staticPageRank — numerically different normalization,
@@ -42,6 +43,7 @@ object GraphQueries {
     "g05_weighted_edges" -> CoGraph.weightedEdgesSql,
     "g23_scc" -> Scc.qSql,
     "g24_pingpong" -> Scc.g24Sql,
+    "g25_reciprocity" -> Scc.g25Sql,
     "g06_pagerank_loop" -> PageRankOps.qSql(),
     "g07_top_pagerank" -> PageRankOps.topQSql(),
     "g09_component_purity" -> Components.componentPuritySql,

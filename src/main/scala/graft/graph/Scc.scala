@@ -170,6 +170,63 @@ object Scc {
        | AND e2.t_us > e1.t_us AND e2.t_us <= e1.t_us + $PingWindowUs
        |ORDER BY user_a, user_b, t1_us, t2_us""".stripMargin
 
+  /** g25 — edge reciprocity of the directed arrival-chain graph: the
+    * fraction of edges whose reverse edge also exists. The standard
+    * directed-network statistic (Newman): organic arrival orders are
+    * mostly one-way (reciprocity near 0), while coordinated rings that
+    * alternate arrival order — the g24 ping-pong structure, aggregated to
+    * a single network-level number — push it up. The cheap screen run
+    * BEFORE the expensive SCC/motif passes: one self-join on the distinct
+    * edge list, exact integer counts, one rounded division.
+    *
+    * Scale: |E| is bounded by Σ(bucket size) (chain edges, not cliques);
+    * the reverse-match is an equi-join on (dst, src) — same key width,
+    * one shuffle, no BNLJ.
+    */
+  def g25Reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = chainEdges(s, dir).cache()
+    val recip = e.as("a").join(e.as("b"),
+      col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(col("a.src"), col("a.dst"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(
+        col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal div 2").as("n_mutual_pairs"),
+        when(col("n_edges") > 0,
+          graft.operators.Det.r(
+            col("n_reciprocal").cast("double") / col("n_edges"), 6))
+          .otherwise(lit(null).cast("double")).as("reciprocity"))
+  }
+
+  val g25Sql: String =
+    s"""WITH activity AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
+       |         min(ts) AS first_ts
+       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+       |seq AS (
+       |  SELECT h, user_id,
+       |         row_number() OVER (PARTITION BY h
+       |           ORDER BY first_ts, user_id) AS rk
+       |  FROM activity),
+       |edges AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM seq a JOIN seq b
+       |    ON a.h = b.h AND b.rk = a.rk + 1 AND a.user_id <> b.user_id),
+       |counts AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM edges a
+       |       JOIN edges b ON a.src = b.dst AND a.dst = b.src)
+       |      AS n_reciprocal)
+       |SELECT n_edges, n_reciprocal,
+       |  n_reciprocal // 2 AS n_mutual_pairs,
+       |  CASE WHEN n_edges > 0 THEN
+       |    ${graft.operators.Det.sqlR(
+           "CAST(n_reciprocal AS DOUBLE) / n_edges", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS reciprocity
+       |FROM counts""".stripMargin
+
   val qSql: String =
     """WITH RECURSIVE activity AS (
       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,

@@ -848,7 +848,64 @@ object WindowOps {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** w20 — per-user maximum drawdown of the running net flow: purchases
+    * credit, errors debit (the refund/chargeback proxy in this schema);
+    * the running balance's largest peak-to-trough fall is THE classic
+    * risk/exposure analytic (finance drawdown, fraud-loss exposure). Two
+    * stacked frames over ONE (user, ts, id) sort — running sum, then
+    * running max of it — all in exact integer cents, so the statistic is
+    * engine- and partition-order-exact with no float drift.
+    *
+    * Scale: same single-sort shape as the rest of the per-user family;
+    * per-partition state is two longs. The groupBy rides the window's
+    * partitioning — Catalyst plans one exchange.
+    */
+  def w20MaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val flow = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (when(col("event_type") === "purchase", lit(1L)).otherwise(lit(-1L))
+          * floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5))
+            .cast("long")).as("cents"))
+    val run = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flow
+      .withColumn("bal", sum(col("cents")).over(run))
+      .withColumn("peak", max(col("bal")).over(run))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("peak")).as("peak_cents"),
+        sum(col("cents")).as("final_cents"),
+        max(col("peak") - col("bal")).as("max_drawdown_cents"))
+      .orderBy("user_id")
+  }
+
+  private val w20Sql =
+    """SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(peak) AS BIGINT) AS peak_cents,
+      |  CAST(sum(cents) AS BIGINT) AS final_cents,
+      |  CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents
+      |FROM (
+      |  SELECT user_id, cents, bal,
+      |    max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM (
+      |    SELECT user_id, event_id, ts, cents,
+      |      sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+      |          * CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT)
+      |          AS cents
+      |      FROM events WHERE event_type IN ('purchase', 'error'))))
+      |GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_max_drawdown" -> (w20MaxDrawdown _),
     "w19_asof_tolerance" -> (w19AsofTolerance _),
     "w18_asof_nearest" -> (w18AsofNearest _),
     "w17_interval_overlap" -> (w17IntervalOverlapJoin _),
@@ -866,6 +923,7 @@ object WindowOps {
     "w10_asof_forward" -> (w10AsofForward _))
 
   val oracles: Map[String, String] = Map(
+    "w20_max_drawdown" -> w20Sql,
     "w19_asof_tolerance" -> w19Sql,
     "w18_asof_nearest" -> w18Sql,
     "w17_interval_overlap" -> w17Sql,

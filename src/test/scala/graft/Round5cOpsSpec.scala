@@ -228,6 +228,30 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(anomalies > 0 && anomalies < n / 10)
   }
 
+  test("w20 drawdown invariants: nonnegative, bounded by peak-minus-final") {
+    val rows = WindowOps.w20MaxDrawdown(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val peak = r.getLong(r.fieldIndex("peak_cents"))
+      val fin = r.getLong(r.fieldIndex("final_cents"))
+      val dd = r.getLong(r.fieldIndex("max_drawdown_cents"))
+      assert(dd >= 0 && dd >= peak - fin,
+        "the max drawdown dominates the peak-to-final fall")
+    }
+    assert(rows.count(r =>
+      r.getLong(r.fieldIndex("max_drawdown_cents")) > 0) > 0)
+  }
+
+  test("g25 reciprocity: symmetric count, even, bounded") {
+    val r = graft.graph.Scc.g25Reciprocity(spark, SfMid).collect().head
+    val nE = r.getLong(r.fieldIndex("n_edges"))
+    val nR = r.getLong(r.fieldIndex("n_reciprocal"))
+    val nM = r.getLong(r.fieldIndex("n_mutual_pairs"))
+    val rec = r.getDouble(r.fieldIndex("reciprocity"))
+    assert(nR % 2 == 0 && nM == nR / 2, "reciprocal edges come in pairs")
+    assert(nR <= nE && rec >= 0.0 && rec <= 1.0)
+  }
+
   test("c12 corpus datasheet reconciles with the raw corpus") {
     val rows = Corpus.c12CorpusDatasheet(spark, SfMid).collect()
     val docs = spark.read.parquet(s"$SfMid/documents.parquet")
