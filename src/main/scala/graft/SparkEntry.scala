@@ -89,6 +89,7 @@ object SparkEntry {
     "t20_vocab_growth", "p06_incremental_agg", "w18_asof_nearest",
     "w19_asof_tolerance", "d10_lsh_evaluation", "d11_semdedup",
     "t21_fuzzy_decontam", "a09_seasonal_anomalies", "x06_temporal_embargo",
-    "c12_corpus_datasheet", "w20_max_drawdown", "g25_reciprocity"
+    "c12_corpus_datasheet", "w20_max_drawdown", "g25_reciprocity",
+    "g26_degree_distribution"
   ).filter(queries.contains)
 }

@@ -92,6 +92,57 @@ object CoGraph {
        |      UNION ALL SELECT dst AS id FROM edges) u
        |GROUP BY 1 ORDER BY id""".stripMargin
 
+  /** g26 — degree DISTRIBUTION with a heavy-tail screen: the per-degree
+    * vertex counts of the co-occurrence graph, each row carrying its
+    * survival mass P(D ≥ d) as an exact cross-multiplied ratio. The
+    * scale-free check every graph pipeline runs before choosing
+    * partitioning strategy: a heavy tail (slowly decaying survival) means
+    * hub vertices — the signal to pre-aggregate/salt before any
+    * per-neighbor join (g22's capped spelling exists for exactly that
+    * outcome). Survival via one cumulative window over the DEGREE
+    * HISTOGRAM (bounded by distinct degrees, never the vertex count).
+    *
+    * Scale: degrees is one union+groupBy; the histogram is ≤ max-degree
+    * rows; the window and ratio run over that bounded table only.
+    */
+  def g26DegreeDistribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = degrees(s, dir)
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+    val wTail = Window.orderBy(col("degree").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bounded table (distinct degrees): the global windows are fine here
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("n_at_least", sum(col("n_vertices")).over(wTail))
+      .withColumn("n_total", sum(col("n_vertices")).over(wAll))
+      .select(col("degree"), col("n_vertices"), col("n_at_least"),
+        graft.operators.Det.r(
+          col("n_at_least").cast("double") / col("n_total"), 6)
+          .as("survival"))
+      .orderBy("degree")
+  }
+
+  val g26Sql: String =
+    s"""WITH $edgesCte,
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT src AS id FROM edges
+       |        UNION ALL SELECT dst AS id FROM edges) u
+       |  GROUP BY 1),
+       |hist AS (
+       |  SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+       |  FROM deg GROUP BY 1)
+       |SELECT degree, n_vertices,
+       |  CAST(sum(n_vertices) OVER (ORDER BY degree DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_at_least,
+       |  ${graft.operators.Det.sqlR(
+          "CAST(sum(n_vertices) OVER (ORDER BY degree DESC " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+            "/ sum(n_vertices) OVER ()", 6)} AS survival
+       |FROM hist ORDER BY degree""".stripMargin
+
   /** G5/A9 — amount-weighted edges with per-source normalization
     * (`4_graphx.ipynb:690-701`): edge amount = total fraud-event value the
     * source spent in the hours shared with dst; weight = amount / source

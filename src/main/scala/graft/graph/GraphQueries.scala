@@ -7,6 +7,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_cooccurrence_edges" -> (CoGraph.q _),
     "g02_degrees" -> (CoGraph.degrees _),
+    "g26_degree_distribution" -> (CoGraph.g26DegreeDistribution _),
     "g03_connected_components" -> (Components.q _),
     "g04_component_stats" -> (Components.componentStats _),
     "g05_weighted_edges" -> (CoGraph.weightedEdges _),
@@ -38,6 +39,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g01_cooccurrence_edges" -> CoGraph.qSql,
     "g02_degrees" -> CoGraph.degreesSql,
+    "g26_degree_distribution" -> CoGraph.g26Sql,
     "g03_connected_components" -> Components.qSql,
     "g04_component_stats" -> Components.componentStatsSql,
     "g05_weighted_edges" -> CoGraph.weightedEdgesSql,

@@ -252,6 +252,23 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(nR <= nE && rec >= 0.0 && rec <= 1.0)
   }
 
+  test("g26 degree distribution: survival is a proper decreasing tail") {
+    val rows = graft.graph.CoGraph.g26DegreeDistribution(spark, SfMid)
+      .collect()
+    assert(rows.nonEmpty)
+    // vertex mass reconciles with g02's per-vertex degrees
+    val nVerts = graft.graph.CoGraph.degrees(spark, SfMid).count()
+    assert(rows.map(r => r.getLong(r.fieldIndex("n_vertices"))).sum == nVerts)
+    // survival: 1.0 at the minimum degree, antitone in degree, > 0
+    val byDeg = rows.sortBy(r => r.getLong(r.fieldIndex("degree")))
+    assert(byDeg.head.getDouble(byDeg.head.fieldIndex("survival")) == 1.0)
+    byDeg.map(r => r.getDouble(r.fieldIndex("survival"))).toSeq
+      .sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b && b > 0.0)
+        case _ =>
+      }
+  }
+
   test("c12 corpus datasheet reconciles with the raw corpus") {
     val rows = Corpus.c12CorpusDatasheet(spark, SfMid).collect()
     val docs = spark.read.parquet(s"$SfMid/documents.parquet")
