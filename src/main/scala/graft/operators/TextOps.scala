@@ -193,6 +193,41 @@ object TextOps {
        |FROM documents) ORDER BY doc_id""".stripMargin
   }
 
+  /** t23 — language-ID confusion matrix: declared × predicted counts with
+    * per-cell share of the declared language's mass — the QA aggregate
+    * that grades the t02 heuristic against the corpus's own labels before
+    * anyone routes documents by predicted language. Composes t02 (one
+    * definition — any change to the classifier moves this matrix with it);
+    * 'und' rows surface the abstention rate per declared language.
+    *
+    * Scale: t02 is per-row scan-bound; this adds one |langs|²-bounded
+    * map-combined aggregate plus a broadcast of per-declared totals.
+    */
+  def t23LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = t02LangId(s, dir)
+      .groupBy(col("declared_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("declared_lang")
+      .agg(sum(col("n")).as("n_declared"))
+    cells.join(broadcast(totals), Seq("declared_lang"))
+      .select(col("declared_lang"), col("predicted_lang"), col("n"),
+        r(col("n").cast("double") / col("n_declared"), 4).as("share"))
+      .orderBy("declared_lang", "predicted_lang")
+  }
+
+  private def t23Sql =
+    s"""WITH t02 AS ($t02Sql),
+       |cells AS (
+       |  SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM t02 GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT declared_lang, CAST(sum(n) AS BIGINT) AS n_declared
+       |  FROM cells GROUP BY 1)
+       |SELECT c.declared_lang, c.predicted_lang, c.n,
+       |  ${rSql("CAST(c.n AS DOUBLE) / t.n_declared", 4)} AS share
+       |FROM cells c JOIN totals t ON t.declared_lang = c.declared_lang
+       |ORDER BY c.declared_lang, c.predicted_lang""".stripMargin
+
   /** t03 — quality scoring: length/stopword/repetition signals composed into
     * a 0..1 score and a keep/review/drop band (the standard pre-training
     * data filter shape). Per-row; scan-bound at any scale. The signal
@@ -963,6 +998,7 @@ object TextOps {
     "t05_token_freq" -> (t05TokenFreq _),
     "t20_vocab_growth" -> (t20VocabGrowth _),
     "t21_fuzzy_decontam" -> (t21FuzzyDecontam _),
+    "t23_lang_confusion" -> (t23LangConfusion _),
     "t06_repetition_rules" -> (t06RepetitionRules _),
     "t07_decontaminate" -> (t07Decontaminate _),
     "t08_chunk_pack" -> (t08ChunkPack _),
@@ -981,6 +1017,7 @@ object TextOps {
     "t05_token_freq" -> t05Sql,
     "t20_vocab_growth" -> t20Sql,
     "t21_fuzzy_decontam" -> t21Sql,
+    "t23_lang_confusion" -> t23Sql,
     "t06_repetition_rules" -> t06Sql,
     "t07_decontaminate" -> t07Sql,
     "t08_chunk_pack" -> t08Sql,

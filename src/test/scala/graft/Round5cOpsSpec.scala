@@ -252,6 +252,19 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(nR <= nE && rec >= 0.0 && rec <= 1.0)
   }
 
+  test("t23 lang confusion: shares sum to 1 per declared lang, mass reconciles") {
+    val rows = TextOps.t23LangConfusion(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(r.fieldIndex("n"))).sum
+    assert(total == spark.read.parquet(s"$SfMid/documents.parquet").count())
+    rows.groupBy(r => r.getString(r.fieldIndex("declared_lang"))).foreach {
+      case (_, cells) =>
+        val sum = cells.map(r => r.getDouble(r.fieldIndex("share"))).sum
+        // each share rounds at 4 dp; the row count per declared lang is small
+        assert(math.abs(sum - 1.0) < 5e-4 * cells.length + 1e-9)
+    }
+  }
+
   test("g26 degree distribution: survival is a proper decreasing tail") {
     val rows = graft.graph.CoGraph.g26DegreeDistribution(spark, SfMid)
       .collect()
