@@ -763,7 +763,114 @@ object DriftOps {
        |FROM agg""".stripMargin
   }
 
+  /** f09 — Wald–Wolfowitz RUNS test on the daily-revenue sequence: are
+    * above-median and below-median days randomly interleaved, or do they
+    * clump (trend/regime drift) or alternate (over-correction)? Completes
+    * the nonparametric battery's last axis — f01 tests shape, f02 the
+    * CDF, f07 location, f08 a proportion; f09 tests ORDERING, which none
+    * of the others can see (shuffle the days and they all agree; the
+    * runs count collapses). Exact to the end: the median is the exact
+    * discrete p50 of the daily cents histogram (e18's cumsum spelling),
+    * equal-to-median days are dropped per the standard recipe, the runs
+    * count is an integer lag-compare sum, and the closed-form normal
+    * approximation z = (R − μ)/σ (μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1))) runs the same double ops both
+    * engines.
+    *
+    * Scale: everything after the per-day aggregate operates on the DAILY
+    * table — bounded by the date span (decades ≈ 10⁴ rows), so its global
+    * windows are bounded-table windows, never data-sized (the same
+    * argument as f02's ~50-row bucket table).
+    */
+  def f09RunsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+        .as("d"), col("o_totalprice"))
+      .groupBy("d")
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .cache() // bounded (date span); feeds the median AND the runs pass
+    // exact discrete median of the daily revenue (e18's histogram cumsum)
+    val hist = daily.groupBy(col("rev").as("v")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val med = cum.agg(min(when(
+      col("cum") >= floor((col("n") * 50 + lit(99)) / lit(100.0)).cast("long"),
+      col("v"))).as("median_rev"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("rev") =!= col("median_rev")) // standard: drop ties
+      .withColumn("above", (col("rev") > col("median_rev")).cast("long"))
+    val seqW = Window.orderBy("d") // bounded daily table: global is fine
+    val runs = signed
+      .withColumn("prev", lag(col("above"), 1).over(seqW))
+      .agg(
+        sum(col("above")).as("n_above"),
+        sum(lit(1L) - col("above")).as("n_below"),
+        (sum((col("prev").isNull || col("prev") =!= col("above"))
+          .cast("long"))).as("n_runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val n = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val sig = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)
+      / (n * n * (n - lit(1.0))))
+    runs.select(
+      col("n_above"), col("n_below"), col("n_runs"),
+      when(col("n_above") > 0 && col("n_below") > 0
+        && col("n_above") + col("n_below") > 1,
+        r((col("n_runs").cast("double") - mu) / sig, 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  private val f09Sql = {
+    val n1 = "CAST(n_above AS DOUBLE)"
+    val n2 = "CAST(n_below AS DOUBLE)"
+    val n = s"($n1 + $n2)"
+    val mu = s"(2.0 * $n1 * $n2 / $n + 1.0)"
+    val sig = s"sqrt(2.0 * $n1 * $n2 * (2.0 * $n1 * $n2 - $n) " +
+      s"/ ($n * $n * ($n - 1.0)))"
+    s"""WITH daily AS (
+       |  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |         AS BIGINT) AS rev
+       |  FROM orders GROUP BY 1),
+       |hist AS (SELECT rev AS v, CAST(count(*) AS BIGINT) AS c
+       |         FROM daily GROUP BY 1),
+       |cum AS (
+       |  SELECT v,
+       |    CAST(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum,
+       |    CAST(sum(c) OVER () AS BIGINT) AS n
+       |  FROM hist),
+       |med AS (
+       |  SELECT min(CASE WHEN cum >=
+       |      CAST(floor((n * 50 + 99) / 100.0) AS BIGINT) THEN v END)
+       |    AS median_rev
+       |  FROM cum),
+       |signed AS (
+       |  SELECT d, CASE WHEN rev > median_rev THEN 1 ELSE 0 END AS above
+       |  FROM daily CROSS JOIN med
+       |  WHERE rev <> median_rev),
+       |runs AS (
+       |  SELECT
+       |    CAST(sum(above) AS BIGINT) AS n_above,
+       |    CAST(sum(1 - above) AS BIGINT) AS n_below,
+       |    CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+       |  FROM (SELECT above, lag(above, 1) OVER (ORDER BY d) AS prev
+       |        FROM signed))
+       |SELECT n_above, n_below, n_runs,
+       |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+       |  THEN ${Det.sqlR(s"(CAST(n_runs AS DOUBLE) - $mu) / $sig", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS z
+       |FROM runs""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f09_runs_test" -> (f09RunsTest _),
     "f08_two_proportion" -> (f08TwoProportion _),
     "f07_mann_whitney" -> (f07MannWhitney _),
     "f01_tvd_drift" -> (f01TvdDrift _),
@@ -774,6 +881,7 @@ object DriftOps {
     "f06_chi2_drift" -> (f06Chi2Drift _))
 
   val oracles: Map[String, String] = Map(
+    "f09_runs_test" -> f09Sql,
     "f08_two_proportion" -> f08Sql,
     "f07_mann_whitney" -> f07Sql,
     "f01_tvd_drift" -> f01Sql,

@@ -265,6 +265,17 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("f09 runs test: run count in range, iid daily revenue not flagged") {
+    val r = DriftOps.f09RunsTest(spark, SfMid).collect().head
+    val nA = r.getLong(r.fieldIndex("n_above"))
+    val nB = r.getLong(r.fieldIndex("n_below"))
+    val runs = r.getLong(r.fieldIndex("n_runs"))
+    assert(nA > 0 && nB > 0)
+    assert(runs >= 2 && runs <= nA + nB, "runs bounded by sequence length")
+    val z = r.getDouble(r.fieldIndex("z"))
+    assert(math.abs(z) < 5.0, s"iid synthetic days should pass (z=$z)")
+  }
+
   test("g26 degree distribution: survival is a proper decreasing tail") {
     val rows = graft.graph.CoGraph.g26DegreeDistribution(spark, SfMid)
       .collect()
