@@ -663,8 +663,11 @@ object Corpus {
     *
     * Scale: three per-language aggregates over one cached narrow frame —
     * the histogram percentile is per-(lang, n_tokens), bounded by
-    * distinct lengths, never the corpus; the dup check groups by the
-    * 8-byte fingerprint first. All shuffles are language-keyed.
+    * distinct lengths, never the corpus. The dup grouping carries the
+    * full text alongside the fingerprint as the residual equality check
+    * (d01's contract); at 100 TB group on the 8-byte fp alone first and
+    * equality-check only within fp collisions, exactly as d01 documents.
+    * All shuffles are language-keyed.
     */
   def c12CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

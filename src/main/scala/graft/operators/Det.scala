@@ -41,6 +41,13 @@ object Det {
     */
   val MoneyType = "decimal(28,4)"
 
+  /** Exact integer-cents carrier for a 2-dp money double: floor(x·100+0.5)
+    * is identical IEEE arithmetic in both engines. The ONE spelling every
+    * cents consumer shares (drift statistics, w20's flow balance).
+    */
+  def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+
   /** Exact, order-independent sum of a 2-dp money double, as double. */
   def dsum(c: Column): Column = sum(c.cast(MoneyType)).cast("double")
 

@@ -25,11 +25,8 @@ import Det.r
   */
 object DriftOps {
 
-  /** Exact cents carrier for a 2-dp money double (same spelling as
-    * [[Det]]: floor(x·100+0.5) is identical IEEE arithmetic both engines).
-    */
-  private def cents(c: org.apache.spark.sql.Column) =
-    floor(c * lit(100) + lit(0.5)).cast("long")
+  /** Exact cents carrier — the shared [[Det.cents]] spelling. */
+  private def cents(c: org.apache.spark.sql.Column) = Det.cents(c)
 
   /** Knuth multiplicative hash split ([[Det.knuthBucket]], k=2): a pure
     * row function of the stable key — reproducible across engines,
@@ -818,8 +815,11 @@ object DriftOps {
       / (n * n * (n - lit(1.0))))
     runs.select(
       col("n_above"), col("n_below"), col("n_runs"),
+      // sigma > 0 required: at n1 = n2 = 1 the variance is exactly 0 and
+      // an unguarded z is 0/0 — NULL like every degenerate statistic here
       when(col("n_above") > 0 && col("n_below") > 0
-        && col("n_above") + col("n_below") > 1,
+        && col("n_above") * col("n_below") * 2
+           > col("n_above") + col("n_below"),
         r((col("n_runs").cast("double") - mu) / sig, 6))
         .otherwise(lit(null).cast("double")).as("z"))
   }
@@ -863,7 +863,8 @@ object DriftOps {
        |  FROM (SELECT above, lag(above, 1) OVER (ORDER BY d) AS prev
        |        FROM signed))
        |SELECT n_above, n_below, n_runs,
-       |  CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+       |  CASE WHEN n_above > 0 AND n_below > 0
+       |            AND n_above * n_below * 2 > n_above + n_below
        |  THEN ${Det.sqlR(s"(CAST(n_runs AS DOUBLE) - $mu) / $sig", 6)}
        |  ELSE CAST(NULL AS DOUBLE) END AS z
        |FROM runs""".stripMargin

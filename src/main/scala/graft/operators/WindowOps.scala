@@ -865,8 +865,7 @@ object WindowOps {
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("user_id"), col("event_id"), col("ts"),
         (when(col("event_type") === "purchase", lit(1L)).otherwise(lit(-1L))
-          * floor(coalesce(col("value"), lit(0.0)) * 100 + lit(0.5))
-            .cast("long")).as("cents"))
+          * Det.cents(coalesce(col("value"), lit(0.0)))).as("cents"))
     val run = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

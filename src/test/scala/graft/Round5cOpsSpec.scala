@@ -318,8 +318,8 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     val (train, emb, test) = (rows("train"), rows("embargo"), rows("test"))
     // strict temporal order with no overlap: train < embargo < test
     assert(train._4 < emb._3 && emb._4 < test._3)
-    // embargo width is exactly the configured 2 days
-    assert(emb._4 - emb._3 <= 2L)
+    // embargo band = days cutoff+1..cutoff+2: spans at most 1 day of range
+    assert(emb._4 - emb._3 <= 1L)
     // every event is in exactly one band
     val total = spark.read.parquet(s"$SfMid/events.parquet").count()
     assert(train._1 + emb._1 + test._1 == total)
