@@ -90,6 +90,7 @@ object SparkEntry {
     "w19_asof_tolerance", "d10_lsh_evaluation", "d11_semdedup",
     "t21_fuzzy_decontam", "a09_seasonal_anomalies", "x06_temporal_embargo",
     "c12_corpus_datasheet", "w20_max_drawdown", "g25_reciprocity",
-    "g26_degree_distribution", "t23_lang_confusion", "f09_runs_test"
+    "g26_degree_distribution", "t23_lang_confusion", "f09_runs_test",
+    "e22_weighted_quantiles"
   ).filter(queries.contains)
 }

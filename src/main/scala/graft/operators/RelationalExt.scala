@@ -870,7 +870,66 @@ object RelationalExt {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  /** e22 — EXACT weighted quantiles: the quantity-weighted p50/p90 of the
+    * line-item unit value per return flag — "the price at which half the
+    * UNITS (not half the rows) trade", the quantity every procurement/
+    * pricing analysis actually wants and the one an unweighted median
+    * silently misreports whenever quantity correlates with price. Same
+    * histogram-cumsum machinery as e18 with the count replaced by an
+    * exact integer weight sum: threshold = ceil(q·W/100) over the
+    * cumulative weight, value in exact cents. Weighted quantiles have no
+    * Spark built-in (percentile() interpolates; approx_percentile
+    * sketches) — this spelling is exact, order-free, and engine-identical.
+    *
+    * Scale: e18's exact shape — per-(flag, value) weight histogram with
+    * map-side combine, cum windows bounded by distinct values per flag,
+    * one exchange.
+    */
+  def e22WeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        Det.cents(col("l_extendedprice")).as("v"),
+        // quantities are integral doubles (1..50): the cast is lossless
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("flag", "v")
+      .agg(sum(col("w")).as("wsum"))
+    val cumW = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy("flag")
+    val cum = hist
+      .withColumn("cum", sum(col("wsum")).over(cumW))
+      .withColumn("tw", sum(col("wsum")).over(allW))
+    def q(k: Int) = min(when(
+      col("cum") >= floor((col("tw") * k + lit(99)) / lit(100.0)).cast("long"),
+      col("v"))).as(s"wp${k}_cents")
+    cum.groupBy("flag")
+      .agg(max(col("tw")).as("total_units"), q(50), q(90))
+      .orderBy("flag")
+  }
+
+  private val e22Sql =
+    """WITH hist AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wsum
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, v, wsum,
+      |    CAST(sum(wsum) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(sum(wsum) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      |  FROM hist)
+      |SELECT flag, max(tw) AS total_units,
+      |  min(CASE WHEN cum >= CAST(floor((tw * 50 + 99) / 100.0) AS BIGINT)
+      |           THEN v END) AS wp50_cents,
+      |  min(CASE WHEN cum >= CAST(floor((tw * 90 + 99) / 100.0) AS BIGINT)
+      |           THEN v END) AS wp90_cents
+      |FROM cum GROUP BY 1 ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e22_weighted_quantiles" -> (e22WeightedQuantiles _),
     "e21_key_sweep" -> (e21KeySweep _),
     "e20_array_ops" -> (e20ArrayOps _),
     "e19_mad_outliers" -> (e19MadOutliers _),
@@ -892,6 +951,7 @@ object RelationalExt {
     "e10_quantile_rollup" -> (e10QuantileRollup _))
 
   val oracles: Map[String, String] = Map(
+    "e22_weighted_quantiles" -> e22Sql,
     "e21_key_sweep" -> e21Sql,
     "e20_array_ops" -> e20Sql,
     "e19_mad_outliers" -> e19Sql,

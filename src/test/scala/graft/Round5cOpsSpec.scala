@@ -265,6 +265,31 @@ class Round5cOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("e22 weighted quantiles: threshold semantics and unweighted degeneracy") {
+    val rows = graft.operators.RelationalExt
+      .e22WeightedQuantiles(spark, SfMid).collect()
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$SfMid/lineitem.parquet")
+    rows.foreach { r =>
+      val flag = r.getString(r.fieldIndex("flag"))
+      val tw = r.getLong(r.fieldIndex("total_units"))
+      val p50 = r.getLong(r.fieldIndex("wp50_cents"))
+      val p90 = r.getLong(r.fieldIndex("wp90_cents"))
+      assert(p50 <= p90)
+      // threshold semantics: at least half the UNITS sit at or below wp50
+      val below = li.filter(col("l_returnflag") === flag
+          && graft.operators.Det.cents(col("l_extendedprice")) <= p50)
+        .agg(sum(col("l_quantity").cast("long"))).collect().head.getLong(0)
+      assert(2 * below >= tw, s"$flag: $below of $tw units at/below wp50")
+      // and strictly fewer than half sit strictly below it (minimality)
+      val strictly = li.filter(col("l_returnflag") === flag
+          && graft.operators.Det.cents(col("l_extendedprice")) < p50)
+        .agg(coalesce(sum(col("l_quantity").cast("long")), lit(0L)))
+        .collect().head.getLong(0)
+      assert(2 * strictly < tw, s"$flag: wp50 must be minimal")
+    }
+  }
+
   test("f09 runs test: run count in range, iid daily revenue not flagged") {
     val r = DriftOps.f09RunsTest(spark, SfMid).collect().head
     val nA = r.getLong(r.fieldIndex("n_above"))
