@@ -503,9 +503,10 @@ object Dedup {
        |WHERE ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} >= $JaccardT
        |ORDER BY i.id_a, i.id_b""".stripMargin
 
-  /** Shared CTE chain ending in `cc(doc_id, canonical_id)` — the near-dup
-    * cluster closure both [[d07DedupClusters]]'s and [[c09LeakageSafeSplit]]'s
-    * oracles build on.
+  /** CTE chain ending in `cc(doc_id, canonical_id)` — the near-dup cluster
+    * closure over the d02 exact pair set that [[d07DedupClusters]]'s oracle
+    * builds on ([[c09LeakageSafeSplit]]'s oracle has its own closure over
+    * the d08 canonical pair set — the scale path).
     */
   private def ccClusterCtes =
     s"""pairs AS (SELECT id_a, id_b FROM ($d02Sql)),
@@ -569,9 +570,13 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def d08Sql =
-    s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text
-       |              FROM documents GROUP BY text),
+  /** CTE chain `canon/sh0/hot/sh/sizes/inter` — d08's exact-after-dedup
+    * verifier over canonical texts only; shared by the d08 oracle and the
+    * c09 oracle (whose clusters now ride this scale path, not d02's).
+    */
+  private def d08CoreCtes =
+    s"""canon AS (SELECT min(doc_id) AS doc_id, text
+       |          FROM documents GROUP BY text),
        |sh0 AS (SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
        |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM canon)
        |        WHERE len(t) >= 3),
@@ -579,7 +584,10 @@ object Dedup {
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+       |          GROUP BY 1, 2)""".stripMargin
+
+  private def d08Sql =
+    s"""WITH $d08CoreCtes
        |SELECT id_a, id_b,
        |  ${rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)} AS jaccard
        |FROM inter
@@ -674,34 +682,52 @@ object Dedup {
   }
 
   /** c09 — LEAKAGE-SAFE train/val/test split: assign every document a
-    * split by hashing its NEAR-DUP CLUSTER id (d07's GraphX closure;
-    * singletons are their own cluster), never its own id — the split
-    * hygiene rule training pipelines get wrong most often: hash the doc
-    * id and two near-duplicates straddle train and test, leaking the
-    * answer. Hashing the CANONICAL id makes same-cluster-same-split true
-    * BY CONSTRUCTION (spec-asserted), not by post-hoc filtering.
-    * Knuth-bucket 10-way: 0–7 train, 8 val, 9 test.
+    * split by hashing its NEAR-DUP CLUSTER id (the GraphX closure over the
+    * near-dup pair graph; singletons are their own cluster), never its own
+    * id — the split hygiene rule training pipelines get wrong most often:
+    * hash the doc id and two near-duplicates straddle train and test,
+    * leaking the answer. Hashing the CANONICAL id makes
+    * same-cluster-same-split true BY CONSTRUCTION (spec-asserted), not by
+    * post-hoc filtering. Knuth-bucket 10-way: 0–7 train, 8 val, 9 test.
     *
-    * Scale: clusters come from the d07 pipeline (LSH-bounded pair stream
-    * → GraphX CC); the assignment itself is a broadcast-sized left join
-    * (only pair members have cluster rows) plus a pure row hash.
+    * Scale (this is the one operator that MUST run at full corpus size —
+    * splitting a sample is useless): the pair source is [[
+    * d08NeardupAfterDedup]], the exact-dedup-FIRST composition proven at
+    * sf1 where the corpus-wide d02 verifier hit its O(replication²) spill
+    * wall — verbatim replicas collapse in one linear hash-groupBy and only
+    * the canonical texts enter the pair stage. Each doc maps to its exact
+    * canonical (min doc_id over identical text, a null-safe window — at
+    * 100 TB key this shuffle on the 8-byte fingerprint as in d01, text as
+    * residual), the canonical maps to its near-dup CC label, and the
+    * closure covers verbatim + near-dup transitively: replicas share an
+    * exact canonical, near-dup canonicals share a CC label. The final
+    * cluster join carries NO broadcast hint — the cluster table grows with
+    * the corpus's near-dup rate (30–50 % on web crawls → multi-TB), so
+    * AQE decides: broadcast when actually small, shuffle join otherwise.
     */
   def c09LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
-    val clusters = {
-      import org.apache.spark.graphx.{Edge, Graph, VertexId}
-      val session = s
-      import session.implicits._
-      val pairs = d02NgramJaccardPairs(s, dir).select(col("id_a"), col("id_b"))
-      val edgeRdd = pairs.as[(Long, Long)].rdd
-        .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
-      Graph.fromEdges(edgeRdd, ())
-        .connectedComponents().vertices.toDF("doc_id", "canonical_id")
-    }
-    val bucket = Det.knuthBucket(col("cluster_id"), 10L)
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(broadcast(clusters), Seq("doc_id"), "left_outer")
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    import org.apache.spark.sql.expressions.Window
+    val session = s
+    import session.implicits._
+    // exact canonical per doc: min doc_id over identical text. A window
+    // (not groupBy+join) so NULL text is handled null-safely for free —
+    // both engines partition NULLs into one group.
+    val docEc = Tables.documents(s, dir)
       .select(col("doc_id"),
-        coalesce(col("canonical_id"), col("doc_id")).as("cluster_id"))
+        min(col("doc_id")).over(Window.partitionBy(col("text"))).as("ec"))
+    // near-dup pairs over the canonical corpus only — ids are exact
+    // canonicals by d08's construction
+    val pairs = d08NeardupAfterDedup(s, dir).select(col("id_a"), col("id_b"))
+    val edgeRdd = pairs.as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val cc = Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices.toDF("ec_id", "canonical_id")
+    val bucket = Det.knuthBucket(col("cluster_id"), 10L)
+    docEc
+      .join(cc, docEc("ec") === cc("ec_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("ec")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         when(bucket <= 7L, "train").when(bucket === 8L, "val")
           .otherwise("test").as("split"))
@@ -710,10 +736,25 @@ object Dedup {
 
   private def c09Sql = {
     val bucket = Det.sqlKnuthBucket("cluster_id", 10L)
-    s"""WITH RECURSIVE $ccClusterCtes,
+    val j = rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)
+    s"""WITH RECURSIVE $d08CoreCtes,
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |          JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE $j >= $JaccardT),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, x) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN e ON r.x = e.src),
+       |cc AS (SELECT id AS ec_id, min(x) AS canonical_id FROM reach GROUP BY 1),
+       |docec AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS ec
+       |          FROM documents),
        |assigned AS (
-       |  SELECT d.doc_id, coalesce(cc.canonical_id, d.doc_id) AS cluster_id
-       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+       |  SELECT d.doc_id, coalesce(cc.canonical_id, d.ec) AS cluster_id
+       |  FROM docec d LEFT JOIN cc ON cc.ec_id = d.ec)
        |SELECT doc_id, cluster_id,
        |  CASE WHEN $bucket <= 7 THEN 'train'
        |       WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split

@@ -191,6 +191,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("c09 carries no broadcast hint — cluster-table size is AQE's call") {
+    // the near-dup cluster table grows with the corpus's duplication rate
+    // (30-50% on web crawls → multi-TB at 100 TB input), so a hard
+    // broadcast() hint there is an OOM lying in wait. The analyzed plan
+    // must contain no hint node anywhere in c09's tree; whether the final
+    // cluster join broadcasts is decided by AQE from the ACTUAL size.
+    // (the d08 pair source's own bounded broadcast — capShingles' df>64
+    // boilerplate list — sits behind the GraphX RDD boundary, outside this
+    // tree; the split-assignment side must itself carry zero hints)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = operators.Dedup.c09LeakageSafeSplit(spark, Sf)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, hints.mkString("; "))
+  }
+
   test("g22's caps run through the GroupedTopK operator (partial+final, both caps), no window") {
     // the capped edge list is cached; optimizedPlan inlines the
     // InMemoryRelation's cached physical plan, where the heap operator's
