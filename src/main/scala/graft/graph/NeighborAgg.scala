@@ -230,7 +230,7 @@ object NeighborAgg {
     * single √ and divide run on bit-identical doubles in both engines
     * (Det.dstddev's argument), snapped once at 6 dp.
     *
-    * Scale: degrees table is vertex-bounded (broadcast join onto edges),
+    * Scale: degrees table is vertex-bounded (AQE-decided join onto edges),
     * moments are one map-combined aggregate. The integer moments carry
     * DECIMAL(18,0) carriers (36-digit products stay inside BOTH engines' 38-digit cap); beyond ~1e12-edge graphs move to the
     * two-pass standardized form (subtract means first) — documented, not
@@ -240,11 +240,14 @@ object NeighborAgg {
     val e = CoGraph.edges(s, dir).cache()
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("d"))
+    // the degree table is ∝ |V| — vertex-bounded but unbounded in V, so
+    // no hard hint: AQE broadcasts it while V is small and shuffle-joins
+    // (both sides keyed on vertex id) past the broadcast threshold
     val withDeg = e
-      .join(broadcast(deg.withColumnRenamed("id", "sid")
-        .withColumnRenamed("d", "x")), col("src") === col("sid"))
-      .join(broadcast(deg.withColumnRenamed("id", "did")
-        .withColumnRenamed("d", "y")), col("dst") === col("did"))
+      .join(deg.withColumnRenamed("id", "sid")
+        .withColumnRenamed("d", "x"), col("src") === col("sid"))
+      .join(deg.withColumnRenamed("id", "did")
+        .withColumnRenamed("d", "y"), col("dst") === col("did"))
     val D = "decimal(18,0)"
     // cast BEFORE the sum: a long sum of per-edge products wraps silently
     // past 9.2e18 while the decimal sum (and DuckDB's HUGEINT) stay exact

@@ -30,7 +30,9 @@ object Analytics {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // the filtered customer side scales with |customers| (unbounded at
+      // 100 TB), so no hard hint — AQE broadcasts it when actually small
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"),
         unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"))
       .agg(Det.r(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -161,6 +163,8 @@ object Analytics {
       .withColumn("week_offset", expr("(wk - cohort_wk) div 604800"))
       .groupBy("cohort_wk", "week_offset")
       .agg(countDistinct(col("user_id")).as("active_users"))
+      // bounded: one row per cohort WEEK — ∝ the stream's time span
+      // (~1k rows for 20 years), not its volume
       .join(broadcast(sizes), "cohort_wk")
       .select(col("cohort_wk"), col("week_offset"), col("active_users"),
         col("cohort_size"),
@@ -392,8 +396,9 @@ object Analytics {
   def a08GiniConcentration(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      // customer scales with SF (unbounded) — AQE decides the join side
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))

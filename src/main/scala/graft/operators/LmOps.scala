@@ -160,6 +160,8 @@ object LmOps {
       .select(col("doc_id"), col("w1"), col("w").as("w2"))
     val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     bigrams
+      // bounded: cb ≤ (VocabSize+1)² rows, uni ≤ VocabSize+1 rows — the
+      // <unk>-capped model tables, constant-size at any corpus scale
       .join(broadcast(cb), Seq("w1", "w2"))
       .join(broadcast(uni), Seq("w1"))
       .crossJoin(broadcast(vt))
@@ -229,7 +231,9 @@ object LmOps {
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    // df is one row per DISTINCT token — Heaps-law sublinear but unbounded,
+    // so no hard hint; n is a 1-row scalar
+    tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("idf",
         r(log((col("n_docs") + 1).cast("double")

@@ -209,6 +209,7 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
     val totals = cells.groupBy("declared_lang")
       .agg(sum(col("n")).as("n_declared"))
+    // bounded: one row per declared language — the language vocabulary
     cells.join(broadcast(totals), Seq("declared_lang"))
       .select(col("declared_lang"), col("predicted_lang"), col("n"),
         r(col("n").cast("double") / col("n_declared"), 4).as("share"))
