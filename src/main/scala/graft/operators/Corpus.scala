@@ -690,7 +690,11 @@ object Corpus {
       .agg(count(lit(1)).as("c"))
       .groupBy("lang")
       .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup_docs"))
-    val hist = base.groupBy(col("lang"), col("n_tokens").as("v"))
+    // NULL n_tokens (NULL-text docs) must not enter the histogram: Spark
+    // windows order NULLS FIRST, DuckDB NULLS LAST, so a NULL row would
+    // skew the cumulative percentile differently per engine (c10's guard)
+    val hist = base.filter(col("n_tokens").isNotNull)
+      .groupBy(col("lang"), col("n_tokens").as("v"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("lang").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -731,7 +735,7 @@ object Corpus {
        |  GROUP BY 1),
        |hist AS (
        |  SELECT lang, n_tokens AS v, CAST(count(*) AS BIGINT) AS c
-       |  FROM base GROUP BY 1, 2),
+       |  FROM base WHERE n_tokens IS NOT NULL GROUP BY 1, 2),
        |cum AS (
        |  SELECT lang, v, c,
        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v

@@ -662,8 +662,15 @@ object Similarity {
       .withColumn("hit", lit(1L))
     exact.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
       .groupBy("query_id")
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .withColumn("recall_at_k", r(col("n_hits").cast("double") / TopK, 4))
+      // denominator = the ACTUAL ground-truth rows for this query, not the
+      // constant k: on a degenerate corpus (fewer than k valid neighbors —
+      // zero-norm exclusions, tiny shard) recall correctly caps at 1.0
+      // instead of being understated
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_true"))
+      .withColumn("recall_at_k",
+        r(col("n_hits").cast("double") / col("n_true"), 4))
+      .drop("n_true")
       .orderBy("query_id")
   }
 
@@ -686,7 +693,7 @@ object Similarity {
        |       AS BIGINT) AS n_hits,
        |  ${rSql(
           s"CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) " +
-            s"AS DOUBLE) / $TopK", 4)} AS recall_at_k
+            s"AS DOUBLE) / count(*)", 4)} AS recall_at_k
        |FROM bfr b LEFT JOIN ivfr i
        |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
        |GROUP BY 1 ORDER BY b.query_id""".stripMargin

@@ -155,6 +155,21 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.v07AnnIvfPq(spark, d).count() == 0)
   }
 
+  test("c12 percentiles skip NULL n_tokens; v13 recall never exceeds 1.0") {
+    // doc 0 has NULL text → NULL n_tokens: it must count in n_docs but
+    // stay OUT of the token-length histogram (Spark orders NULLS FIRST,
+    // DuckDB NULLS LAST — a NULL row would skew the cumsum per engine)
+    val en = operators.Corpus.c12CorpusDatasheet(spark, dir).collect()
+      .find(_.getString(0) == "en").get
+    assert(en.getLong(1) == 5L, "n_docs counts the NULL-text doc")
+    // non-null en token lengths are {0, 1, 2, 8} → p50 = 1, p90 = 8
+    assert(en.getLong(6) == 1L && en.getLong(7) == 8L, en.toString)
+    // recall denominator is the per-query ground-truth row count, so even
+    // on this 5-vector corpus (fewer than k valid neighbors) recall ≤ 1.0
+    val rec = Similarity.v13AnnRecall(spark, dir).collect()
+    rec.foreach(r => assert(r.getDouble(2) <= 1.0 + 1e-9, r.toString))
+  }
+
   test("round-4 doc ops survive null/empty/unicode text") {
     // pathological 8-doc fixture (null text, empty text, unicode, dup)
     val t14 = TextOps.t14CharDiversity(spark, dir).collect()
