@@ -22,10 +22,13 @@ import graft.Tables
 object Dedup {
   import TextFn._
 
-  private val NumPerm = 16 // MinHash permutations
-  private val Bands = 8 // LSH bands × 2 rows: P(collide) = 1-(1-j²)^8
+  // NumPerm/Bands/JaccardT are the ONE scheme definition — the streaming
+  // LSH dedup (streaming/DedupStream.scala) shares them so the stream and
+  // batch paths can never band differently
+  private[graft] val NumPerm = 16 // MinHash permutations
+  private[graft] val Bands = 8 // LSH bands × 2 rows: P(collide) = 1-(1-j²)^8
   private val SimBits = 63 // SimHash signature width (fits a signed long)
-  private val JaccardT = 0.5 // verify threshold (planted dups ≥ 0.5 on testdata)
+  private[graft] val JaccardT = 0.5 // verify threshold (planted dups ≥ 0.5 on testdata)
   private val HammingT = 10 // SimHash near-dup radius (calibrated on testdata)
   /** Posting-list document-frequency cap for the inverted-index verifier:
     * a shingle occurring in more than this many DISTINCT documents is

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import graft.operators.{Dedup, TextFn}
+
+/** One (doc, band-bucket) occurrence entering the stateful verify stage. */
+case class BandDoc(bucket: String, doc_id: Long, sids: Array[Long])
+
+/** A document remembered inside one band bucket's state. */
+case class BucketMember(doc_id: Long, sids: Array[Long])
+
+/** Emitted when an arriving doc verifies ≥ threshold against an earlier
+  * doc sharing one of its band buckets.
+  */
+case class DupVerdict(doc_id: Long, dup_of: Long, jaccard: Double)
+
+/** STREAMING MinHash-LSH near-dup dedup — the batch d03/d06 pipeline's
+  * ingestion-time counterpart: documents arrive on an unbounded stream and
+  * each is checked against the recently-seen corpus WITHOUT ever joining
+  * against it. The reference's roadmap stops at exact fingerprint dedup
+  * (`kafka_to_influxdb.py` has no dedup at all); this is the operator a
+  * production crawl-ingest pipeline actually needs — re-crawls and mirror
+  * pages are near-identical, not byte-identical.
+  *
+  * Shape: the signature stage is d06's dictionary-free spelling computed
+  * PER ROW (xxhash64 shingle ids, 16 permutations, 8 bands × 2 rows — the
+  * constants are [[graft.operators.Dedup]]'s own, one scheme definition)
+  * with array higher-order functions, so it is stateless and
+  * stream/batch-agnostic: the SAME function runs on a batch frame, which
+  * is exactly how the spec proves stream≡batch. The only stateful stage
+  * is `transformWithState` keyed by band bucket: each bucket remembers up
+  * to [[DedupStream.MaxBucketMembers]] member docs (id + sid set) and an
+  * arriving doc exact-verifies Jaccard against them — candidates come
+  * from band collision (never a corpus join), the verify is exact, and
+  * ties go to the highest Jaccard then smallest doc id.
+  *
+  * Scale: state is buckets × ≤64 members × one capped sid array, keyed by
+  * the bucket string — RocksDB-backed (required by transformWithState;
+  * SCALE.md "streaming state backend at size" measures ~15-30 B of heap
+  * per state row vs ~1.3 KB on the HDFS-backed store, which is what makes
+  * a corpus-sized member state viable at all). The member cap bounds both
+  * state and per-arrival compare cost the same way the batch df-cap
+  * bounds posting lists: a bucket hot enough to overflow is boilerplate
+  * banding, and verbatim floods still dedup — every late replica matches
+  * member #1. Horizon eviction (dedup-within-window) is one TTLConfig
+  * swap on the list state, mirroring `dropDuplicatesWithinWatermark`.
+  */
+object DedupStream {
+
+  /** Per-bucket member cap: bounds state and compare cost (the streaming
+    * analogue of the batch [[graft.operators.Dedup.MaxShingleDf]]).
+    */
+  val MaxBucketMembers = 64
+
+  /** Stateless per-row signature stage — d06's xxhash64 shingle ids as a
+    * row-local array (no dictionary, no shuffle). Runs identically on a
+    * stream or a batch frame; docs under 3 tokens carry no shingles and
+    * are passed through with an empty sid set (never near-dup flagged).
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", TextFn.tokens(col("text")))
+      .withColumn("sids",
+        when(size(col("t")) >= 3,
+          array_distinct(transform(TextFn.shingles3(col("t")),
+            s => abs(xxhash64(s)) % lit(TextFn.P))))
+          .otherwise(array().cast("array<bigint>")))
+      .drop("t", "text")
+
+  /** Band-bucket keys per doc: bucket = "band_h(2b-1)_h(2b)" over the
+    * row-local MinHash mins — one output row per (doc, band).
+    */
+  def banded(sig: DataFrame): DataFrame = {
+    val hs = (1 to Dedup.NumPerm).map(j =>
+      array_min(transform(col("sids"), x => TextFn.perm(j - 1, x)))
+        .as(s"h$j"))
+    val withH = sig.filter(size(col("sids")) > 0)
+      .select(col("doc_id") +: col("sids") +: hs: _*)
+    val buckets = (1 to Dedup.Bands).map(b =>
+      concat_ws("_", lit(b), col(s"h${2 * b - 1}"), col(s"h${2 * b}")))
+    withH.select(col("doc_id"), col("sids"),
+      explode(array(buckets: _*)).as("bucket"))
+  }
+
+  /** The stateful verify stage: per band bucket, remember members and
+    * exact-verify each arrival against them. Within a micro-batch,
+    * arrivals are processed in doc_id order so replayed batches are
+    * deterministic.
+    */
+  class LshBucketProcessor
+      extends StatefulProcessor[String, BandDoc, DupVerdict] {
+    @transient private var members: ListState[BucketMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[BucketMember]("members",
+        Encoders.product[BucketMember], TTLConfig.NONE)
+
+    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val sa = a.toSet
+      var inter = 0
+      b.foreach(x => if (sa.contains(x)) inter += 1)
+      inter.toDouble / (a.length + b.length - inter)
+    }
+
+    override def handleInputRows(bucket: String, rows: Iterator[BandDoc],
+        timerValues: TimerValues): Iterator[DupVerdict] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[BucketMember]
+      members.get().foreach(stored += _)
+      val out = List.newBuilder[DupVerdict]
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        var bestId = -1L
+        var bestJ = 0.0
+        stored.foreach { m =>
+          val j = jaccard(m.sids, r.sids)
+          if (j >= Dedup.JaccardT
+            && (j > bestJ || (j == bestJ && m.doc_id < bestId)))
+          { bestId = m.doc_id; bestJ = j }
+        }
+        if (bestId >= 0)
+          out += DupVerdict(r.doc_id, bestId,
+            BigDecimal(bestJ).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
+        if (stored.length < MaxBucketMembers) {
+          val m = BucketMember(r.doc_id, r.sids)
+          members.appendValue(m)
+          stored += m
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming per-band verdicts: a doc may emit up to [[Dedup.Bands]]
+    * rows (one per colliding bucket); fold with [[dupDocs]] (e.g. inside
+    * `foreachBatch`) for the per-doc decision.
+    */
+  def lshVerdicts(docs: DataFrame)(
+      implicit s: SparkSession): Dataset[DupVerdict] = {
+    import s.implicits._
+    banded(signatures(docs))
+      .select(col("bucket"), col("doc_id"), col("sids")).as[BandDoc]
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch fold of per-band verdicts to one row per duplicate doc —
+    * earliest owner wins, best observed Jaccard reported.
+    */
+  def dupDocs(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(col("dup_of")).as("dup_of"),
+        max(col("jaccard")).as("best_jaccard"))
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.DedupStream
+
+/** Streaming MinHash-LSH near-dup dedup: the stateful bucket-verify
+  * operator must reach exactly the batch LSH decision — candidates from
+  * band collision, exact Jaccard verify, keep-first — while seeing the
+  * corpus one arrival at a time.
+  */
+class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb = "org.apache.spark.sql.execution.streaming." +
+    "state.RocksDBStateStoreProvider"
+
+  /** Run docs through the streaming operator in two micro-batches split
+    * at the doc_id median (arrival order == doc_id order) and return the
+    * collected verdicts.
+    */
+  private def streamVerdicts(docs: Seq[(Long, String)], name: String)
+      : Array[(Long, Long, Double)] = {
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb) // transformWithState requires it
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val verdicts = DedupStream.lshVerdicts(
+        ms.toDF().toDF("doc_id", "text"))
+      val q = verdicts.toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        val sorted = docs.sortBy(_._1)
+        val (b1, b2) = sorted.splitAt(sorted.length / 2)
+        ms.addData(b1)
+        q.processAllAvailable()
+        ms.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("stream decision == batch LSH decision on the real corpus") {
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = streamVerdicts(docs, "lsh_stream_t")
+
+    // batch reference with the SAME signature/banding functions: doc b is
+    // a duplicate iff some EARLIER doc shares a band bucket and verifies
+    // Jaccard >= threshold on the same sid sets
+    import spark.implicits._
+    val banded = DedupStream.banded(DedupStream.signatures(
+      docs.toDF("doc_id", "text"))).cache()
+    val expected = banded.as("a")
+      .join(banded.as("b"), col("a.bucket") === col("b.bucket")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("dup"), col("a.doc_id").as("owner"),
+        (size(array_intersect(col("a.sids"), col("b.sids"))).cast("double")
+          / size(array_union(col("a.sids"), col("b.sids")))).as("j"))
+      .filter(col("j") >= operators.Dedup.JaccardT)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    banded.unpersist()
+
+    val gotDups = got.map(_._1).toSet
+    val expDups = expected.map(_._1).toSet
+    assert(expDups.nonEmpty, "fixture must contain planted near-dups")
+    assert(gotDups == expDups,
+      s"stream flagged ${gotDups.size} docs, batch ${expDups.size}; " +
+        s"diff=${(gotDups diff expDups) ++ (expDups diff gotDups)}")
+    // every streamed verdict names a valid earlier partner at >= threshold
+    val expPairs = expected.map(v => (v._1, v._2)).toSet
+    got.foreach { case (dup, owner, j) =>
+      assert(owner < dup && j >= operators.Dedup.JaccardT, s"($dup,$owner,$j)")
+      assert(expPairs.contains((dup, owner)),
+        s"stream paired $dup with $owner; batch never verified that pair")
+    }
+  }
+
+  test("bucket member cap never loses verbatim floods (70 replicas, cap 64)") {
+    // 70 identical docs all land in the same 8 buckets; members stop
+    // accumulating at 64 but every later replica still matches member #1 —
+    // the cap bounds STATE, not recall on the flood itself
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (1L to 70L).map(i => i -> text)
+    val got = streamVerdicts(docs, "lsh_stream_cap_t")
+    val folded = got.groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).min }
+    assert(folded.keySet == (2L to 70L).toSet,
+      s"all 69 replicas must be flagged: got ${folded.size}")
+    assert(folded.values.forall(_ == 1L), "earliest doc owns the flood")
+    assert(got.forall(_._3 == 1.0), "verbatim replicas verify at 1.0")
+  }
+}
