@@ -831,7 +831,63 @@ object Dedup {
        |  ELSE CAST(NULL AS DOUBLE) END AS cand_precision
        |FROM counts""".stripMargin
 
+  /** d12 — arrival-order dedup DECISION: one row per document with its
+    * keep-first verdict under the LSH pipeline — kept unless some EARLIER
+    * doc (smaller doc_id = arrival order) verifies ≥ [[JaccardT]] as a
+    * band-collision candidate. The batch twin of the streaming
+    * [[graft.streaming.DedupStream]] operator (which reaches the same
+    * decision one arrival at a time, spec-proven); d07 answers "what are
+    * the clusters", this answers the ingest question "do I keep THIS
+    * doc given everything before it". Owner = the earliest matching doc,
+    * with its verified Jaccard.
+    *
+    * Scale: rides the d06 dictionary-free chain verbatim (xxhash64 ids,
+    * banded candidates, exact verify) plus one |pairs|-sized groupBy and
+    * a left join back onto the doc list — nothing new shuffles the
+    * corpus. Oracle: the same decision over the dictionary-id chain
+    * (d06's id-independence argument carries over). Scope measured like
+    * d06's: exact at the gate SFs; at sf1 the two id assignments flip 24
+    * of 50,000 keep decisions (0.05 %) — docs whose ONLY earlier partner
+    * is a near-threshold pair, where banded-LSH candidate membership is
+    * id-dependent (P(candidate | j=0.5) ≈ 0.90 per permutation set, see
+    * [[d06MinhashXxhashScale]]). Documented recall behavior, not an
+    * error in either path.
+    */
+  def d12ArrivalDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d06MinhashXxhashScale(s, dir)
+    val owners = pairs
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(struct(col("id_a"), col("jaccard"))).as("o"))
+      .select(col("doc_id"), col("o.id_a").as("dup_of"),
+        col("o.jaccard").as("jaccard"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(owners, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private def d12Sql = {
+    val j = rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)
+    s"""WITH $shingleIdsSql,
+       |$lshCoreSql,
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b, $j AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.id_a
+       |  JOIN sizes zb ON zb.doc_id = i.id_b
+       |  WHERE $j >= $JaccardT),
+       |owners AS (
+       |  SELECT id_b AS doc_id, min(id_a) AS dup_of,
+       |    arg_min(jaccard, id_a) AS jaccard
+       |  FROM pairs GROUP BY 1)
+       |SELECT d.doc_id, o.dup_of IS NULL AS is_kept, o.dup_of, o.jaccard
+       |FROM documents d LEFT JOIN owners o ON o.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_arrival_dedup" -> (d12ArrivalDedup _),
     "d10_lsh_evaluation" -> (d10LshEvaluation _),
     "r01_record_linkage" -> (r01RecordLinkage _),
     "r02_jaro_linkage" -> (r02JaroLinkage _),
@@ -851,6 +907,7 @@ object Dedup {
     * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
+    "d12_arrival_dedup" -> d12Sql,
     "d10_lsh_evaluation" -> d10Sql,
     "r01_record_linkage" -> r01Sql,
     "r02_jaro_linkage" -> r02Sql,

@@ -74,6 +74,15 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     val gotDups = got.map(_._1).toSet
     val expDups = expected.map(_._1).toSet
     assert(expDups.nonEmpty, "fixture must contain planted near-dups")
+    // the registered batch twin (d12, capped d06 chain) reaches the same
+    // decision set here — stream, uncapped batch reference, and the
+    // oracle-checked operator agree on who gets dropped (the df-cap does
+    // not bind at this SF; at sf1 scale the id-dependence delta is
+    // documented in d12's scaladoc)
+    val d12Dups = operators.Dedup.d12ArrivalDedup(spark, Sf).collect()
+      .filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(d12Dups == expDups,
+      s"d12 vs reference diff=${(d12Dups diff expDups) ++ (expDups diff d12Dups)}")
     assert(gotDups == expDups,
       s"stream flagged ${gotDups.size} docs, batch ${expDups.size}; " +
         s"diff=${(gotDups diff expDups) ++ (expDups diff gotDups)}")
