@@ -58,7 +58,7 @@ object SparkEntry {
     "g06_pagerank_loop",
     "t04_fingerprint", "t05_token_freq",
     "d03_minhash_lsh", "d06_minhash_xxhash_scale",
-    "d04b_simhash_banded", "d08_neardup_after_dedup",
+    "d04b_simhash_banded", "d08_neardup_after_dedup", "d12_arrival_dedup",
     "v01_cosine_topk", "d05_embedding_neardup",
     "d05b_embedding_neardup_lsh",
     "w01_top_per_group", "w03_running_total", "w04_asof_join",
