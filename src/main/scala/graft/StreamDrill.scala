@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-executor drill for the STREAMING LSH dedup: runs
+  * [[streaming.DedupStream.lshVerdicts]] as a real file-source stream on
+  * whatever master `SPARK_GRAFT_MASTER` names (e.g.
+  * `local-cluster[4,8,4096]` via spark-submit — the certification that the
+  * StatefulProcessor, its case-class encoders, and the per-executor
+  * RocksDB state stores survive real JVM boundaries, which local[n] never
+  * exercises), then cross-checks the streamed decision set against the
+  * batch d12 operator computed in the same session.
+  *
+  * Usage: spark-submit --class graft.StreamDrill <jar> [sfDir]
+  * Exits 0 and prints `DRILL PASS` on agreement; exits 1 otherwise.
+  */
+object StreamDrill {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // stage the corpus as a json-lines file source (a REAL streaming
+    // source that works across executor JVMs, unlike MemoryStream)
+    val stage = Files.createTempDirectory("streamdrill").toString
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .coalesce(2).write.mode("overwrite").json(s"$stage/in")
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(s"$stage/in")
+    val q = streaming.DedupStream.lshVerdicts(docs).toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$stage/out")
+      .option("checkpointLocation", s"$stage/ckpt")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$stage/out")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val batch = operators.Dedup.d12ArrivalDedup(spark, sfDir)
+      .filter(!col("is_kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // NOTE: a file-source stream has no arrival-order guarantee BETWEEN
+    // files, but all docs land in one micro-batch here and the processor
+    // orders within a batch by doc_id — so the decision set must equal
+    // the batch keep-first decision exactly (the uncapped-vs-capped sid
+    // delta does not bind at these SFs, proven by DedupStreamSpec)
+    val diff = (streamed diff batch) ++ (batch diff streamed)
+    if (diff.isEmpty && streamed.nonEmpty) {
+      println(s"DRILL PASS master=$master dups=${streamed.size}")
+      spark.stop()
+    } else {
+      println(s"DRILL FAIL master=$master streamed=${streamed.size} " +
+        s"batch=${batch.size} diff=${diff.take(10)}")
+      spark.stop()
+      sys.exit(1)
+    }
+  }
+}
