@@ -55,6 +55,19 @@ object DedupStream {
     */
   val MaxBucketMembers = 64
 
+  /** Exact set-Jaccard of two distinct-element sid arrays — the verify
+    * kernel the processor runs per candidate. Property-pinned equal to
+    * the SQL `array_intersect/array_union` spelling the batch reference
+    * uses (DedupStreamSpec), so the two verify paths cannot drift.
+    */
+  private[graft] def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
   /** Stateless per-row signature stage — d06's xxhash64 shingle ids as a
     * row-local array (no dictionary, no shuffle). Runs identically on a
     * stream or a batch frame; docs under 3 tokens carry no shingles and
@@ -97,14 +110,6 @@ object DedupStream {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[BucketMember]("members",
         Encoders.product[BucketMember], TTLConfig.NONE)
-
-    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
-      if (a.isEmpty || b.isEmpty) return 0.0
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(x => if (sa.contains(x)) inter += 1)
-      inter.toDouble / (a.length + b.length - inter)
-    }
 
     override def handleInputRows(bucket: String, rows: Iterator[BandDoc],
         timerValues: TimerValues): Iterator[DupVerdict] = {

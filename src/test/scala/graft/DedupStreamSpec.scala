@@ -95,6 +95,32 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("processor Jaccard kernel == the SQL array spelling (property)") {
+    // seeded Gen sampling, PropertySpec's pattern (the scalatest/scalacheck
+    // bridge artifact is not in the offline cache); ONE Spark job evaluates
+    // the SQL spelling over all sampled pairs
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val g = Gen.containerOf[Set, Long](Gen.chooseNum(0L, 40L))
+      .map(_.toArray.sorted)
+    val pairs = (0 until 200).flatMap { i =>
+      for {
+        a <- g.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- g.apply(Gen.Parameters.default, Seed(1000L + i))
+      } yield (a, b)
+    }
+    val sqlJ = pairs.toDF("a", "b")
+      .select(when(size(col("a")) === 0 || size(col("b")) === 0, 0.0)
+        .otherwise(size(array_intersect(col("a"), col("b"))).cast("double")
+          / size(array_union(col("a"), col("b")))).as("j"))
+      .collect().map(_.getDouble(0))
+    pairs.zip(sqlJ).foreach { case ((a, b), sql) =>
+      val kernel = DedupStream.jaccard(a, b)
+      assert(kernel == sql, s"kernel=$kernel sql=$sql a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
   test("bucket member cap never loses verbatim floods (70 replicas, cap 64)") {
     // 70 identical docs all land in the same 8 buckets; members stop
     // accumulating at 64 but every later replica still matches member #1 —
