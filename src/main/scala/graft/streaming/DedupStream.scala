@@ -45,8 +45,9 @@ case class DupVerdict(doc_id: Long, dup_of: Long, jaccard: Double)
   * state and per-arrival compare cost the same way the batch df-cap
   * bounds posting lists: a bucket hot enough to overflow is boilerplate
   * banding, and verbatim floods still dedup — every late replica matches
-  * member #1. Horizon eviction (dedup-within-window) is one TTLConfig
-  * swap on the list state, mirroring `dropDuplicatesWithinWatermark`.
+  * member #1. Horizon eviction (dedup-within-window) is
+  * [[DedupStream.lshVerdictsWithin]] — the same processor with a TTL on
+  * the member list, mirroring `dropDuplicatesWithinWatermark`.
   */
 object DedupStream {
 
@@ -103,13 +104,13 @@ object DedupStream {
     * arrivals are processed in doc_id order so replayed batches are
     * deterministic.
     */
-  class LshBucketProcessor
+  class LshBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, BandDoc, DupVerdict] {
     @transient private var members: ListState[BucketMember] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[BucketMember]("members",
-        Encoders.product[BucketMember], TTLConfig.NONE)
+        Encoders.product[BucketMember], ttl)
 
     override def handleInputRows(bucket: String, rows: Iterator[BandDoc],
         timerValues: TimerValues): Iterator[DupVerdict] = {
@@ -151,6 +152,29 @@ object DedupStream {
       .groupByKey(_.bucket)
       .transformWithState(new LshBucketProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Horizon-bounded variant: bucket members expire after `ttl`, so a
+    * re-crawl arriving INSIDE the horizon dedups and one outside it is
+    * (deliberately) re-admitted — `dropDuplicatesWithinWatermark`
+    * semantics for near-dups, and the state-GC story at corpus scale:
+    * state holds only the horizon's documents, not stream history.
+    *
+    * Operational cost, measured: TTL requires `TimeMode.ProcessingTime`,
+    * under which the engine self-triggers batches continuously even with
+    * no input (SCALE.md's documented idle-stream landmine — 869 empty
+    * batches in ~4 min when a spec slept beside it). Fine on a stream
+    * that is never idle; on a bursty one prefer [[lshVerdicts]] and
+    * periodic checkpoint-rotation for state GC.
+    */
+  def lshVerdictsWithin(docs: DataFrame, ttl: java.time.Duration)(
+      implicit s: SparkSession): Dataset[DupVerdict] = {
+    import s.implicits._
+    banded(signatures(docs))
+      .select(col("bucket"), col("doc_id"), col("sids")).as[BandDoc]
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor(TTLConfig(ttl)),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Batch fold of per-band verdicts to one row per duplicate doc —

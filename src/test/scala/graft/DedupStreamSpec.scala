@@ -95,6 +95,44 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("TTL horizon variant wires correctly: in-horizon replica still dedups") {
+    // wiring check only: the TTL'd processor runs under ProcessingTime
+    // mode and an in-horizon replica is still caught. EXPIRY itself is
+    // Spark's RocksDB TTL (not ours to re-test), and a wall-clock expiry
+    // spec would have to sleep while the query self-triggers empty
+    // batches continuously — the idle-stream landmine SCALE.md documents
+    // for processing-time state; the first version of this spec churned
+    // through 869 empty batches before it was killed
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val ms = MemoryStream[(Long, String)]
+      val text = "alpha beta gamma delta epsilon zeta"
+      val q = DedupStream.lshVerdictsWithin(
+          ms.toDF().toDF("doc_id", "text"), java.time.Duration.ofHours(1))
+        .toDF().writeStream.format("memory").queryName("ttl_wide_t")
+        .outputMode("append").start()
+      try {
+        ms.addData(Seq(1L -> text, 2L -> text))
+        // processAllAvailable never settles here — ProcessingTime mode
+        // self-triggers batches forever (the landmine above) — so POLL
+        // for the verdict row instead, then stop the churning query
+        var tries = 0
+        while (tries < 150 && spark.table("ttl_wide_t").count() < 1) {
+          Thread.sleep(200); tries += 1
+        }
+      } finally q.stop()
+      assert(spark.table("ttl_wide_t").collect()
+        .map(_.getLong(0)).toSet == Set(2L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   test("processor Jaccard kernel == the SQL array spelling (property)") {
     // seeded Gen sampling, PropertySpec's pattern (the scalatest/scalacheck
     // bridge artifact is not in the offline cache); ONE Spark job evaluates
