@@ -48,18 +48,18 @@ object StreamDrill {
     q.processAllAvailable()
     q.stop()
 
-    val streamed = spark.read.parquet(s"$stage/out")
-      .select("doc_id").distinct()
-      .collect().map(_.getLong(0)).toSet
+    val streamed = streaming.DedupStream.dupDocs(
+        spark.read.parquet(s"$stage/out"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = operators.Dedup.d12ArrivalDedup(spark, sfDir)
-      .filter(!col("is_kept")).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
+      .filter(!col("is_kept")).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // NOTE: a file-source stream has no arrival-order guarantee BETWEEN
     // files, but all docs land in one micro-batch here and the processor
     // orders within a batch by doc_id — so the decision set must equal
     // the batch keep-first decision exactly (the uncapped-vs-capped sid
     // delta does not bind at these SFs, proven by DedupStreamSpec)
-    val diff = (streamed diff batch) ++ (batch diff streamed)
+    val diff = (streamed.toSet diff batch.toSet) ++ (batch.toSet diff streamed.toSet)
     if (diff.isEmpty && streamed.nonEmpty) {
       println(s"DRILL PASS master=$master dups=${streamed.size}")
       spark.stop()

@@ -707,7 +707,10 @@ object Corpus {
       .withColumn("n", sum(col("c")).over(wAll))
       .groupBy("lang")
       .agg(q(50), q(90))
-    vol.join(dups, Seq("lang")).join(pct, Seq("lang"))
+    // LEFT join: a language whose every doc has NULL text has no
+    // histogram rows — it must still appear in the datasheet (with NULL
+    // percentiles), not silently vanish from volume accounting
+    vol.join(dups, Seq("lang")).join(pct, Seq("lang"), "left_outer")
       .orderBy("lang")
   }
 
@@ -754,7 +757,7 @@ object Corpus {
        |  vol.mean_quality, dups.n_dup_docs, pct.p50_tokens, pct.p90_tokens
        |FROM vol
        |JOIN dups ON dups.lang = vol.lang
-       |JOIN pct ON pct.lang = vol.lang
+       |LEFT JOIN pct ON pct.lang = vol.lang
        |ORDER BY vol.lang""".stripMargin
   }
 

@@ -548,15 +548,28 @@ object Dedup {
     * tractable at all: the quadratic stage only ever sees distinct text.
     * Pair ids are canonical (min) doc_ids.
     */
-  def d08NeardupAfterDedup(s: SparkSession, dir: String): DataFrame = {
+  def d08NeardupAfterDedup(s: SparkSession, dir: String): DataFrame =
+    verifiedPairsOn(capShingles(canonShingleRows(s, dir).cache()).cache())
+      .orderBy("id_a", "id_b")
+
+  /** Exploded (doc_id, shingle) rows of the CANONICAL corpus (min doc_id
+    * per distinct text) — d08's and c09's shared pre-pair frame.
+    */
+  private def canonShingleRows(s: SparkSession, dir: String): DataFrame = {
     val canon = Tables.documents(s, dir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val t = tokens(col("text"))
-    val sh0 = canon
+    canon
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
-    val ds = capShingles(sh0.cache()).cache()
+  }
+
+  /** Exact-Jaccard ≥ [[JaccardT]] pairs of a (doc_id, s) frame — the
+    * inverted-index verify shape on raw shingle strings, shared by d08
+    * (canonical-universe cap) and c09 (full-corpus-universe cap).
+    */
+  private def verifiedPairsOn(ds: DataFrame): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s")
@@ -570,12 +583,11 @@ object Dedup {
         r(col("c").cast("double")
           / (col("sa.n") + col("sb.n") - col("c")), 4).as("jaccard"))
       .filter(col("jaccard") >= JaccardT)
-      .orderBy("id_a", "id_b")
   }
 
   /** CTE chain `canon/sh0/hot/sh/sizes/inter` — d08's exact-after-dedup
-    * verifier over canonical texts only; shared by the d08 oracle and the
-    * c09 oracle (whose clusters now ride this scale path, not d02's).
+    * verifier over canonical texts (cap universe = canonical corpus; the
+    * c09 oracle spells its own chain with the FULL-corpus cap).
     */
   private def d08CoreCtes =
     s"""canon AS (SELECT min(doc_id) AS doc_id, text
@@ -694,19 +706,26 @@ object Dedup {
     * post-hoc filtering. Knuth-bucket 10-way: 0–7 train, 8 val, 9 test.
     *
     * Scale (this is the one operator that MUST run at full corpus size —
-    * splitting a sample is useless): the pair source is [[
-    * d08NeardupAfterDedup]], the exact-dedup-FIRST composition proven at
-    * sf1 where the corpus-wide d02 verifier hit its O(replication²) spill
-    * wall — verbatim replicas collapse in one linear hash-groupBy and only
-    * the canonical texts enter the pair stage. Each doc maps to its exact
-    * canonical (min doc_id over identical text, a null-safe window — at
-    * 100 TB key this shuffle on the 8-byte fingerprint as in d01, text as
-    * residual), the canonical maps to its near-dup CC label, and the
-    * closure covers verbatim + near-dup transitively: replicas share an
-    * exact canonical, near-dup canonicals share a CC label. The final
-    * cluster join carries NO broadcast hint — the cluster table grows with
-    * the corpus's near-dup rate (30–50 % on web crawls → multi-TB), so
-    * AQE decides: broadcast when actually small, shuffle join otherwise.
+    * splitting a sample is useless): the pair stage uses d08's
+    * exact-dedup-FIRST composition, proven at sf1 where the corpus-wide
+    * d02 verifier hit its O(replication²) spill wall — verbatim replicas
+    * collapse in one linear hash-groupBy and only the canonical texts
+    * enter the quadratic join. One refinement beyond d08 makes the
+    * no-straddle invariant STRUCTURAL rather than observed: the df-cap's
+    * hot list is computed over the FULL corpus (one linear groupBy —
+    * exactly d02's cap set), so a replica carries precisely its
+    * canonical's capped shingles and every d02-verified pair (a,b) IS the
+    * pair (ec(a), ec(b)) at identical Jaccard here. (d08's own
+    * canonical-universe cap can keep a shingle the full-corpus cap drops,
+    * letting a d02 pair verify differently — fine for d08's contract,
+    * not for a leakage guarantee.) Each doc maps to its exact canonical
+    * (min doc_id over identical text, a null-safe window — at 100 TB key
+    * this shuffle on the 8-byte fingerprint as in d01, text as residual),
+    * the canonical maps to its near-dup CC label, and the closure covers
+    * verbatim + near-dup transitively. The final cluster join carries NO
+    * broadcast hint — the cluster table grows with the corpus's near-dup
+    * rate (30–50 % on web crawls → multi-TB), so AQE decides: broadcast
+    * when actually small, shuffle join otherwise.
     */
   def c09LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph, VertexId}
@@ -719,9 +738,15 @@ object Dedup {
     val docEc = Tables.documents(s, dir)
       .select(col("doc_id"),
         min(col("doc_id")).over(Window.partitionBy(col("text"))).as("ec"))
-    // near-dup pairs over the canonical corpus only — ids are exact
-    // canonicals by d08's construction
-    val pairs = d08NeardupAfterDedup(s, dir).select(col("id_a"), col("id_b"))
+    // boilerplate cap from the FULL corpus (d02's universe), pair join on
+    // canonical texts only; no broadcast hint — the hot list is tiny but
+    // AQE should prove it at runtime
+    val hot = shingleRows(s, dir).groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select("s")
+    val pairs = verifiedPairsOn(
+        canonShingleRows(s, dir).join(hot, Seq("s"), "left_anti").cache())
+      .select(col("id_a"), col("id_b"))
     val edgeRdd = pairs.as[(Long, Long)].rdd
       .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
     val cc = Graph.fromEdges(edgeRdd, ())
@@ -740,7 +765,20 @@ object Dedup {
   private def c09Sql = {
     val bucket = Det.sqlKnuthBucket("cluster_id", 10L)
     val j = rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)
-    s"""WITH RECURSIVE $d08CoreCtes,
+    s"""WITH RECURSIVE canon AS (SELECT min(doc_id) AS doc_id, text
+       |          FROM documents GROUP BY text),
+       |shf AS ($shingleRowsSql),
+       |hot AS (SELECT s FROM shf GROUP BY s
+       |        HAVING count(*) > $MaxShingleDf),
+       |shc AS (SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
+       |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM canon)
+       |        WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, s FROM shc
+       |       WHERE s NOT IN (SELECT s FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
        |pairs AS (SELECT id_a, id_b FROM inter
        |          JOIN sizes sa ON sa.doc_id = id_a
        |          JOIN sizes sb ON sb.doc_id = id_b

@@ -61,13 +61,27 @@ object DedupStream {
     * the SQL `array_intersect/array_union` spelling the batch reference
     * uses (DedupStreamSpec), so the two verify paths cannot drift.
     */
-  private[graft] def jaccard(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty || b.isEmpty) return 0.0
-    val sa = a.toSet
+  private[graft] def jaccard(a: Array[Long], b: Array[Long]): Double =
+    jaccardVs(a.toSet, a.length, b)
+
+  /** [[jaccard]] with the first side pre-hashed — the processor builds
+    * the arrival's set ONCE per arrival, not once per member compare.
+    */
+  private def jaccardVs(sa: Set[Long], na: Int, b: Array[Long]): Double = {
+    if (na == 0 || b.isEmpty) return 0.0
     var inter = 0
     b.foreach(x => if (sa.contains(x)) inter += 1)
-    inter.toDouble / (a.length + b.length - inter)
+    inter.toDouble / (na + b.length - inter)
   }
+
+  /** 4-dp HALF_UP snap — the batch family thresholds the ROUNDED Jaccard
+    * (`Det.r(j,4) >= JaccardT` in d02/d06/d12), so the stream must too:
+    * an unrounded compare would keep a doc at j=0.49998 that every batch
+    * twin drops, and the stream≡batch equality specs would flake on
+    * near-threshold pairs.
+    */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Stateless per-row signature stage — d06's xxhash64 shingle ids as a
     * row-local array (no dictionary, no shuffle). Runs identically on a
@@ -118,18 +132,20 @@ object DedupStream {
       members.get().foreach(stored += _)
       val out = List.newBuilder[DupVerdict]
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        var bestId = -1L
-        var bestJ = 0.0
+        val rSet = r.sids.toSet // once per arrival, not per member
+        // owner = the EARLIEST verifying member — min over buckets then
+        // folds (dupDocs) to the min over ALL verifying partners, which
+        // is exactly d12's earliest-owner attribution, so stream and
+        // batch agree on owners by construction, not just on the dup set
+        var ownerId = -1L
+        var ownerJ = 0.0
         stored.foreach { m =>
-          val j = jaccard(m.sids, r.sids)
-          if (j >= Dedup.JaccardT
-            && (j > bestJ || (j == bestJ && m.doc_id < bestId)))
-          { bestId = m.doc_id; bestJ = j }
+          if (ownerId < 0 || m.doc_id < ownerId) {
+            val j = r4(jaccardVs(rSet, r.sids.length, m.sids))
+            if (j >= Dedup.JaccardT) { ownerId = m.doc_id; ownerJ = j }
+          }
         }
-        if (bestId >= 0)
-          out += DupVerdict(r.doc_id, bestId,
-            BigDecimal(bestJ).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
+        if (ownerId >= 0) out += DupVerdict(r.doc_id, ownerId, ownerJ)
         if (stored.length < MaxBucketMembers) {
           val m = BucketMember(r.doc_id, r.sids)
           members.appendValue(m)
@@ -178,10 +194,11 @@ object DedupStream {
   }
 
   /** Batch fold of per-band verdicts to one row per duplicate doc —
-    * earliest owner wins, best observed Jaccard reported.
+    * earliest owner wins with ITS Jaccard (d12's arg_min attribution).
     */
   def dupDocs(verdicts: DataFrame): DataFrame =
     verdicts.groupBy("doc_id")
-      .agg(min(col("dup_of")).as("dup_of"),
-        max(col("jaccard")).as("best_jaccard"))
+      .agg(min(struct(col("dup_of"), col("jaccard"))).as("o"))
+      .select(col("doc_id"), col("o.dup_of").as("dup_of"),
+        col("o.jaccard").as("jaccard"))
 }

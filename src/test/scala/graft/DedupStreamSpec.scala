@@ -12,10 +12,6 @@ import graft.streaming.DedupStream
   */
 class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
 
-  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-  private val RocksDb = "org.apache.spark.sql.execution.streaming." +
-    "state.RocksDBStateStoreProvider"
-
   /** Run docs through the streaming operator in two micro-batches split
     * at the doc_id median (arrival order == doc_id order) and return the
     * collected verdicts.
@@ -25,9 +21,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     implicit val s = spark
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDb) // transformWithState requires it
-    try {
+    withStateProvider(RocksDbProvider) { // transformWithState requires it
       val ms = MemoryStream[(Long, String)]
       val verdicts = DedupStream.lshVerdicts(
         ms.toDF().toDF("doc_id", "text"))
@@ -43,9 +37,6 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
       } finally q.stop()
       spark.table(name).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    } finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
     }
   }
 
@@ -65,8 +56,11 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
       .join(banded.as("b"), col("a.bucket") === col("b.bucket")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("b.doc_id").as("dup"), col("a.doc_id").as("owner"),
-        (size(array_intersect(col("a.sids"), col("b.sids"))).cast("double")
-          / size(array_union(col("a.sids"), col("b.sids")))).as("j"))
+        // ROUNDED threshold — the batch family's discipline (Det.r at
+        // 4 dp before the compare), which the processor now mirrors
+        operators.Det.r(
+          size(array_intersect(col("a.sids"), col("b.sids"))).cast("double")
+            / size(array_union(col("a.sids"), col("b.sids"))), 4).as("j"))
       .filter(col("j") >= operators.Dedup.JaccardT)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     banded.unpersist()
@@ -79,10 +73,17 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     // oracle-checked operator agree on who gets dropped (the df-cap does
     // not bind at this SF; at sf1 scale the id-dependence delta is
     // documented in d12's scaladoc)
-    val d12Dups = operators.Dedup.d12ArrivalDedup(spark, Sf).collect()
-      .filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
-    assert(d12Dups == expDups,
-      s"d12 vs reference diff=${(d12Dups diff expDups) ++ (expDups diff d12Dups)}")
+    val d12Rows = operators.Dedup.d12ArrivalDedup(spark, Sf).collect()
+      .filter(!_.getBoolean(1)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d12Rows.keySet == expDups,
+      s"d12 vs reference diff=${(d12Rows.keySet diff expDups) ++ (expDups diff d12Rows.keySet)}")
+    // OWNER attribution agrees too: the processor takes the earliest
+    // verifying member per bucket and dupDocs folds min across buckets —
+    // exactly d12's min-over-all-verifying-pairs owner
+    val streamOwners = DedupStream.dupDocs(got.toSeq.toDF("doc_id", "dup_of", "jaccard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamOwners == d12Rows,
+      s"owner diff=${streamOwners.toSet diff d12Rows.toSet}")
     assert(gotDups == expDups,
       s"stream flagged ${gotDups.size} docs, batch ${expDups.size}; " +
         s"diff=${(gotDups diff expDups) ++ (expDups diff gotDups)}")
@@ -106,9 +107,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     implicit val s = spark
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption(ProviderKey)
-    spark.conf.set(ProviderKey, RocksDb)
-    try {
+    withStateProvider(RocksDbProvider) {
       val ms = MemoryStream[(Long, String)]
       val text = "alpha beta gamma delta epsilon zeta"
       val q = DedupStream.lshVerdictsWithin(
@@ -127,9 +126,6 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
       } finally q.stop()
       assert(spark.table("ttl_wide_t").collect()
         .map(_.getLong(0)).toSet == Set(2L))
-    } finally prev match {
-      case Some(v) => spark.conf.set(ProviderKey, v)
-      case None => spark.conf.unset(ProviderKey)
     }
   }
 

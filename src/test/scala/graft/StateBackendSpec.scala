@@ -26,13 +26,10 @@ class StateBackendSpec extends AnyFunSuite with SparkTestSession {
   /** Run the 1-KiB-per-row streaming dedup with `n` distinct keys and
     * return the GC-settled heap growth across the state load.
     */
-  private def heapGrowth(provider: Option[String], n: Int): Long = {
+  private def heapGrowth(provider: String, n: Int): Long = {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    provider.foreach(spark.conf.set(key, _))
-    try {
+    withStateProvider(provider) {
       val ms = MemoryStream[Long]
       val payload = "x" * 1024
       val dedup = ms.toDF()
@@ -53,17 +50,14 @@ class StateBackendSpec extends AnyFunSuite with SparkTestSession {
         assert(q.lastProgress.stateOperators(0).numRowsTotal == n + 1L)
         usedHeap() - h0
       } finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
   test("100k x 1KiB state rows: RocksDB stays off-heap where the HDFS store heap-resides them") {
     val n = 100000 // ~103 MB of raw state
-    val hdfs = heapGrowth(None, n)
-    val rocks = heapGrowth(Some("org.apache.spark.sql.execution.streaming." +
-      "state.RocksDBStateStoreProvider"), n)
+    val hdfs = heapGrowth("org.apache.spark.sql.execution.streaming." +
+      "state.HDFSBackedStateStoreProvider", n)
+    val rocks = heapGrowth(RocksDbProvider, n)
     info(f"heap growth: hdfs=${hdfs / 1048576}%d MB (${hdfs.toDouble / n}%.0f B/row), " +
       f"rocksdb=${rocks / 1048576}%d MB (${rocks.toDouble / n}%.0f B/row)")
     // conservative bounds (GC noise tolerant): the HDFS-backed provider

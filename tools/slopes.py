@@ -23,11 +23,15 @@ def main():
     hi = json.load(open(hi_p))["queries"]
     common = sorted(set(lo) & set(hi))
     common = [q for q in common if lo[q] > 0 and hi[q] > 0]
+    if not common:
+        sys.exit(f"no successful queries shared by {lo_p} and {hi_p} "
+                 f"({len(lo)} vs {len(hi)} queries; -1 = failed)")
     fams = {}
     for q in common:
         fams.setdefault(fam(q), []).append(q)
     print(f"matched {len(common)} queries "
-          f"({len(set(hi)) - len(common)} sf1-only / failed skipped)")
+          f"(skipped: {len(set(hi)) - len(common)} hi-side-only/failed, "
+          f"{len(set(lo)) - len(common)} lo-side-only/failed)")
     print(f"{'family':10} {'n':>3} {'sf0.1 s':>9} {'sf1 s':>9} {'slope':>7}  worst (slope)")
     tl = th = 0.0
     for f in sorted(fams):
