@@ -882,7 +882,12 @@ object Dedup {
     * Scale: rides the d06 dictionary-free chain verbatim (xxhash64 ids,
     * banded candidates, exact verify) plus one |pairs|-sized groupBy and
     * a left join back onto the doc list — nothing new shuffles the
-    * corpus. Oracle: the same decision over the dictionary-id chain
+    * corpus. Incremental form (daily crawl increments against an
+    * existing corpus): the decision for docs past a cutoff only needs
+    * candidate pairs with id_b ≥ cutoff — push that predicate into the
+    * band join's new side and the already-deduped old×old quadrant is
+    * never recomputed; same decision as this full spelling restricted to
+    * the increment, by the arrival-order semantics. Oracle: the same decision over the dictionary-id chain
     * (d06's id-independence argument carries over). Scope measured like
     * d06's: exact at the gate SFs; at sf1 the two id assignments flip 24
     * of 50,000 keep decisions (0.05 %) — docs whose ONLY earlier partner
