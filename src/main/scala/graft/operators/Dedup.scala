@@ -60,10 +60,14 @@ object Dedup {
        |WHERE len(t) >= 3""".stripMargin
 
   /** Drop shingles whose document frequency exceeds `maxDf` from a
-    * (doc_id, s) frame (see [[MaxShingleDf]]). The hot list is tiny by
-    * definition (only shingles shared by >maxDf docs), so it broadcasts
-    * and the removal is a map-side anti join — no extra shuffle on the
-    * corpus. ONE definition of the cap contract, shared by d02 and the
+    * (doc_id, s) frame (see [[MaxShingleDf]]). The removal is a left-anti
+    * equi-join with NO broadcast hint: the hot list's true bound is
+    * corpus_shingles / maxDf — LINEAR in corpus size (~10^10 entries on a
+    * boilerplate-heavy 100 TB crawl), so a hard `broadcast()` here is an
+    * OOM lying in wait. AQE broadcasts it at runtime whenever it is
+    * actually small (every tested SF), and falls back to a shuffled join
+    * when it is not — the same discipline c09's cluster join applies.
+    * ONE definition of the cap contract, shared by d02 and the
     * Corpus pipeline (and their SQL mirrors via [[capShinglesSql]]).
     */
   private[graft] def capShingles(sh: DataFrame,
@@ -76,7 +80,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    sh.join(hot, Seq("s"), "left_anti")
   }
 
   private[graft] def cappedShingleRows(s: SparkSession, dir: String,

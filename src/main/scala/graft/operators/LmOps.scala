@@ -58,9 +58,11 @@ object LmOps {
     *
     * Scale: the line-df aggregate is the word-count shape (map-side combine
     * collapses each task to its distinct lines before one shuffle); the
-    * frequent-line set is by construction tiny — df ≥ K lines number at most
-    * corpus_lines / K — so the removal join is a BROADCAST left-anti and the
-    * corpus side's only wide exchange is the per-doc reassembly groupBy.
+    * frequent-line set's bound is corpus_lines / K — LINEAR in corpus size,
+    * not constant — so the removal join carries NO broadcast hint: AQE
+    * broadcasts it when it is actually small and shuffles when it is not
+    * (the c09 discipline). The corpus side's only guaranteed wide exchange
+    * is the per-doc reassembly groupBy.
     * Lines appear once per page here so `count(*)` IS document frequency;
     * a corpus with repeated lines inside one page would use
     * `count(DISTINCT doc_id)`.
@@ -77,7 +79,7 @@ object LmOps {
       .select("line")
     val kept = pages
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
-      .join(broadcast(freq), Seq("line"), "left_anti")
+      .join(freq, Seq("line"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -197,11 +197,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // broadcast() hint there is an OOM lying in wait. The analyzed plan
     // must contain no hint node anywhere in c09's tree; whether the final
     // cluster join broadcasts is decided by AQE from the ACTUAL size.
-    // (the d08 pair source's own bounded broadcast — capShingles' df>64
-    // boilerplate list — sits behind the GraphX RDD boundary, outside this
-    // tree; the split-assignment side must itself carry zero hints)
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val hints = operators.Dedup.c09LeakageSafeSplit(spark, Sf)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, hints.mkString("; "))
+  }
+
+  test("capShingles hot-list removal carries no broadcast hint (d02's whole tree)") {
+    // the df>64 hot list's bound is corpus_shingles/64 — linear in corpus
+    // size, ~10^10 entries on a boilerplate-heavy 100 TB crawl. A hard
+    // broadcast() there is the OOM pattern c09 dropped in round 6; the
+    // d02 tree (which consumes capShingles directly) must carry zero hint
+    // nodes — AQE decides the join side from the runtime size.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = operators.Dedup.d02NgramJaccardPairs(spark, Sf)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, hints.mkString("; "))
+  }
+
+  test("t10 frequent-line removal carries no broadcast hint") {
+    // same linear bound (corpus_lines / K frequent lines); AQE's call.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = operators.LmOps.t10LineDedup(spark, Sf)
       .queryExecution.analyzed.collect { case h: ResolvedHint => h }
     assert(hints.isEmpty, hints.mkString("; "))
   }
