@@ -26,6 +26,7 @@ object GraphQueries {
     "g18_hits" -> (PageRankOps.g18Hits _),
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
     "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
+    "g20b_capped_clustering_coeff" -> (NeighborAgg.g20bCappedClusteringCoeff _),
     "g21_assortativity" -> (NeighborAgg.g21Assortativity _),
     "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _),
     "g23_scc" -> (Scc.q _),
@@ -60,6 +61,7 @@ object GraphQueries {
     "g18_hits" -> PageRankOps.g18Sql,
     "g19_neighbor_features" -> NeighborAgg.g19Sql,
     "g20_clustering_coeff" -> NeighborAgg.g20Sql,
+    "g20b_capped_clustering_coeff" -> NeighborAgg.g20bSql,
     "g21_assortativity" -> NeighborAgg.g21Sql,
     "g22_capped_neighbor_features" -> NeighborAgg.g22Sql
   )

@@ -218,6 +218,107 @@ object NeighborAgg {
        |WHERE d.degree >= 2
        |ORDER BY d.id""".stripMargin
 
+  /** g20b — g20's clustering coefficient with g22's cap discipline, the
+    * spelling that RUNS at 100 TB: (1) per-hour-bucket co-activity capped
+    * at [[BucketCap]] smallest user_ids (event-storm hours contribute
+    * ≤ cap² pairs, not deg²); (2) per-node fan-out capped at [[FanOut]]
+    * smallest neighbor ids (GraphSAGE sampling); (3) the capped directed
+    * edge set symmetrized by MUTUAL retention (edge {u,v} survives only
+    * if each endpoint kept the other — the mutual-kNN move), so the
+    * triangle join runs on a true undirected graph whose max degree is
+    * ≤ [[FanOut]] by construction: triangle cost is ≤ |V|·FanOut² a
+    * priori, against g20's Σ_e min(deg) which densification can blow up
+    * (g19's uncapped sibling spilled >35 GB at sf1; g22 bounded it).
+    * Both caps and the symmetrization are deterministic keep-smallest,
+    * so the DuckDB mirror is exact. Every surviving structure is a
+    * subgraph of g20's graph — per-node degree and triangle counts are
+    * ≤ g20's (the consistency property NeighborAggSpec asserts).
+    */
+  def g20bCappedClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val capped = keepMinK(CoGraph.activity(s, dir), "hour_epoch", "user_id",
+      BucketCap)
+    val edges0 = capped.as("a").join(capped.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .distinct()
+    val dirE = keepMinK(edges0, "src", "dst", FanOut)
+    // mutual symmetrization: self-join on the reversed pair, canonical
+    // orientation src<dst — a co-partitioned equi-join (both sides hash
+    // on the edge key), no new shuffle shape beyond the cap stages
+    val und = dirE.as("e").join(dirE.as("r"),
+        col("r.src") === col("e.dst") && col("r.dst") === col("e.src"))
+      .filter(col("e.src") < col("e.dst"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    val tri = und.as("a")
+      .join(und.as("b"), col("b.src") === col("a.dst"))
+      .join(und.as("c"),
+        col("c.src") === col("a.src") && col("c.dst") === col("b.dst"))
+      .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+    val triPerNode = tri.select(col("x").as("id"))
+      .unionAll(tri.select(col("y").as("id")))
+      .unionAll(tri.select(col("z").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        Det.r((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6)
+          .as("lcc"))
+      .orderBy(col("id"))
+  }
+
+  val g20bSql: String =
+    s"""WITH activity AS (
+       |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       |         user_id
+       |  FROM events WHERE event_type = 'error'),
+       |act_capped AS (
+       |  SELECT hour_epoch, user_id FROM (
+       |    SELECT hour_epoch, user_id,
+       |           row_number() OVER (PARTITION BY hour_epoch ORDER BY user_id) AS rn
+       |    FROM activity) WHERE rn <= $BucketCap),
+       |edges0 AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM act_capped a JOIN act_capped b
+       |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id),
+       |dir_e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM edges0) WHERE rn <= $FanOut),
+       |und AS (
+       |  SELECT e.src, e.dst FROM dir_e e
+       |  JOIN dir_e r ON r.src = e.dst AND r.dst = e.src
+       |  WHERE e.src < e.dst),
+       |tri AS (
+       |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+       |  FROM und a
+       |  JOIN und b ON b.src = a.dst
+       |  JOIN und c ON c.src = a.src AND c.dst = b.dst),
+       |tri_per_node AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT x AS id FROM tri
+       |        UNION ALL SELECT y FROM tri
+       |        UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1),
+       |deg AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+       |  FROM (SELECT src AS id FROM und UNION ALL SELECT dst FROM und)
+       |  GROUP BY 1)
+       |SELECT d.id, d.degree,
+       |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  ${Det.sqlR(
+            "CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE) " +
+              "/ CAST(d.degree * (d.degree - 1) AS DOUBLE)", 6)} AS lcc
+       |FROM deg d LEFT JOIN tri_per_node t USING (id)
+       |WHERE d.degree >= 2
+       |ORDER BY d.id""".stripMargin
+
   /** g21 — degree assortativity (Newman's r): the Pearson correlation of
     * degrees across edge endpoints — POSITIVE in collusion structures
     * (mules transact with mules) and typically negative in organic

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: g20b capped clustering coefficient (g22's fan-out
+  * discipline applied to g20's metric) and its subgraph-consistency
+  * contract against the uncapped spelling.
+  */
+class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("g20b == g20 where the caps do not bind (sf0.001: max bucket 3, max degree 9)") {
+    // below both caps the fan-out keep-all makes mutual symmetrization a
+    // no-op, so the capped spelling must reproduce g20 bit-for-bit
+    val g20 = graph.NeighborAgg.g20ClusteringCoeff(spark, Sf)
+    val g20b = graph.NeighborAgg.g20bCappedClusteringCoeff(spark, Sf)
+    assert(g20b.exceptAll(g20).isEmpty && g20.exceptAll(g20b).isEmpty)
+  }
+
+  test("g20b is a subgraph of g20: per-node degree and triangles never exceed the uncapped values") {
+    // the caps only REMOVE edges, so every g20b node must appear in g20
+    // with degree_b <= min(degree, FanOut) and n_triangles_b <= n_triangles
+    // — the property that makes the capped metric a sound lower-bound
+    // screen at scale (sf0.01: the bucket cap binds on storm hours)
+    val g20 = graph.NeighborAgg.g20ClusteringCoeff(spark, SfMid)
+      .select(col("id"), col("degree").as("deg_full"),
+        col("n_triangles").as("tri_full"))
+    val g20b = graph.NeighborAgg.g20bCappedClusteringCoeff(spark, SfMid)
+    val joined = g20b.join(g20, Seq("id"), "left").cache()
+    assert(joined.filter(col("deg_full").isNull).isEmpty,
+      "g20b node missing from g20")
+    val violations = joined.filter(
+      col("degree") > col("deg_full")
+        || col("degree") > graph.NeighborAgg.FanOut
+        || col("n_triangles") > col("tri_full"))
+    assert(violations.isEmpty, violations.collect().mkString("; "))
+    // and the caps must actually bind at this SF — otherwise the test
+    // degenerates to the equality case above
+    assert(joined.filter(col("degree") < col("deg_full")).count() > 0,
+      "caps did not bind at sf0.01 — widen the fixture")
+    joined.unpersist()
+  }
+}
