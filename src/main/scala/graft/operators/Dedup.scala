@@ -46,18 +46,23 @@ object Dedup {
   private[graft] val MaxShingleDf = 64
 
   /** doc_id → exploded (doc_id, shingle) rows, docs with ≥3 tokens. */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+  private def shingleRowsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
   }
 
-  private def shingleRowsSql: String =
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.documents(s, dir))
+
+  private def shingleRowsSqlFrom(src: String): String =
     s"""SELECT doc_id, unnest(${shingles3Sql("t")}) AS s
-       |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+       |FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM $src)
        |WHERE len(t) >= 3""".stripMargin
+
+  private def shingleRowsSql: String = shingleRowsSqlFrom("documents")
 
   /** Drop shingles whose document frequency exceeds `maxDf` from a
     * (doc_id, s) frame (see [[MaxShingleDf]]). The removal is a left-anti
@@ -112,7 +117,10 @@ object Dedup {
     * the sort itself stays parallel — the difference between a 3 s stage
     * and a single-task bottleneck at 100 TB dictionary sizes.
     */
-  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
+  private def shingleIds(s: SparkSession, dir: String): DataFrame =
+    shingleIdsOf(s, Tables.documents(s, dir))
+
+  private def shingleIdsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     // the df cap is FUSED into the dictionary build: EVERY shingle path
     // (d02 exact, d03/d06 LSH, d04 simhash) consumes the same capped
@@ -120,7 +128,7 @@ object Dedup {
     // id join against the dictionary happens anyway, capping here means
     // over-df shingles simply get no id (the inner join drops them) at
     // ZERO extra jobs: the distinct pass becomes a count pass
-    val sh = shingleRows(s, dir).cache()
+    val sh = shingleRowsOf(docs).cache()
     val dict = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("s").orderBy("s").as[String]
@@ -129,12 +137,14 @@ object Dedup {
     sh.join(dict, "s").select("doc_id", "sid")
   }
 
-  private def shingleIdsSql: String =
-    s"""sh AS ($shingleRowsSql),
+  private def shingleIdsSqlFrom(src: String): String =
+    s"""sh AS (${shingleRowsSqlFrom(src)}),
        |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS sid
        |         FROM (SELECT s FROM sh GROUP BY s
        |               HAVING count(*) <= $MaxShingleDf)),
        |ds AS (SELECT doc_id, sid FROM sh JOIN dict USING (s))""".stripMargin
+
+  private def shingleIdsSql: String = shingleIdsSqlFrom("documents")
 
   /** d01 — exact dedup by content: the corpus unioned with a re-keyed copy
     * of itself (dup factor 2 by construction), grouped by the char
@@ -825,8 +835,14 @@ object Dedup {
     * runs on a SAMPLE at production scale; the LSH side is the linear
     * path being evaluated.
     */
-  def d10LshEvaluation(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(s, dir).cache()
+  def d10LshEvaluation(s: SparkSession, dir: String): DataFrame =
+    lshEvalOn(shingleIds(s, dir).cache())
+
+  /** d10's recall/precision body over any (doc_id, sid) inverted index —
+    * shared with [[d10bLshEvaluationSampled]] so the sampled grader is BY
+    * CONSTRUCTION the full grader on a smaller corpus.
+    */
+  private def lshEvalOn(ds: DataFrame): DataFrame = {
     // ground truth and candidates through the SHARED d02/d03 cores — the
     // evaluation grades exactly the scheme that runs, by construction
     val truePairs = exactJaccardPairs(ds).select("id_a", "id_b")
@@ -845,8 +861,38 @@ object Dedup {
         .otherwise(lit(null).cast("double")).as("cand_precision"))
   }
 
-  private def d10Sql =
-    s"""WITH $shingleIdsSql,
+  private def d10Sql = d10SqlOver(shingleIdsSql)
+
+  /** d10b — d10's banding-curve evaluation on a DETERMINISTIC hash sample
+    * of the corpus: keep docs whose [[graft.operators.Det.knuthBucket]]
+    * (doc_id, [[SampleMod]]) is 0 (the e05/x03 hash-sampling machinery —
+    * reproducible, rescan-free, no RNG), then run the IDENTICAL pipeline —
+    * sample-local df cap, dictionary, MinHash, bands, exact verify — via
+    * the shared [[lshEvalOn]] core. This is the spelling that RUNS at
+    * 100 TB: d10's ground truth is Σdf² over the full corpus by
+    * construction (the documented quadratic), while the sample's cost is
+    * that of a corpus [[SampleMod]]× smaller; the banding curve being
+    * per-pair, sampled recall/precision estimate the full-corpus values
+    * (Round7OpsSpec pins the envelope at sf0.01). Tuning bands/rows on a
+    * real crawl = run THIS, not d10.
+    */
+  def d10bLshEvaluationSampled(s: SparkSession, dir: String): DataFrame =
+    lshEvalOn(shingleIdsOf(s, sampledDocs(s, dir)).cache())
+
+  /** Hash-sample modulus for d10b (keep bucket 0 → ~1/2 of docs). */
+  private[graft] val SampleMod = 2L
+
+  private def sampledDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(Det.knuthBucket(col("doc_id"), SampleMod) === 0L)
+
+  private def d10bSql = d10SqlOver(
+    s"""docs_s AS (SELECT * FROM documents
+       |           WHERE ${Det.sqlKnuthBucket("doc_id", SampleMod)} = 0),
+       |${shingleIdsSqlFrom("docs_s")}""".stripMargin)
+
+  private def d10SqlOver(dsCtes: String) =
+    s"""WITH $dsCtes,
        |$lshCoreSql,
        |true_pairs AS (
        |  SELECT e.id_a, e.id_b
@@ -936,6 +982,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d12_arrival_dedup" -> (d12ArrivalDedup _),
     "d10_lsh_evaluation" -> (d10LshEvaluation _),
+    "d10b_lsh_evaluation_sampled" -> (d10bLshEvaluationSampled _),
     "r01_record_linkage" -> (r01RecordLinkage _),
     "r02_jaro_linkage" -> (r02JaroLinkage _),
     "c09_leakage_safe_split" -> (c09LeakageSafeSplit _),
@@ -956,6 +1003,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d12_arrival_dedup" -> d12Sql,
     "d10_lsh_evaluation" -> d10Sql,
+    "d10b_lsh_evaluation_sampled" -> d10bSql,
     "r01_record_linkage" -> r01Sql,
     "r02_jaro_linkage" -> r02Sql,
     "c09_leakage_safe_split" -> c09Sql,
