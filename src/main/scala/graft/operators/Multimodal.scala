@@ -197,6 +197,146 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-band-bucket member cap for [[mm04bCappedNeardup]] — mirrors
+    * [[graft.streaming.DedupStream]]'s ≤64-members-per-bucket streaming
+    * df-cap, same constant, same rationale.
+    */
+  val BucketMemberCap = 64
+
+  /** (doc_id, ph) perceptual hashes of a media frame — mm04/mm04b's shared
+    * signature stage, extracted so the flood spec can feed a synthetic
+    * corpus through the exact production chain.
+    */
+  private[graft] def phashFrame(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.filter(length(col("payload")) > 0)
+      .as[MediaRow]
+      .mapPartitions(_.map(phashStub)).toDF("doc_id", "ph")
+  }
+
+  /** mm04b — mm04's perceptual near-dup with the MEMBER CAP that bounds
+    * verbatim-flood pair growth, re-shaped as the arrival-order dedup
+    * DECISION (d12's form): each band bucket retains only its
+    * [[BucketMemberCap]] smallest doc_ids (via the skew-safe
+    * [[graft.plans.GroupedTopK]] heap operator — one storm bucket cannot
+    * single-task a window), every doc then compares against retained
+    * EARLIER members only, and the verdict is kept-unless-some-earlier-
+    * member-verifies (owner = smallest such member, d12's arg_min).
+    *
+    * Why this loses nothing on verbatim replicas: identical payloads hash
+    * identically, the bucket's global-minimum doc_id is always inside the
+    * retained smallest-K, and hamming(x, x) = 0 ≤ radius — so every
+    * replica still resolves to the same canonical owner the uncapped
+    * decision picks (MultimodalSpec floods 70 replicas through both paths
+    * and asserts equality). What the cap trades away is only attribution
+    * among >K DISTINCT near-misses in one bucket — d12/d06's documented
+    * category. Pair cost per bucket collapses from r² to r·K: the sf1
+    * media corpus's 10×-replication growth (mm04's 34.9× slope) becomes
+    * linear in replicas.
+    */
+  def mm04bCappedNeardup(s: SparkSession, dir: String): DataFrame =
+    mm04bOn(phashFrame(s, mediaTable(s, dir)).cache())
+
+  private[graft] def mm04bOn(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("ph"), explode(array(
+      struct(lit(0).as("band"), col("ph").bitwiseAND(lit(255L)).as("bk")),
+      struct(lit(1).as("band"), shiftright(col("ph"), 8).as("bk"))))
+      .as("e"))
+      .select(col("doc_id"), col("ph"), col("e.band"), col("e.bk"))
+    val members = graft.plans.GroupedTopK(
+      bands.withColumn("__v", col("doc_id").cast("double")),
+      Seq("band", "bk"), "__v", "doc_id", BucketMemberCap,
+      descending = false).drop("__v")
+    val hits = bands.as("x").join(members.as("m"),
+        col("x.band") === col("m.band") && col("x.bk") === col("m.bk")
+          && col("m.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("m.doc_id").as("mem_id"),
+        expr("bit_count(x.ph ^ m.ph)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhRadius)
+      .distinct()
+    val owners = hits.groupBy("doc_id")
+      .agg(min(struct(col("mem_id"), col("hamming"))).as("o"))
+      .select(col("doc_id"), col("o.mem_id").as("dup_of"),
+        col("o.hamming").as("hamming"))
+    hashes.select("doc_id").join(owners, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** Uncapped decision twin of [[mm04bOn]] (all earlier docs are
+    * comparable members) — the flood spec's reference semantics.
+    */
+  private[graft] def uncappedDecisionOn(hashes: DataFrame): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("ph"), explode(array(
+      struct(lit(0).as("band"), col("ph").bitwiseAND(lit(255L)).as("bk")),
+      struct(lit(1).as("band"), shiftright(col("ph"), 8).as("bk"))))
+      .as("e"))
+      .select(col("doc_id"), col("ph"), col("e.band"), col("e.bk"))
+    val hits = bands.as("x").join(bands.as("m"),
+        col("x.band") === col("m.band") && col("x.bk") === col("m.bk")
+          && col("m.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("m.doc_id").as("mem_id"),
+        expr("bit_count(x.ph ^ m.ph)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhRadius)
+      .distinct()
+    val owners = hits.groupBy("doc_id")
+      .agg(min(struct(col("mem_id"), col("hamming"))).as("o"))
+      .select(col("doc_id"), col("o.mem_id").as("dup_of"),
+        col("o.hamming").as("hamming"))
+    hashes.select("doc_id").join(owners, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("hamming"))
+      .orderBy("doc_id")
+  }
+
+  private val mm04bSql =
+    s"""WITH chars AS (
+       |  SELECT doc_id,
+       |    octet_length(encode(text)) AS n,
+       |    list_transform(string_split(text, ''),
+       |      c -> CAST(ascii(c) AS BIGINT)) AS cs
+       |  FROM documents WHERE octet_length(encode(text)) > 0),
+       |blocks AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, $PhBlocks), b ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, len(cs) + 1),
+       |          i -> CASE WHEN ((i - 1) * $PhBlocks) // n = b
+       |               THEN cs[i] ELSE 0 END)),
+       |        (acc, x) -> acc + x)) AS s
+       |  FROM chars),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, ${PhBlocks - 1}),
+       |        b -> CASE WHEN s[b + 1] > s[b + 2]
+       |             THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)),
+       |      (acc, x) -> acc + x) AS ph
+       |  FROM blocks),
+       |bands AS (
+       |  SELECT doc_id, ph, 0 AS band, ph & 255 AS bk FROM hashes
+       |  UNION ALL
+       |  SELECT doc_id, ph, 1 AS band, ph >> 8 AS bk FROM hashes),
+       |members AS (
+       |  SELECT doc_id, ph, band, bk FROM (
+       |    SELECT doc_id, ph, band, bk,
+       |      row_number() OVER (PARTITION BY band, bk ORDER BY doc_id) AS rn
+       |    FROM bands) WHERE rn <= $BucketMemberCap),
+       |hits AS (
+       |  SELECT DISTINCT x.doc_id, m.doc_id AS mem_id,
+       |    CAST(bit_count(xor(x.ph, m.ph)) AS BIGINT) AS hamming
+       |  FROM bands x JOIN members m
+       |    ON m.band = x.band AND m.bk = x.bk AND m.doc_id < x.doc_id
+       |  WHERE bit_count(xor(x.ph, m.ph)) <= $PhRadius),
+       |owners AS (
+       |  SELECT doc_id, min(mem_id) AS dup_of,
+       |    arg_min(hamming, mem_id) AS hamming
+       |  FROM hits GROUP BY 1)
+       |SELECT h.doc_id, o.dup_of IS NULL AS is_kept, o.dup_of, o.hamming
+       |FROM hashes h LEFT JOIN owners o ON o.doc_id = h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+
   /** All-pairs oracle (banding-losslessness proof, d04b's pattern); the
     * byte/ascii equivalence note on [[mm02Sql]] applies.
     */
@@ -234,7 +374,8 @@ object Multimodal {
     "mm01_media_meta" -> (mm01MediaMeta _),
     "mm02_media_features" -> (mm02MediaFeatures _),
     "mm03_media_profile" -> (mm03MediaProfile _),
-    "mm04_perceptual_neardup" -> (mm04PerceptualNeardup _))
+    "mm04_perceptual_neardup" -> (mm04PerceptualNeardup _),
+    "mm04b_capped_neardup" -> (mm04bCappedNeardup _))
 
   /** mm02's stub features ARE oracle-expressible on this ASCII corpus:
     * utf-8 payload bytes == char codes, so the byte fold mirrors as an
@@ -270,5 +411,6 @@ object Multimodal {
     "mm01_media_meta" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
     "mm03_media_profile" -> mm03Sql,
-    "mm04_perceptual_neardup" -> mm04Sql)
+    "mm04_perceptual_neardup" -> mm04Sql,
+    "mm04b_capped_neardup" -> mm04bSql)
 }

@@ -64,4 +64,28 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(pSamp - pFull) <= 0.25,
       s"precision $pSamp vs full $pFull")
   }
+
+  test("mm04b member cap loses nothing on a 70-replica verbatim flood") {
+    // 70 > BucketMemberCap (64), so the cap BINDS — yet every replica's
+    // bucket retains the global-minimum doc_id and hamming(x,x)=0, so the
+    // capped decision must equal the uncapped one on the whole flood
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "pack my box with five dozen liquor jugs before noon today",
+      "how vexingly quick daft zebras jump over fences at dawn")
+    val flood = for {
+      (t, ti) <- texts.zipWithIndex
+      r <- 0 until 70
+    } yield operators.MediaRow(ti * 1000L + r, "image",
+      t.getBytes("UTF-8"), 64, 64, 0)
+    val media = flood.toDF()
+    val hashes = operators.Multimodal.phashFrame(spark, media).cache()
+    val capped = operators.Multimodal.mm04bOn(hashes)
+    val uncapped = operators.Multimodal.uncappedDecisionOn(hashes)
+    assert(capped.exceptAll(uncapped).isEmpty
+      && uncapped.exceptAll(capped).isEmpty)
+    // and the decision is the right one: exactly one keeper per text
+    assert(capped.filter(col("is_kept")).count() == texts.size)
+  }
 }
