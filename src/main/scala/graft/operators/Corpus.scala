@@ -761,7 +761,162 @@ object Corpus {
        |ORDER BY vol.lang""".stripMargin
   }
 
+  /** c13 — the composed end-to-end corpus JOB: quality gate → exact dedup
+    * → near-dup clusters → leakage-safe split → sequence packing, chained
+    * as ONE declarative query (single materialization — Catalyst sees the
+    * whole pipeline, so the gate prunes before shingling and the pair
+    * join only ever runs over gated canonical survivors). Every stage is
+    * an operator the library certifies on its own (c01's gate, d01's
+    * hash-groupBy dedup, d08's capped verifier, c09's cluster-bucket
+    * split rule, c10's packing accounting); this query certifies the
+    * COMPOSITION — the shape a training-data pipeline actually runs
+    * nightly. Output: the per-(split, source) packing manifest.
+    *
+    * Cap universe: the gated CANONICAL corpus (d08's), which here is
+    * leakage-consistent because gate-dropped docs and verbatim replicas
+    * never reach any split — unlike c09, where replicas are assigned via
+    * their canonical and therefore need the full-corpus universe.
+    *
+    * Scale: stage order is the lever (gate drops 20–60% before the only
+    * quadratic-hazard stage; exact dedup collapses replicas before the
+    * pair join — d08's measured 79 GB-spill fix); the packing window
+    * partitions by (split, source) so parallelism is the domain count.
+    * Round7OpsSpec proves the fused plan equals the stage-by-stage run
+    * with parquet barriers between stages, and that no near-dup pair
+    * ever straddles a split.
+    */
+  def c13CorpusJob(s: SparkSession, dir: String): DataFrame =
+    c13Pack(c13Assign(s, c13Canon(c13Gate(s, dir))))
+
+  /** Stage 1: quality gate (c01's rule — drop the 'drop' band). */
+  private[graft] def c13Gate(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualitySignals(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text")))
+      .filter(col("quality_score") >= 0.3)
+      .select("doc_id", "source", "text", "n_tokens")
+
+  /** Stage 2: exact dedup — keep the min-doc_id representative per
+    * distinct text (d01's hash-groupBy), then join back for its columns.
+    */
+  private[graft] def c13Canon(gated: DataFrame): DataFrame = {
+    val canonIds = gated.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    gated.join(canonIds, Seq("doc_id"))
+  }
+
+  /** Stage 3+4: near-dup clusters over the canonical survivors (d08's
+    * capped verifier → GraphX CC) and the c09 cluster-bucket split rule.
+    */
+  private[graft] def c13Assign(s: SparkSession, canon: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val session = s
+    import session.implicits._
+    val sh0 = canon
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
+    val pairs = Dedup.verifiedPairsOn(Dedup.capShingles(sh0.cache()).cache())
+      .select(col("id_a"), col("id_b"))
+    val edgeRdd = pairs.as[(Long, Long)].rdd
+      .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+    val cc = Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices.toDF("cc_id", "cluster_min")
+    val assigned = canon
+      .join(cc, canon("doc_id") === cc("cc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("cluster_min"), col("doc_id")).as("cluster_id"))
+    val bucket = Det.knuthBucket(col("cluster_id"), 10L)
+    assigned.withColumn("split",
+      when(bucket <= 7L, "train").when(bucket === 8L, "val")
+        .otherwise("test"))
+  }
+
+  /** Stage 5: c10's packing accounting per (split, source). */
+  private[graft] def c13Pack(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = assigned
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum(col("n_tokens")).over(run))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_off div $SeqLen"))
+      .withColumn("last_seq", expr(s"(end_off - 1) div $SeqLen"))
+    packed.groupBy("split", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("last_seq")) + 1).as("n_seqs"),
+        sum((col("last_seq") > col("first_seq")).cast("long"))
+          .as("n_boundary_docs"))
+      .withColumn("pad_tokens", col("n_seqs") * SeqLen - col("total_tokens"))
+      .orderBy("split", "source")
+  }
+
+  private val c13Sql = {
+    val t = tokensSql("text")
+    val j = rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)
+    val bucket = Det.sqlKnuthBucket("cluster_id", 10L)
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT q.doc_id, d.source, q.text, q.n_tokens
+       |  FROM (${TextOps.qualitySignalsSql}) q
+       |  JOIN documents d ON d.doc_id = q.doc_id
+       |  WHERE q.quality_score >= 0.3),
+       |canon_ids AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+       |canon AS (SELECT g.* FROM gated g JOIN canon_ids USING (doc_id)),
+       |sh0 AS (SELECT doc_id, unnest(${shingles3Sql("tt")}) AS s
+       |        FROM (SELECT doc_id, $t AS tt FROM canon)
+       |        WHERE len(tt) >= 3),
+       |${Dedup.capShinglesSql("sh0")},
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b FROM inter
+       |          JOIN sizes sa ON sa.doc_id = id_a
+       |          JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE $j >= $JaccardT),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, x) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN e ON r.x = e.src),
+       |cc AS (SELECT id, min(x) AS cluster_min FROM reach GROUP BY 1),
+       |assigned AS (
+       |  SELECT c.doc_id, c.source, c.n_tokens,
+       |    coalesce(cc.cluster_min, c.doc_id) AS cluster_id
+       |  FROM canon c LEFT JOIN cc ON cc.id = c.doc_id),
+       |splits AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CASE WHEN $bucket <= 7 THEN 'train'
+       |         WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM assigned),
+       |packed AS (
+       |  SELECT split, source, n_tokens,
+       |    (end_off - n_tokens) // $SeqLen AS first_seq,
+       |    (end_off - 1) // $SeqLen AS last_seq
+       |  FROM (
+       |    SELECT split, source, n_tokens,
+       |      sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS end_off
+       |    FROM splits WHERE n_tokens > 0))
+       |SELECT split, source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+       |  CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_boundary_docs,
+       |  CAST((max(last_seq) + 1) * $SeqLen - sum(n_tokens) AS BIGINT)
+       |    AS pad_tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_corpus_job" -> (c13CorpusJob _),
     "c12_corpus_datasheet" -> (c12CorpusDatasheet _),
     "c10_sequence_packing" -> (c10SequencePacking _),
     "c11_epoch_upsample" -> (c11EpochUpsample _),
@@ -775,6 +930,7 @@ object Corpus {
     "c08_domain_cap" -> (c08DomainCap _))
 
   val oracles: Map[String, String] = Map(
+    "c13_corpus_job" -> c13Sql,
     "c12_corpus_datasheet" -> c12Sql,
     "c10_sequence_packing" -> c10Sql,
     "c11_epoch_upsample" -> c11Sql,

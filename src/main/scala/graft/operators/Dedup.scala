@@ -581,9 +581,10 @@ object Dedup {
 
   /** Exact-Jaccard ≥ [[JaccardT]] pairs of a (doc_id, s) frame — the
     * inverted-index verify shape on raw shingle strings, shared by d08
-    * (canonical-universe cap) and c09 (full-corpus-universe cap).
+    * (canonical-universe cap), c09 (full-corpus-universe cap), and the
+    * c13 composed pipeline (gated-canonical-universe cap).
     */
-  private def verifiedPairsOn(ds: DataFrame): DataFrame = {
+  private[graft] def verifiedPairsOn(ds: DataFrame): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s")

@@ -88,4 +88,49 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
     // and the decision is the right one: exactly one keeper per text
     assert(capped.filter(col("is_kept")).count() == texts.size)
   }
+
+  test("c13 fused pipeline == stage-by-stage run with parquet barriers between stages") {
+    // the composed single-materialization plan must equal the same stages
+    // run as separate jobs with a real storage barrier after each — the
+    // property that lets an operator either run fused nightly or restart
+    // from any intermediate without changing the output
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("c13_stages").toString
+    def barrier(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    val gated = barrier(operators.Corpus.c13Gate(spark, SfMid), "gated")
+    val canon = barrier(operators.Corpus.c13Canon(gated), "canon")
+    val assigned = barrier(operators.Corpus.c13Assign(spark, canon), "assigned")
+    val staged = operators.Corpus.c13Pack(assigned)
+    val fused = operators.Corpus.c13CorpusJob(spark, SfMid)
+    assert(fused.exceptAll(staged).isEmpty && staged.exceptAll(fused).isEmpty)
+  }
+
+  test("c13 split is leakage-safe: no verified near-dup pair straddles a split") {
+    val assigned = operators.Corpus.c13Assign(spark,
+      operators.Corpus.c13Canon(operators.Corpus.c13Gate(spark, SfMid)))
+      .cache()
+    // recompute the pair set the assignment was built from and check both
+    // members always landed in the same split (the c09 guarantee, here
+    // certified on the composed job's own universe)
+    val canon = operators.Corpus.c13Canon(
+      operators.Corpus.c13Gate(spark, SfMid))
+    val shingled = canon
+      .select(col("doc_id"), operators.TextFn.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(operators.TextFn.shingles3(col("t"))).as("s"))
+    val pairs = operators.Dedup.verifiedPairsOn(
+      operators.Dedup.capShingles(shingled))
+    val sa = assigned.select(col("doc_id").as("id_a"), col("split").as("split_a"))
+    val sb = assigned.select(col("doc_id").as("id_b"), col("split").as("split_b"))
+    val straddlers = pairs.join(sa, "id_a").join(sb, "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(straddlers.isEmpty, straddlers.collect().mkString("; "))
+    // non-degenerate: pairs exist and more than one split is populated
+    assert(pairs.count() > 0 && assigned.select("split").distinct().count() == 3)
+    assigned.unpersist()
+  }
 }
