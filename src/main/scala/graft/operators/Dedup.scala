@@ -453,10 +453,18 @@ object Dedup {
     * though every emitted pair is exactly verified. Not an error in
     * either path — it is the documented recall behavior of banded LSH.
     */
-  def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame = {
-    val ds = cappedShingleRows(s, dir) // same cap contract as every path
-      .select(col("doc_id"),
-        (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache()
+  def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(
+      cappedShingleRows(s, dir) // same cap contract as every path
+        .select(col("doc_id"),
+          (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache())
+      .orderBy("id_a", "id_b")
+
+  /** MinHash→band→exact-verify pairs of a (doc_id, sid) frame — d06's
+    * body, extracted so the d12 id-dependence contract can run the SAME
+    * chain under both id assignments on any corpus.
+    */
+  private[graft] def lshVerifiedPairs(ds: DataFrame): DataFrame = {
     val cand = lshCandidates(minhashSig(ds))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
@@ -470,7 +478,6 @@ object Dedup {
         r(col("c").cast("double")
           / (col("za.n") + col("zb.n") - col("c")), 4).as("jaccard"))
       .filter(col("jaccard") >= JaccardT)
-      .orderBy("id_a", "id_b")
   }
 
   /** d07 — cluster formation + canonicalization: the step that turns a
@@ -947,18 +954,44 @@ object Dedup {
     * [[d06MinhashXxhashScale]]). Documented recall behavior, not an
     * error in either path.
     */
-  def d12ArrivalDedup(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d06MinhashXxhashScale(s, dir)
+  def d12ArrivalDedup(s: SparkSession, dir: String): DataFrame =
+    arrivalDecisionFromPairs(Tables.documents(s, dir).select(col("doc_id")),
+      d06MinhashXxhashScale(s, dir))
+
+  /** Keep-first verdict per doc from a verified pair list — d12's owner
+    * attribution (smallest earlier id wins, with its Jaccard).
+    */
+  private[graft] def arrivalDecisionFromPairs(docIds: DataFrame,
+      pairs: DataFrame): DataFrame = {
     val owners = pairs
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(struct(col("id_a"), col("jaccard"))).as("o"))
       .select(col("doc_id"), col("o.id_a").as("dup_of"),
         col("o.jaccard").as("jaccard"))
-    Tables.documents(s, dir).select(col("doc_id"))
+    docIds
       .join(owners, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("dup_of").isNull.as("is_kept"),
         col("dup_of"), col("jaccard"))
       .orderBy("doc_id")
+  }
+
+  /** The d12 decision chain over an arbitrary (doc_id, text) corpus under
+    * either id assignment — dictionary ids (the oracle's spelling) or
+    * xxhash ids (the production dictionary-free path). The ONLY degree of
+    * freedom between the two is the sid values feeding the MinHash
+    * permutations; Round7OpsSpec pins the resulting keep-decision flip
+    * rate as a contract (sf1 measured 24/50,000 = 0.048% — d06's
+    * documented id-dependence category; a band-membership regression
+    * would inflate it orders of magnitude and fail the bound).
+    */
+  private[graft] def arrivalDecisionOn(s: SparkSession, docs: DataFrame,
+      dictionaryIds: Boolean): DataFrame = {
+    val ds =
+      if (dictionaryIds) shingleIdsOf(s, docs)
+      else capShingles(shingleRowsOf(docs).cache())
+        .select(col("doc_id"), (abs(xxhash64(col("s"))) % lit(P)).as("sid"))
+    arrivalDecisionFromPairs(docs.select(col("doc_id")),
+      lshVerifiedPairs(ds.cache()))
   }
 
   private def d12Sql = {

@@ -133,4 +133,39 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.count() > 0 && assigned.select("split").distinct().count() == 3)
     assigned.unpersist()
   }
+
+  test("d12 id-dependence contract: keep-decision flip rate bounded at a 10x verbatim scale-up") {
+    // the sf1 certification documented 24/50,000 (0.048%) keep-decision
+    // flips between the dictionary-id oracle chain and the xxhash-id
+    // production chain — the id-dependence category d06's scaladoc pins.
+    // This reproduces the same shape in CI (sf0.001 replicated 10x with
+    // make_sf1.py's key-stride scheme) and asserts the rate stays under
+    // 1% — a band-membership regression would blow through that by
+    // orders of magnitude, failing here instead of hiding in prose.
+    val stride = 1000000000L
+    val base = Tables.documents(spark, Sf).select("doc_id", "text")
+    val scaled = (0 until 10)
+      .map(i => base.select((col("doc_id") + lit(i * stride)).as("doc_id"),
+        col("text")))
+      .reduce(_ unionAll _)
+      .cache()
+    val dict = operators.Dedup
+      .arrivalDecisionOn(spark, scaled, dictionaryIds = true)
+      .select(col("doc_id"), col("is_kept").as("kept_dict"))
+    val xx = operators.Dedup
+      .arrivalDecisionOn(spark, scaled, dictionaryIds = false)
+      .select(col("doc_id"), col("is_kept").as("kept_xx"))
+    val joined = dict.join(xx, "doc_id").cache()
+    val n = joined.count()
+    val flips = joined.filter(col("kept_dict") =!= col("kept_xx")).count()
+    val rate = flips.toDouble / n
+    info(s"flip rate: $flips / $n = $rate")
+    assert(n == base.count() * 10)
+    // non-degenerate: the scale-up must actually create dup decisions
+    assert(joined.join(
+      operators.Dedup.arrivalDecisionOn(spark, scaled, dictionaryIds = false)
+        .filter(!col("is_kept")).select("doc_id"), "doc_id").count() > 0)
+    assert(rate <= 0.01, s"flip rate $rate exceeds the 1% contract")
+    joined.unpersist(); scaled.unpersist()
+  }
 }
