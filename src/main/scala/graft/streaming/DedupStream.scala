@@ -35,7 +35,18 @@ case class DupVerdict(doc_id: Long, dup_of: Long, jaccard: Double)
   * to [[DedupStream.MaxBucketMembers]] member docs (id + sid set) and an
   * arriving doc exact-verifies Jaccard against them — candidates come
   * from band collision (never a corpus join), the verify is exact, and
-  * ties go to the highest Jaccard then smallest doc id.
+  * the owner is the EARLIEST verifying member (smallest doc id, reported
+  * with its own Jaccard — d12's arg_min attribution, asserted by
+  * DedupStreamSpec/StreamDrill).
+  *
+  * Jaccard-universe caveat: the batch family drops shingles with
+  * df > [[graft.operators.Dedup.MaxShingleDf]] from BOTH sides of the
+  * Jaccard; a stream cannot see corpus df at signature time, so by
+  * default the stream's universe is uncapped and equality with d12 holds
+  * where the cap does not bind. On boilerplate-heavy corpora pass
+  * [[DedupStream.signatures]] a stop-sid list snapshotted from the batch
+  * hot list (refreshed periodically, the production pattern) — the spec
+  * proves stream≡batch THROUGH a binding cap with it.
   *
   * Scale: state is buckets × ≤64 members × one capped sid array, keyed by
   * the bucket string — RocksDB-backed (required by transformWithState;
@@ -87,16 +98,32 @@ object DedupStream {
     * row-local array (no dictionary, no shuffle). Runs identically on a
     * stream or a batch frame; docs under 3 tokens carry no shingles and
     * are passed through with an empty sid set (never near-dup flagged).
+    *
+    * `stopSids` is the streaming spelling of the batch df-cap: a BOUNDED
+    * snapshot of the batch hot list's sids (boilerplate shingles with
+    * df > [[graft.operators.Dedup.MaxShingleDf]]), refreshed out-of-band
+    * and inlined as a literal array — row-local, so the stage stays
+    * stateless and shuffle-free (a stream cannot aggregate corpus df
+    * before `transformWithState` in append mode). With the snapshot
+    * supplied, stream and batch threshold the SAME Jaccard universe even
+    * where the cap binds (DedupStreamSpec proves decision equality
+    * through a 70-doc planted-boilerplate corpus); without it the
+    * universes agree wherever the cap does not bind (the scaladoc
+    * caveat above).
     */
-  def signatures(docs: DataFrame): DataFrame =
+  def signatures(docs: DataFrame, stopSids: Seq[Long] = Nil): DataFrame = {
+    val raw =
+      when(size(col("t")) >= 3,
+        array_distinct(transform(TextFn.shingles3(col("t")),
+          s => abs(xxhash64(s)) % lit(TextFn.P))))
+        .otherwise(array().cast("array<bigint>"))
     docs
       .withColumn("t", TextFn.tokens(col("text")))
       .withColumn("sids",
-        when(size(col("t")) >= 3,
-          array_distinct(transform(TextFn.shingles3(col("t")),
-            s => abs(xxhash64(s)) % lit(TextFn.P))))
-          .otherwise(array().cast("array<bigint>")))
+        if (stopSids.isEmpty) raw
+        else array_except(raw, lit(stopSids.toArray)))
       .drop("t", "text")
+  }
 
   /** Band-bucket keys per doc: bucket = "band_h(2b-1)_h(2b)" over the
     * row-local MinHash mins — one output row per (doc, band).
@@ -160,10 +187,10 @@ object DedupStream {
     * rows (one per colliding bucket); fold with [[dupDocs]] (e.g. inside
     * `foreachBatch`) for the per-doc decision.
     */
-  def lshVerdicts(docs: DataFrame)(
+  def lshVerdicts(docs: DataFrame, stopSids: Seq[Long] = Nil)(
       implicit s: SparkSession): Dataset[DupVerdict] = {
     import s.implicits._
-    banded(signatures(docs))
+    banded(signatures(docs, stopSids))
       .select(col("bucket"), col("doc_id"), col("sids")).as[BandDoc]
       .groupByKey(_.bucket)
       .transformWithState(new LshBucketProcessor,
@@ -183,10 +210,11 @@ object DedupStream {
     * that is never idle; on a bursty one prefer [[lshVerdicts]] and
     * periodic checkpoint-rotation for state GC.
     */
-  def lshVerdictsWithin(docs: DataFrame, ttl: java.time.Duration)(
+  def lshVerdictsWithin(docs: DataFrame, ttl: java.time.Duration,
+      stopSids: Seq[Long] = Nil)(
       implicit s: SparkSession): Dataset[DupVerdict] = {
     import s.implicits._
-    banded(signatures(docs))
+    banded(signatures(docs, stopSids))
       .select(col("bucket"), col("doc_id"), col("sids")).as[BandDoc]
       .groupByKey(_.bucket)
       .transformWithState(new LshBucketProcessor(TTLConfig(ttl)),

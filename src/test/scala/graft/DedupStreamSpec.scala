@@ -16,15 +16,15 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
     * at the doc_id median (arrival order == doc_id order) and return the
     * collected verdicts.
     */
-  private def streamVerdicts(docs: Seq[(Long, String)], name: String)
-      : Array[(Long, Long, Double)] = {
+  private def streamVerdicts(docs: Seq[(Long, String)], name: String,
+      stopSids: Seq[Long] = Nil): Array[(Long, Long, Double)] = {
     implicit val s = spark
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     withStateProvider(RocksDbProvider) { // transformWithState requires it
       val ms = MemoryStream[(Long, String)]
       val verdicts = DedupStream.lshVerdicts(
-        ms.toDF().toDF("doc_id", "text"))
+        ms.toDF().toDF("doc_id", "text"), stopSids)
       val q = verdicts.toDF().writeStream.format("memory")
         .queryName(name).outputMode("append").start()
       try {
@@ -93,6 +93,84 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
       assert(owner < dup && j >= operators.Dedup.JaccardT, s"($dup,$owner,$j)")
       assert(expPairs.contains((dup, owner)),
         s"stream paired $dup with $owner; batch never verified that pair")
+    }
+  }
+
+  test("stop-sid snapshot aligns the stream's Jaccard universe with the batch df-cap") {
+    // 70 docs sharing a 10-token boilerplate prefix (8 shingles at df=70,
+    // over the df>64 cap) plus a 2-token unique tail. Batch (capped):
+    // boiler shingles leave the universe, every doc keeps only its 2
+    // unique crossing shingles -> no pairs, ALL KEPT. Uncapped stream:
+    // pairs share 8 of 12 shingles (j=0.667) -> docs 2..70 flagged. With
+    // the hot-list snapshot passed as stopSids, the stream reaches the
+    // batch decision exactly THROUGH the binding cap.
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"boiler$i").mkString(" ")
+    val docs = (1L to 70L).map(i => i -> s"$boiler uniq${i}a uniq${i}b")
+    // batch reference: the oracle-checked capped chain (all docs kept)
+    val batchKept = operators.Dedup
+      .arrivalDecisionOn(spark, docs.toDF("doc_id", "text"),
+        dictionaryIds = false)
+      .filter(col("is_kept")).collect().map(_.getLong(0)).toSet
+    assert(batchKept == (1L to 70L).toSet,
+      "capped batch must keep every doc in this fixture")
+    // the cap must actually BIND: without the snapshot the stream flags
+    // everyone after doc 1
+    val unfiltered = streamVerdicts(docs, "lsh_stopsid_off_t")
+    assert(unfiltered.map(_._1).toSet == (2L to 70L).toSet,
+      "uncapped stream must flag all replicas of the boilerplate block")
+    // hot-list snapshot, derived exactly as production would refresh it:
+    // df over the batch signature frame, sids with df > MaxShingleDf
+    val stop = DedupStream.signatures(docs.toDF("doc_id", "text"))
+      .select(explode(col("sids")).as("sid"))
+      .groupBy("sid").count()
+      .filter(col("count") > operators.Dedup.MaxShingleDf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(stop.size == 8, s"8 boiler shingles expected, got ${stop.size}")
+    val filtered = streamVerdicts(docs, "lsh_stopsid_on_t", stop)
+    assert(filtered.isEmpty,
+      s"stream with stop-sids must match the capped batch (all kept): " +
+        filtered.mkString("; "))
+  }
+
+  test("TTL horizon variant evicts at the horizon: post-horizon replica is re-admitted") {
+    // eviction contract (SCALE.md capacity model): a replica arriving
+    // AFTER the horizon must NOT match the expired member — it becomes
+    // the bucket's new first member — while a same-batch companion
+    // arriving with it still dedups against it (positive control that
+    // the processor works after eviction)
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ttl = java.time.Duration.ofSeconds(4)
+    withStateProvider(RocksDbProvider) {
+      val ms = MemoryStream[(Long, String)]
+      val text = "alpha beta gamma delta epsilon zeta"
+      val q = DedupStream.lshVerdictsWithin(
+          ms.toDF().toDF("doc_id", "text"), ttl)
+        .toDF().writeStream.format("memory").queryName("ttl_evict_t")
+        .outputMode("append").start()
+      try {
+        ms.addData(Seq(1L -> text))
+        // ProcessingTime mode self-triggers: poll until doc 1 is in state
+        // (no verdict expected — poll on progress instead of the sink)
+        var tries = 0
+        while (tries < 150 && q.recentProgress
+            .map(_.numInputRows).sum < 1) {
+          Thread.sleep(200); tries += 1
+        }
+        Thread.sleep(2 * ttl.toMillis) // let the member expire
+        ms.addData(Seq(2L -> text, 3L -> text))
+        tries = 0
+        while (tries < 150 && spark.table("ttl_evict_t").count() < 1) {
+          Thread.sleep(200); tries += 1
+        }
+      } finally q.stop()
+      val got = spark.table("ttl_evict_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc 2 re-admitted (1's membership expired); doc 3 dedups vs 2
+      assert(got == Set(3L -> 2L),
+        s"expected only (3 dup_of 2), got $got")
     }
   }
 
