@@ -46,7 +46,17 @@ object StreamDrill {
       .option("checkpointLocation", s"$stage/ckpt")
       .outputMode("append").start()
     q.processAllAvailable()
+    // PRECONDITION for the equality below: the batch reference decides in
+    // doc_id order, and the stream only matches it when every staged file
+    // landed in ONE micro-batch (file-source arrival order between
+    // batches is path-order, not doc_id-order). Assert it so a
+    // multi-batch split fails loudly as a drill-setup error, not as a
+    // spurious parity break.
+    val inputBatches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    require(inputBatches == 1,
+      s"drill precondition violated: staged files split across " +
+        s"$inputBatches micro-batches; stage fewer/larger files")
 
     val streamed = streaming.DedupStream.dupDocs(
         spark.read.parquet(s"$stage/out"))

@@ -60,14 +60,17 @@ class StateBackendSpec extends AnyFunSuite with SparkTestSession {
     val rocks = heapGrowth(RocksDbProvider, n)
     info(f"heap growth: hdfs=${hdfs / 1048576}%d MB (${hdfs.toDouble / n}%.0f B/row), " +
       f"rocksdb=${rocks / 1048576}%d MB (${rocks.toDouble / n}%.0f B/row)")
-    // conservative bounds (GC noise tolerant): the HDFS-backed provider
-    // MUST retain ≳ the raw state on heap; RocksDB must retain well under
-    // half of it (measured 2 MB vs 254 MB at 200k rows — ~87x)
-    assert(hdfs > 60L * 1024 * 1024,
-      s"HDFS-backed state should be heap-resident, grew only $hdfs bytes")
-    assert(rocks < hdfs / 2,
+    // RELATIVE contract only (measured 2 MB vs 254 MB at 200k rows —
+    // ~87×): absolute byte thresholds depend on heap size, GC algorithm,
+    // and System.gc() honoring, so they flake across runners — the claim
+    // that matters is that the HDFS-backed provider heap-resides state
+    // where RocksDB does not, i.e. the RATIO, plus a loose per-row floor
+    // on the HDFS side (raw state is ~1 KiB/row; 300 B/row tolerates
+    // heavy GC noise while still proving heap residency)
+    assert(hdfs > 300L * n,
+      s"HDFS-backed state should be heap-resident (~1 KiB/row), " +
+        s"grew only ${hdfs.toDouble / n} B/row")
+    assert(rocks < hdfs / 4,
       s"RocksDB heap growth $rocks should be far under HDFS-backed $hdfs")
-    assert(rocks < 40L * 1024 * 1024,
-      s"RocksDB state must live off-heap, grew $rocks bytes")
   }
 }
