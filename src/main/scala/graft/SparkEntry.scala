@@ -91,6 +91,8 @@ object SparkEntry {
     "t21_fuzzy_decontam", "a09_seasonal_anomalies", "x06_temporal_embargo",
     "c12_corpus_datasheet", "w20_max_drawdown", "g25_reciprocity",
     "g26_degree_distribution", "t23_lang_confusion", "f09_runs_test",
-    "e22_weighted_quantiles"
+    "e22_weighted_quantiles",
+    "g20b_capped_clustering_coeff", "d10b_lsh_evaluation_sampled",
+    "mm04b_capped_neardup", "c13_corpus_job"
   ).filter(queries.contains)
 }
