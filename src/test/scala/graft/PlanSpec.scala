@@ -215,6 +215,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hints.isEmpty, hints.mkString("; "))
   }
 
+  test("mm04b member cap runs through the GroupedTopK operator, no window") {
+    // the per-bucket smallest-K retention must be the skew-safe heap
+    // operator (partial+final pair), never a row_number window that would
+    // single-task a storm bucket. sparkPlan (not optimizedPlan): the
+    // GroupedTopK node lives in the live plan, not behind a cached
+    // InMemoryRelation as in g22's spelling
+    val p = operators.Multimodal.mm04bCappedNeardup(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window") && !p.toLowerCase.contains("row_number"), p.take(2000))
+  }
+
+  test("g20b triangle join is equi-only: no BNLJ or cartesian anywhere") {
+    val p = plan(graph.NeighborAgg.g20bCappedClusteringCoeff(spark, Sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("c13 composed pipeline plans hint-free with no BNLJ or cartesian") {
+    val df = operators.Corpus.c13CorpusJob(spark, Sf)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, hints.mkString("; "))
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("t10 frequent-line removal carries no broadcast hint") {
     // same linear bound (corpus_lines / K frequent lines); AQE's call.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
