@@ -134,6 +134,33 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
     assigned.unpersist()
   }
 
+  test("c13 stages survive degenerate corpora: identical texts, short docs, empty gate") {
+    import spark.implicits._
+    // all-identical corpus: one canonical survivor, empty pair graph
+    // (GraphX CC on zero edges), one split, one packed row
+    val same = Seq((1L, "srcA", "alpha beta gamma delta", 4L),
+      (2L, "srcA", "alpha beta gamma delta", 4L),
+      (3L, "srcA", "alpha beta gamma delta", 4L))
+      .toDF("doc_id", "source", "text", "n_tokens")
+    val canonSame = operators.Corpus.c13Canon(same)
+    assert(canonSame.count() == 1 && canonSame.head().getLong(0) == 1L)
+    val packedSame = operators.Corpus.c13Pack(
+      operators.Corpus.c13Assign(spark, canonSame))
+    assert(packedSame.count() == 1)
+    // sub-3-token doc: no shingles -> singleton cluster, still assigned
+    // a split and packed (the gate keeps it; shingling must not drop it)
+    val short = Seq((7L, "srcB", "tiny doc", 2L))
+      .toDF("doc_id", "source", "text", "n_tokens")
+    val assignedShort = operators.Corpus.c13Assign(spark, short).collect()
+    assert(assignedShort.length == 1
+      && assignedShort(0).getLong(assignedShort(0).fieldIndex("cluster_id")) == 7L)
+    // empty canonical corpus: empty manifest, no NPE anywhere in the chain
+    val empty = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "source", "text", "n_tokens")
+    assert(operators.Corpus.c13Pack(
+      operators.Corpus.c13Assign(spark, empty)).isEmpty)
+  }
+
   test("d12 id-dependence contract: keep-decision flip rate bounded at a 10x verbatim scale-up") {
     // the sf1 certification documented 24/50,000 (0.048%) keep-decision
     // flips between the dictionary-id oracle chain and the xxhash-id
