@@ -809,10 +809,14 @@ object Corpus {
   /** Stage 3+4: near-dup clusters over the canonical survivors (d08's
     * capped verifier → GraphX CC) and the c09 cluster-bucket split rule.
     */
-  private[graft] def c13Assign(s: SparkSession, canon: DataFrame): DataFrame = {
+  private[graft] def c13Assign(s: SparkSession, canon0: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph, VertexId}
     val session = s
     import session.implicits._
+    // cached: consumed by the shingle/pair path (whose GraphX CC action
+    // materializes it first) AND the final cluster join — without the
+    // cache the gate + canonical groupBy would recompute per consumer
+    val canon = canon0.cache()
     val sh0 = canon
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
