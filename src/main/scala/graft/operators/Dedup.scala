@@ -871,32 +871,48 @@ object Dedup {
 
   private def d10Sql = d10SqlOver(shingleIdsSql)
 
-  /** d10b — d10's banding-curve evaluation on a DETERMINISTIC hash sample
-    * of the corpus: keep docs whose [[graft.operators.Det.knuthBucket]]
-    * (doc_id, [[SampleMod]]) is 0 (the e05/x03 hash-sampling machinery —
-    * reproducible, rescan-free, no RNG), then run the IDENTICAL pipeline —
-    * sample-local df cap, dictionary, MinHash, bands, exact verify — via
-    * the shared [[lshEvalOn]] core. This is the spelling that RUNS at
-    * 100 TB: d10's ground truth is Σdf² over the full corpus by
-    * construction (the documented quadratic), while the sample's cost is
-    * that of a corpus [[SampleMod]]× smaller; the banding curve being
-    * per-pair, sampled recall/precision estimate the full-corpus values
-    * (Round7OpsSpec pins the envelope at sf0.01). Tuning bands/rows on a
-    * real crawl = run THIS, not d10.
+  /** d10b — d10's banding-curve evaluation on a FIXED-SIZE deterministic
+    * sample of the corpus: the [[SampleK]] docs with the smallest
+    * [[graft.operators.Det.knuthBucket]] draw (bottom-k by hash, the x05
+    * machinery — reproducible, rescan-free, no RNG), then the IDENTICAL
+    * pipeline — sample-local df cap, dictionary, MinHash, bands, exact
+    * verify — via the shared [[lshEvalOn]] core. This is the spelling
+    * that RUNS at 100 TB: d10's ground truth is Σdf² over the full corpus
+    * by construction (the documented quadratic), while the sample costs
+    * the SAME on 1 GB and 100 TB — the bottom-k select is a
+    * TakeOrderedAndProject (per-partition partial top-k, one bounded
+    * merge), and everything downstream sees exactly [[SampleK]] docs
+    * regardless of corpus size. The banding curve being per-pair, sampled
+    * recall/precision estimate the full-corpus values (Round7OpsSpec pins
+    * the envelope at sf0.01). Tuning bands/rows on a real crawl = run
+    * THIS, not d10; pick `k` for the pair budget you can afford.
     */
   def d10bLshEvaluationSampled(s: SparkSession, dir: String): DataFrame =
     lshEvalOn(shingleIdsOf(s, sampledDocs(s, dir)).cache())
 
-  /** Hash-sample modulus for d10b (keep bucket 0 → ~1/2 of docs). */
-  private[graft] val SampleMod = 2L
+  /** Fixed d10b sample size: the certified default. Bounds the grader's
+    * ground truth at ≤ SampleK·(SampleK−1)/2 pairs a priori — corpus-
+    * independent, unlike a rate (a 1/m rate on a 100 TB crawl is still a
+    * 100/m TB corpus with a superlinear Σdf² inside).
+    */
+  private[graft] val SampleK = 256
 
-  private def sampledDocs(s: SparkSession, dir: String): DataFrame =
+  /** Hash-draw modulus for the bottom-k order (x05's spelling — large
+    * enough that the draw is effectively the full Knuth hash).
+    */
+  private val SampleDrawMod = 1000000000L
+
+  private[graft] def sampledDocs(s: SparkSession, dir: String,
+      k: Int = SampleK): DataFrame =
     Tables.documents(s, dir)
-      .filter(Det.knuthBucket(col("doc_id"), SampleMod) === 0L)
+      .orderBy(Det.knuthBucket(col("doc_id"), SampleDrawMod), col("doc_id"))
+      .limit(k)
 
   private def d10bSql = d10SqlOver(
     s"""docs_s AS (SELECT * FROM documents
-       |           WHERE ${Det.sqlKnuthBucket("doc_id", SampleMod)} = 0),
+       |           ORDER BY ${Det.sqlKnuthBucket("doc_id", SampleDrawMod)},
+       |                    doc_id
+       |           LIMIT $SampleK),
        |${shingleIdsSqlFrom("docs_s")}""".stripMargin)
 
   private def d10SqlOver(dsCtes: String) =

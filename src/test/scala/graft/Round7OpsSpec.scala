@@ -44,9 +44,10 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
   test("d10b sampled banding metrics sit within the stated envelope of full d10 (sf0.01)") {
     // the sampled grader must (a) find a non-degenerate pair population
     // and (b) estimate the full-corpus banding curve: recall/precision are
-    // per-pair ratios, so a ~50% doc sample (~25% of pairs) stays within
-    // ±0.25 of the full values at this SF — the operator's fitness-for-
-    // purpose claim (pick LSH params from the sample) in one assertion
+    // per-pair ratios, so a fixed 256-doc sample (~26% of pairs at this
+    // 500-doc SF) stays within ±0.25 of the full values — the operator's
+    // fitness-for-purpose claim (pick LSH params from the sample) in one
+    // assertion
     def metrics(df: org.apache.spark.sql.DataFrame) = {
       val row = df.head()
       (row.getLong(row.fieldIndex("n_true")),
@@ -63,6 +64,20 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestSession {
       s"recall $rSamp vs full $rFull")
     assert(math.abs(pSamp - pFull) <= 0.25,
       s"precision $pSamp vs full $pFull")
+  }
+
+  test("d10b's sample is fixed-SIZE: exactly SampleK docs whenever the corpus exceeds it") {
+    // the round-8 contract: grader cost is corpus-independent because the
+    // bottom-k-by-hash sample is a COUNT, not a rate — 256 docs out of
+    // 500 here, 256 out of 50k at sf1, 256 out of a 100 TB crawl
+    assert(operators.Dedup.sampledDocs(spark, SfMid).count()
+      == operators.Dedup.SampleK)
+    // and deterministic: two evaluations pick the identical doc set
+    val a = operators.Dedup.sampledDocs(spark, SfMid).select("doc_id")
+    val b = operators.Dedup.sampledDocs(spark, SfMid).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a smaller k is honored too (parameterized for production tuning)
+    assert(operators.Dedup.sampledDocs(spark, SfMid, 32).count() == 32)
   }
 
   test("mm04b member cap loses nothing on a 70-replica verbatim flood") {
