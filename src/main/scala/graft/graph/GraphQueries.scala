@@ -34,10 +34,8 @@ object GraphQueries {
     "g25_reciprocity" -> (Scc.g25Reciprocity _)
   )
 
-  /** g08 is GraphX staticPageRank — numerically different normalization,
-    * rows-only check by design.
-    */
   val oracles: Map[String, String] = Map(
+    "g08_pagerank_graphx" -> PageRankOps.graphxSql(),
     "g01_cooccurrence_edges" -> CoGraph.qSql,
     "g02_degrees" -> CoGraph.degreesSql,
     "g26_degree_distribution" -> CoGraph.g26Sql,

@@ -271,8 +271,17 @@ object PageRankOps {
        |ORDER BY pagerank DESC, id LIMIT $PprTopK""".stripMargin
   }
 
-  /** The idiomatic GraphX alternative (`staticPageRank`) — registered as a
-    * rows-only query (different normalization ⇒ no SQL oracle).
+  /** The idiomatic GraphX alternative (`staticPageRank`) — top-50 by
+    * score, rounded to 10 dp like g06/g07 so the unrolled SQL oracle's
+    * float-order drift is absorbed. Numerically DIFFERENT from g06 by
+    * design (out-degree normalization instead of amount weights, init
+    * rank 1.0 instead of 1/N, final sink-mass rescale), which is exactly
+    * why it gets its own oracle: [[graphxSql]] mirrors the public GraphX
+    * `PageRank.runWithOptions` op-for-op — edge weight `1/outDegree(src)`
+    * (`mapTriplets(1.0 / e.srcAttr)`), per-iteration
+    * `α + (1−α)·Σ incoming`, and the SPARK-18847 `normalizeRankSum`
+    * correction (global rescale so ranks sum to |V|, compensating mass
+    * lost to sink vertices).
     */
   def graphxPageRank(s: SparkSession, dir: String): DataFrame = {
     val session = s
@@ -285,8 +294,37 @@ object PageRankOps {
     val g = Graph(vtxRdd, edgeRdd)
     g.staticPageRank(Iterations, Alpha).vertices
       .toDF("id", "pagerank")
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
       .orderBy(col("pagerank").desc, col("id"))
       .limit(50)
+  }
+
+  /** g08's unrolled DuckDB oracle — GraphX `staticPageRank` semantics
+    * transcribed from the public Spark source (graphx/lib/PageRank.scala,
+    * verified against the 4.1.2 bytecode): out-degree-normalized weights,
+    * rank₀ = 1.0 everywhere, rankₖ = α + (1−α)·Σ(rankₖ₋₁/outdeg) over
+    * in-edges, then one global rescale to make Σrank = |V|.
+    */
+  def graphxSql(iterations: Int = Iterations): String = {
+    val levels = (1 to iterations).map { k =>
+      s"""gpr$k AS (
+         |  SELECT v.id, 0.15 + 0.85 * coalesce(c.s, 0) AS pagerank
+         |  FROM vertices v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pagerank / o.d) AS s
+         |    FROM gpr${k - 1} p JOIN edges e ON p.id = e.src
+         |    JOIN outdeg o ON o.src = e.src
+         |    GROUP BY 1) c ON v.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CoGraph.edgesCte},
+       |vertices AS (SELECT DISTINCT user_id AS id FROM events),
+       |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+       |gpr0 AS (SELECT id, 1.0 AS pagerank FROM vertices),
+       |$levels,
+       |factor AS (SELECT (SELECT count(*) FROM vertices) / sum(pagerank)
+       |           AS f FROM gpr$iterations)
+       |SELECT id, round(pagerank * f, 10) AS pagerank
+       |FROM gpr$iterations CROSS JOIN factor
+       |ORDER BY round(pagerank * f, 10) DESC, id LIMIT 50""".stripMargin
   }
 
   /** Top-k per role for [[g18Hits]]. */
