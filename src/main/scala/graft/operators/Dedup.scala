@@ -81,10 +81,23 @@ object Dedup {
     // DISTINCT shingles (shingles3 array_distincts), so the row count IS
     // the document frequency — and a plain count partial-aggregates
     // map-side where a distinct-count would shuffle the expanded rows
+    // the cache() is LOAD-BEARING for AQE: it puts a runtime-measured
+    // stage boundary (TableCacheQueryStage) AFTER the df filter, so the
+    // size AQE prices for the broadcast-vs-shuffle call is the TRUE
+    // hot-list size — without it the join side's last stage is the
+    // PRE-filter dictionary shuffle (linear in corpus), and AQE would
+    // never broadcast even a tiny hot list. (A same-key repartition
+    // can't provide the boundary: groupBy already hash-partitions on s,
+    // so Spark elides it as redundant.) When the hot list IS oversized,
+    // AQE declines the broadcast and the anti-join stays shuffled; the
+    // cache spills via MEMORY_AND_DISK — the same order of disk traffic
+    // the join-side shuffle write costs anyway. PlanSpec pins both
+    // runtime behaviors.
     val hot = sh.groupBy("s")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("s")
+      .cache()
     sh.join(hot, Seq("s"), "left_anti")
   }
 

@@ -72,11 +72,18 @@ object LmOps {
       .select(col("doc_id"), pageLines.as("lines"))
       .withColumn("n_lines", size(col("lines")).cast("long"))
       .cache()
+    // cached for the same reason capShingles caches its hot list: the
+    // TableCacheQueryStage boundary sits AFTER the df filter, so the size
+    // AQE prices for its broadcast-vs-shuffle call is the TRUE
+    // frequent-line set — not the pre-filter line-df shuffle, which is
+    // linear in corpus size (PlanSpec pins the runtime behavior on the
+    // capShingles twin of this shape)
     val freq = pages
       .select(explode(col("lines")).as("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinLineDf)
       .select("line")
+      .cache()
     val kept = pages
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .join(freq, Seq("line"), "left_anti")

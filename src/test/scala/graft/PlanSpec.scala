@@ -215,6 +215,42 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hints.isEmpty, hints.mkString("; "))
   }
 
+  test("capShingles anti-join: AQE broadcasts the real sf0.1 hot list, declines the planted flood") {
+    // round-7 removed the hint and ASSERTED "AQE broadcasts it at runtime
+    // whenever it is actually small"; this pins both halves of that claim
+    // as runtime behavior, not a static-plan hope. Scenario + confs are
+    // Plans' own objects — CI asserts exactly what PLANS.md publishes.
+    // the FINAL adaptive plan only — executedPlan.toString() appends the
+    // "== Initial Plan ==" section, which always shows the pre-AQE SMJ
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.toRdd.count() // finalize THIS QueryExecution
+      val s = df.queryExecution.executedPlan.toString()
+      val cut = s.indexOf("== Initial Plan ==")
+      if (cut < 0) s else s.substring(0, cut)
+    }
+    Plans.withConfs(spark, Plans.CapAntiConfs) {
+      try {
+        // real tree at sf0.1, df>8: hot list small+non-empty → runtime BHJ
+        val rp = finalPlan(Plans.capAntiScenario(spark, "/root/testdata/sf0.1"))
+        assert(rp.contains("BroadcastHashJoin") && rp.contains("LeftAnti"),
+          "AQE must broadcast the small hot list:\n" +
+            rp.linesIterator.take(30).mkString("\n"))
+        // real tree at the production df>64: hot list EMPTY here → AQE
+        // deletes the anti-join entirely (PropagateEmptyRelation)
+        val ep = finalPlan(Plans.capEmptyScenario(spark, "/root/testdata/sf0.1"))
+        assert(!ep.contains("Join"),
+          "AQE must eliminate the anti-join against an empty hot list:\n" +
+            ep.linesIterator.take(30).mkString("\n"))
+        // planted 1M-fat-string hot list past the 10MB threshold: AQE
+        // must keep the shuffled join — the case a hard hint would OOM
+        val fp = finalPlan(Plans.capFloodScenario(spark))
+        assert(!fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
+          "AQE must NOT broadcast the oversized hot list:\n" +
+            fp.linesIterator.take(30).mkString("\n"))
+      } finally spark.catalog.clearCache() // cappedShingleRows caches sh
+    }
+  }
+
   test("mm04b member cap runs through the GroupedTopK operator, no window") {
     // the per-bucket smallest-K retention must be the skew-safe heap
     // operator (partial+final pair), never a row_number window that would
