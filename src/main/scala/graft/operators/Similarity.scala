@@ -1447,7 +1447,77 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** The graded ANN ladder: every approximate variant the library ships,
+    * paired with its name in the frontier report. ONE definition shared
+    * by [[v14AnnFrontier]] and its SQL mirror, so the two can never grade
+    * different ladders.
+    */
+  private def ladder(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = Seq(
+    "v02_lsh" -> v02AnnLsh(s, dir),
+    "v04_ivf" -> v04AnnIvf(s, dir),
+    "v05_pq" -> v05AnnPq(s, dir),
+    "v07_ivfpq" -> v07AnnIvfPq(s, dir),
+    "v08_binary" -> v08AnnBinary(s, dir),
+    "v09_sq" -> v09AnnSq(s, dir),
+    "v10_rerank" -> v10TwoStageRerank(s, dir),
+    "v11_matryoshka" -> v11MatryoshkaRerank(s, dir))
+
+  private def ladderSql: Seq[(String, String)] = Seq(
+    "v02_lsh" -> v02Sql,
+    "v04_ivf" -> v04Sql,
+    "v05_pq" -> v05Sql,
+    "v07_ivfpq" -> v07Sql,
+    "v08_binary" -> v08Sql,
+    "v09_sq" -> v09Sql,
+    "v10_rerank" -> v10Sql,
+    "v11_matryoshka" -> v11Sql)
+
+  /** v14 — the ANN recall-cost FRONTIER: one row per ladder member with
+    * its micro-averaged recall@k against the brute-force ground truth
+    * (v01) — the table a user reads to pick an operating point, paired
+    * with the per-variant bench seconds in SCALE.md (cost axis). v13
+    * grades one index (IVF) per-query; this grades the WHOLE ladder in
+    * one declarative plan: the exact top-k is computed once and
+    * left-joined against each variant's top-k.
+    *
+    * Scale: like v13, ground truth only exists for the query SAMPLE
+    * (recall evaluation at 100 TB is always sampled); each arm's join is
+    * k·|sample| rows a side. The arms share the cached exact side and
+    * the cached corpus scans inside each variant; the union is 8 tiny
+    * aggregates.
+    */
+  def v14AnnFrontier(s: SparkSession, dir: String): DataFrame = {
+    val exact = v01CosineTopk(s, dir)
+      .select(col("query_id"), col("neighbor_id")).cache()
+    ladder(s, dir).map { case (name, df) =>
+      val ann = df.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_true"))
+        .select(lit(name).as("variant"), col("n_hits"), col("n_true"),
+          r(col("n_hits").cast("double") / col("n_true"), 4)
+            .as("recall_at_k"))
+    }.reduce(_.union(_)).orderBy("variant")
+  }
+
+  private def v14Sql: String = {
+    val hits = "sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)"
+    val arms = ladderSql.map { case (name, sql) =>
+      s"""SELECT '$name' AS variant,
+         |  CAST($hits AS BIGINT) AS n_hits,
+         |  CAST(count(*) AS BIGINT) AS n_true,
+         |  ${rSql(s"CAST($hits AS DOUBLE) / count(*)", 4)} AS recall_at_k
+         |FROM (SELECT query_id, neighbor_id FROM ($v01Sql)) b
+         |LEFT JOIN (SELECT query_id, neighbor_id FROM ($sql)) a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id""".stripMargin
+    }
+    arms.mkString("\nUNION ALL\n") + "\nORDER BY variant"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_ann_frontier" -> (v14AnnFrontier _),
     "v06_kmeans_lloyd" -> (v06KmeansLloyd _),
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
@@ -1467,6 +1537,7 @@ object Similarity {
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
+    "v14_ann_frontier" -> v14Sql,
     "v06_kmeans_lloyd" -> v06Sql,
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,
