@@ -151,26 +151,29 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
         .toDF().writeStream.format("memory").queryName("ttl_evict_t")
         .outputMode("append").start()
       try {
-        ms.addData(Seq(1L -> text))
-        // ProcessingTime mode self-triggers: poll until doc 1 is in state
-        // (no verdict expected — poll on progress instead of the sink)
+        // wave 1: doc 1 + companion 2 — the (2 dup_of 1) verdict in the
+        // SINK proves doc 1 is in state before the horizon wait starts.
+        // (Polling recentProgress instead is flake-prone: it is a bounded
+        // ring buffer that ProcessingTime self-trigger batches can evict
+        // the data-bearing entry from — the round-7 advice item.)
+        ms.addData(Seq(1L -> text, 2L -> text))
         var tries = 0
-        while (tries < 150 && q.recentProgress
-            .map(_.numInputRows).sum < 1) {
+        while (tries < 150 && spark.table("ttl_evict_t").count() < 1) {
           Thread.sleep(200); tries += 1
         }
-        Thread.sleep(2 * ttl.toMillis) // let the member expire
-        ms.addData(Seq(2L -> text, 3L -> text))
+        Thread.sleep(2 * ttl.toMillis) // let the members expire
+        ms.addData(Seq(3L -> text, 4L -> text))
         tries = 0
-        while (tries < 150 && spark.table("ttl_evict_t").count() < 1) {
+        while (tries < 150 && spark.table("ttl_evict_t").count() < 2) {
           Thread.sleep(200); tries += 1
         }
       } finally q.stop()
       val got = spark.table("ttl_evict_t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      // doc 2 re-admitted (1's membership expired); doc 3 dedups vs 2
-      assert(got == Set(3L -> 2L),
-        s"expected only (3 dup_of 2), got $got")
+      // 2 dedups vs 1 in-horizon; doc 3 re-admitted (1/2 expired);
+      // doc 4 dedups vs 3 — and crucially NOT vs 1 or 2
+      assert(got == Set(2L -> 1L, 4L -> 3L),
+        s"expected {(2,1),(4,3)}, got $got")
     }
   }
 
