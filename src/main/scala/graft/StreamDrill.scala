@@ -37,6 +37,34 @@ object StreamDrill {
     val stage = Files.createTempDirectory("streamdrill").toString
     Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
       .coalesce(2).write.mode("overwrite").json(s"$stage/in")
+    val stagedRows = spark.read.schema("doc_id LONG, text STRING")
+      .json(s"$stage/in").count()
+    // PRECONDITION for the equality below: the batch reference decides in
+    // doc_id order, and the stream only matches it when every staged file
+    // landed in ONE micro-batch (file-source arrival order between
+    // batches is path-order, not doc_id-order). Count data-bearing
+    // batches with a LISTENER, not q.recentProgress — that is a bounded
+    // ring buffer (default 100 entries) which idle/no-data batches can
+    // evict the data-bearing entry from, turning a passed drill into a
+    // misleading "split across 0 micro-batches" failure.
+    val dataBatches = new java.util.concurrent.atomic.AtomicLong(0)
+    val rowsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) {
+          dataBatches.incrementAndGet()
+          rowsSeen.addAndGet(e.progress.numInputRows)
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener
+            .QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val docs = spark.readStream
       .schema("doc_id LONG, text STRING")
       .json(s"$stage/in")
@@ -46,17 +74,21 @@ object StreamDrill {
       .option("checkpointLocation", s"$stage/ckpt")
       .outputMode("append").start()
     q.processAllAvailable()
-    // PRECONDITION for the equality below: the batch reference decides in
-    // doc_id order, and the stream only matches it when every staged file
-    // landed in ONE micro-batch (file-source arrival order between
-    // batches is path-order, not doc_id-order). Assert it so a
-    // multi-batch split fails loudly as a drill-setup error, not as a
-    // spurious parity break.
-    val inputBatches = q.recentProgress.count(_.numInputRows > 0)
+    // listener events are delivered asynchronously — wait until every
+    // staged row has been accounted for before judging the batch count
+    var waits = 0
+    while (waits < 100 && rowsSeen.get() < stagedRows) {
+      Thread.sleep(100); waits += 1
+    }
     q.stop()
-    require(inputBatches == 1,
+    spark.streams.removeListener(listener)
+    require(rowsSeen.get() == stagedRows,
+      s"drill saw ${rowsSeen.get()} of $stagedRows staged rows — " +
+        "input lost or listener never delivered the data batch's progress")
+    require(dataBatches.get() == 1,
       s"drill precondition violated: staged files split across " +
-        s"$inputBatches micro-batches; stage fewer/larger files")
+        s"${dataBatches.get()} data-bearing micro-batches; " +
+        "stage fewer/larger files")
 
     val streamed = streaming.DedupStream.dupDocs(
         spark.read.parquet(s"$stage/out"))

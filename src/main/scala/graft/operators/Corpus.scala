@@ -763,9 +763,11 @@ object Corpus {
 
   /** c13 — the composed end-to-end corpus JOB: quality gate → exact dedup
     * → near-dup clusters → leakage-safe split → sequence packing, chained
-    * as ONE declarative query (single materialization — Catalyst sees the
-    * whole pipeline, so the gate prunes before shingling and the pair
-    * join only ever runs over gated canonical survivors). Every stage is
+    * as ONE declarative query (Catalyst sees the whole pipeline, so the
+    * gate prunes before shingling and the pair join only ever runs over
+    * gated canonical survivors; the one mid-pipeline barrier is the
+    * GraphX CC Pregel run, whose inputs are cached for exactly that span
+    * and released before the query returns). Every stage is
     * an operator the library certifies on its own (c01's gate, d01's
     * hash-groupBy dedup, d08's capped verifier, c09's cluster-bucket
     * split rule, c10's packing accounting); this query certifies the
@@ -815,26 +817,41 @@ object Corpus {
     import session.implicits._
     // cached: consumed by the shingle/pair path (whose GraphX CC action
     // materializes it first) AND the final cluster join — without the
-    // cache the gate + canonical groupBy would recompute per consumer
+    // cache the gate + canonical groupBy would recompute per consumer.
+    // All three caches are RELEASED before returning (below): the GraphX
+    // CC Pregel run is an eager barrier, so by the time `cc` is cut the
+    // shingle/pair caches have served every consumer, and cutting the
+    // final frame lets canon go too — a c13 run leaves no cached frames
+    // behind in a long session (the round-7 advice item; the bench runs
+    // 110 queries in one session).
     val canon = canon0.cache()
     val sh0 = canon
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
-    val pairs = Dedup.verifiedPairsOn(Dedup.capShingles(sh0.cache()).cache())
+      .cache()
+    val capped = Dedup.capShingles(sh0).cache()
+    val pairs = Dedup.verifiedPairsOn(capped)
       .select(col("id_a"), col("id_b"))
     val edgeRdd = pairs.as[(Long, Long)].rdd
       .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
-    val cc = Graph.fromEdges(edgeRdd, ())
-      .connectedComponents().vertices.toDF("cc_id", "cluster_min")
+    // cut cc (eager): the Pregel result is pinned independent of the
+    // shingle lineage, so the shingle/pair caches can be dropped NOW
+    val cc = graft.Cut.cut(
+      Graph.fromEdges(edgeRdd, ())
+        .connectedComponents().vertices.toDF("cc_id", "cluster_min"))
+    capped.unpersist(false)
+    sh0.unpersist(false)
     val assigned = canon
       .join(cc, canon("doc_id") === cc("cc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         coalesce(col("cluster_min"), col("doc_id")).as("cluster_id"))
     val bucket = Det.knuthBucket(col("cluster_id"), 10L)
-    assigned.withColumn("split",
+    val out = graft.Cut.cut(assigned.withColumn("split",
       when(bucket <= 7L, "train").when(bucket === 8L, "val")
-        .otherwise("test"))
+        .otherwise("test")))
+    canon.unpersist(false)
+    out
   }
 
   /** Stage 5: c10's packing accounting per (split, source). */

@@ -70,6 +70,17 @@ object GroupedTopK {
     * mechanical). Columns resolve with the session's case-sensitivity
     * setting; a name matching twice (self-join residue) throws instead of
     * silently binding the first occurrence.
+    *
+    * Id-magnitude note (the keepMinK pattern: `value = tie.cast(double)`,
+    * used by mm04b, g22's caps, x05): ids past 2^53 collapse in the
+    * double cast, but the composite heap order `(value, tie)` stays
+    * EXACT anyway — long→double is monotone (a < b ⟹ (double) a ≤
+    * (double) b), so any two ids the cast collapses are resolved by the
+    * exact long tie compare, and keep-smallest-K by `(double(id), id)`
+    * equals keep-smallest-K by `id` at every magnitude
+    * (GroupedTopKSpec pins this with colliding ids near Long.MaxValue).
+    * [[rank]] has NO tie column, so there the caller's value must be
+    * exactly representable — its call sites rank by genuine doubles.
     */
   def apply(df: DataFrame, groupCols: Seq[String], valueCol: String,
       tieCol: String, k: Int, descending: Boolean = true): DataFrame = {

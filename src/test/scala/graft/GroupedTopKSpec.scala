@@ -207,6 +207,25 @@ class GroupedTopKSpec extends AnyFunSuite with SparkTestSession {
       == ref)
   }
 
+  test("keepMinK stays exact past 2^53: colliding double ids resolved by the long tie") {
+    // the keepMinK pattern (value = tie.cast(double)) must keep the
+    // smallest-K by the EXACT long even where the double cast collapses
+    // neighbors: long→double is monotone, so collapsed ids fall to the
+    // exact tie compare. Ids here differ only in the low bits a double
+    // cannot hold at 2^60 magnitude.
+    import spark.implicits._
+    val base = (1L << 60) to (1L << 60) + 9L
+    val df = base.map(id => ("g", id)).toDF("grp", "id")
+      .withColumn("__v", col("id").cast("double"))
+    // precondition: the cast really collapses (all ten ids → one double)
+    assert(df.select(countDistinct(col("__v"))).head().getLong(0) == 1L)
+    val kept = GroupedTopK(df, Seq("grp"), "__v", "id", 3,
+        descending = false)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == base.take(3).toSet,
+      s"expected smallest three exact ids, got $kept")
+  }
+
   test("heap order matches Spark's double total order on NaN and -0.0") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
