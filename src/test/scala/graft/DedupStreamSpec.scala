@@ -161,10 +161,15 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
         while (tries < 150 && spark.table("ttl_evict_t").count() < 1) {
           Thread.sleep(200); tries += 1
         }
+        // baseline AFTER wave 1: verdicts are per-BAND (up to 8 rows for
+        // one dup), so polling for an absolute count would be satisfied
+        // by wave 1 alone and stop() would race the wave-2 batch
+        val wave1Rows = spark.table("ttl_evict_t").count()
         Thread.sleep(2 * ttl.toMillis) // let the members expire
         ms.addData(Seq(3L -> text, 4L -> text))
         tries = 0
-        while (tries < 150 && spark.table("ttl_evict_t").count() < 2) {
+        while (tries < 150
+            && spark.table("ttl_evict_t").count() <= wave1Rows) {
           Thread.sleep(200); tries += 1
         }
       } finally q.stop()

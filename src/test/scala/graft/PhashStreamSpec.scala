@@ -118,11 +118,16 @@ class PhashStreamSpec extends AnyFunSuite with SparkTestSession {
         while (tries < 150 && spark.table("ph_ttl_t").count() < 1) {
           Thread.sleep(200); tries += 1
         }
+        // baseline AFTER wave 1: verdicts are per-BAND (up to 2 rows for
+        // one dup), so polling for an absolute count would be satisfied
+        // by wave 1 alone and stop() would race the wave-2 batch
+        val wave1Rows = spark.table("ph_ttl_t").count()
         Thread.sleep(2 * ttl.toMillis) // let the members expire
         // wave 2: replica 10 + companion 11
         ms.addData(Seq(row(10L), row(11L)))
         tries = 0
-        while (tries < 150 && spark.table("ph_ttl_t").count() < 2) {
+        while (tries < 150
+            && spark.table("ph_ttl_t").count() <= wave1Rows) {
           Thread.sleep(200); tries += 1
         }
       } finally q.stop()
