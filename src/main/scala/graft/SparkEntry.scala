@@ -93,6 +93,7 @@ object SparkEntry {
     "g26_degree_distribution", "t23_lang_confusion", "f09_runs_test",
     "e22_weighted_quantiles",
     "g20b_capped_clustering_coeff", "d10b_lsh_evaluation_sampled",
-    "mm04b_capped_neardup", "c13_corpus_job"
+    "mm04b_capped_neardup", "c13_corpus_job",
+    "v14_ann_frontier"
   ).filter(queries.contains)
 }
