@@ -59,6 +59,7 @@ object Bench {
         // events/documents/embeddings queries that follow the graph ones.
         // checkpointed RDDs exempt: truncated lineage, not recomputable
         // (FraudML's memoized split/model pins)
+        Caches.release(spark) // drain the registry's strong refs too
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(r => if (!r.isCheckpointed) r.unpersist(false))

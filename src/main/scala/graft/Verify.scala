@@ -46,6 +46,7 @@ object Verify {
       // checkpointed RDDs are exempt: their lineage is truncated, so they
       // CANNOT be recomputed after unpersist — and FraudML's memoized
       // split/model pins live exactly there (eager localCheckpoint)
+      Caches.release(spark) // drain the registry's strong refs too
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(r => if (!r.isCheckpointed) r.unpersist(false))

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Caches.Tracked
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -212,7 +213,7 @@ object Components {
     * charge and the oracle exact.
     */
   def fraudDistance(s: SparkSession, dir: String): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
     var dist = PageRankOps.confirmedOffenders(s, dir)
       .select(col("id"), lit(0L).as("hops"))
     for (k <- 1 to MaxHops) {
@@ -265,7 +266,7 @@ object Components {
     val edges = CoGraph.weightedEdges(s, dir)
       .select(col("src"), col("dst"),
         round(col("amount") * 100).cast("long").as("cost"))
-      .repartition(col("src")).cache()
+      .repartition(col("src")).tracked
     var dist = PageRankOps.confirmedOffenders(s, dir)
       .select(col("id"), lit(0L).as("cost"))
     for (_ <- 1 to CostHops) {
@@ -325,7 +326,7 @@ object Components {
     */
   def labelPropagation(s: SparkSession, dir: String,
       iterations: Int = LpaIterations): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
     var labels = vertices(s, dir).select(col("id"), col("id").as("label"))
     for (_ <- 1 to iterations) {
       val counted = edges.alias("e")
@@ -389,7 +390,7 @@ object Components {
     */
   def kcore(s: SparkSession, dir: String, k: Int = KcoreK,
       rounds: Int = KcoreRounds): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).cache()
+    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
     def survivors(alive: DataFrame): DataFrame = edges
       .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")

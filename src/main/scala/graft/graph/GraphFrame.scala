@@ -171,8 +171,8 @@ class GraphFrame private (val vertices: DataFrame, val edges: DataFrame) {
   /** `g.pageRank.resetProbability(a).maxIter(n).run()` — returns a new
     * GraphFrame whose vertices carry `pagerank` (GraphX staticPageRank /
     * personalized when `sourceId` is set — same semantics as
-    * [[PageRankOps.graphxPageRank]], registered rows-only at the gate for
-    * the same normalization reason).
+    * [[PageRankOps.graphxPageRank]], whose g08 registration is
+    * oracle-checked against the unrolled-CTE mirror since round 8).
     */
   def pageRank: GraphFrame.PageRankBuilder = new GraphFrame.PageRankBuilder(this)
 

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -41,7 +42,7 @@ object NeighborAgg {
 
   /** g19 — per-node neighbor-feature aggregates at hop 1 and hop 2. */
   def g19NeighborFeatures(s: SparkSession, dir: String): DataFrame =
-    hopAggs(CoGraph.edges(s, dir).cache(), feats(s, dir))
+    hopAggs(CoGraph.edges(s, dir).tracked, feats(s, dir))
 
   /** Shared 1/2-hop aggregation body over an edge list + feature table. */
   private def hopAggs(e: DataFrame, ft: DataFrame): DataFrame = {
@@ -109,7 +110,7 @@ object NeighborAgg {
           && col("a.user_id") =!= col("b.user_id"))
       .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
       .distinct()
-    val e = keepMinK(edges0, "src", "dst", FanOut).cache()
+    val e = keepMinK(edges0, "src", "dst", FanOut).tracked
     hopAggs(e, feats(s, dir))
   }
 
@@ -169,8 +170,8 @@ object NeighborAgg {
     * joins are equi-joins on edge keys.
     */
   def g20ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
-    val e = CoGraph.edges(s, dir).cache()
-    val und = e.filter(col("src") < col("dst")).cache()
+    val e = CoGraph.edges(s, dir).tracked
+    val und = e.filter(col("src") < col("dst")).tracked
     val tri = und.as("a")
       .join(und.as("b"), col("b.src") === col("a.dst"))
       .join(und.as("c"),
@@ -250,7 +251,7 @@ object NeighborAgg {
         col("r.src") === col("e.dst") && col("r.dst") === col("e.src"))
       .filter(col("e.src") < col("e.dst"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
+      .tracked
     val tri = und.as("a")
       .join(und.as("b"), col("b.src") === col("a.dst"))
       .join(und.as("c"),
@@ -338,7 +339,7 @@ object NeighborAgg {
     * needed at any realistic fraud-graph size.
     */
   def g21Assortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = CoGraph.edges(s, dir).cache()
+    val e = CoGraph.edges(s, dir).tracked
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("d"))
     // the degree table is ∝ |V| — vertex-bounded but unbounded in V, so

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Caches.Tracked
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -49,7 +50,7 @@ object PageRankOps {
     // cached partitioning satisfies the join's distribution requirement in
     // every iteration, so only the rank side shuffles per step.
     pageRankLoopWith(s, dir, iterations,
-      CoGraph.normalizedWeights(s, dir).repartition(col("src")).cache())
+      CoGraph.normalizedWeights(s, dir).repartition(col("src")).tracked)
 
   /** Loop over a CALLER-supplied pre-partitioned, cached weight table —
     * for callers that also need the edge set themselves (g11), so the
@@ -62,7 +63,7 @@ object PageRankOps {
     // weight table — each iteration's dangling left-join then reuses
     // the cached distribution instead of re-shuffling vertices.
     val vertices = Components.vertices(s, dir)
-      .repartition(col("id")).cache()
+      .repartition(col("id")).tracked
     val n = vertices.count()
     var pr = vertices.withColumn("pagerank", lit(1.0 / n))
     for (i <- 1 to iterations) {
@@ -172,7 +173,7 @@ object PageRankOps {
     // membership set and the PR loop (rebuilding it is g06's single most
     // expensive stage).
     val w = CoGraph.normalizedWeights(s, dir)
-      .repartition(col("src")).cache()
+      .repartition(col("src")).tracked
     val inGraph = w.select(col("src").as("id")).distinct()
     pageRankLoopWith(s, dir, Iterations, w)
       .join(inGraph, Seq("id"), "left_semi")
@@ -211,7 +212,7 @@ object PageRankOps {
     */
   def personalizedPageRank(s: SparkSession, dir: String,
       iterations: Int = Iterations): DataFrame = {
-    val w = CoGraph.normalizedWeights(s, dir).repartition(col("src")).cache()
+    val w = CoGraph.normalizedWeights(s, dir).repartition(col("src")).tracked
     val seeds = confirmedOffenders(s, dir)
     val nSeeds = seeds.agg(count(lit(1)).as("ns"))
     // (id, reset, pr0): reset = α/|S| on seeds else 0 — cached once,
@@ -224,7 +225,7 @@ object PageRankOps {
           .otherwise(lit(0.0)).as("reset"),
         when(col("is_seed").isNotNull, lit(1.0) / col("ns"))
           .otherwise(lit(0.0)).as("pagerank"))
-      .repartition(col("id")).cache()
+      .repartition(col("id")).tracked
     var pr = base.select(col("id"), col("pagerank"))
     for (_ <- 1 to iterations) {
       val contribs = pr.alias("p").join(w.alias("w"),
@@ -357,7 +358,7 @@ object PageRankOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
-      .repartition(col("src")).cache()
+      .repartition(col("src")).tracked
     val auth1 = edges.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("a"))
     val hub1 = edges.join(auth1, col("dst") === col("id"))

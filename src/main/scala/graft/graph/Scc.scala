@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Caches.Tracked
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -70,7 +71,7 @@ object Scc {
   def q(s: SparkSession, dir: String): DataFrame = {
     val session = s
     import session.implicits._
-    val e = chainEdges(s, dir).cache()
+    val e = chainEdges(s, dir).tracked
     val edgeRdd = e.select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
     val vtxRdd = e.select(col("src")).unionAll(e.select(col("dst")))
@@ -129,7 +130,7 @@ object Scc {
     * (w07's bounded-bucket discipline — provably covers the window).
     */
   def g24PingPong(s: SparkSession, dir: String): DataFrame = {
-    val inst = chainInstances(s, dir).cache()
+    val inst = chainInstances(s, dir).tracked
     val leg1 = inst.select(col("src"), col("dst"), col("t_us").as("t1_us"),
       explode(sequence(expr(s"t_us div $PingWindowUs"),
         expr(s"t_us div $PingWindowUs") + 1)).as("bucket"))
@@ -184,7 +185,7 @@ object Scc {
     * one shuffle, no BNLJ.
     */
   def g25Reciprocity(s: SparkSession, dir: String): DataFrame = {
-    val e = chainEdges(s, dir).cache()
+    val e = chainEdges(s, dir).tracked
     val recip = e.as("a").join(e.as("b"),
       col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
       .select(col("a.src"), col("a.dst"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -33,17 +34,17 @@ object Corpus {
     val scored = TextOps.qualitySignals(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .filter(col("quality_score") >= 0.3) // drop the 'drop' band
-      .cache()
+      .tracked
     val sh0 = scored
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
-      .cache()
+      .tracked
     // df-cap boilerplate shingles before the self-join — THE Dedup cap
     // contract (a shingle shared by > MaxShingleDf survivors is site
     // chrome, not signal; dropping it bounds the join at df² per shingle
     // instead of n² for a universal shingle)
-    val sh = Dedup.capShingles(sh0).cache()
+    val sh = Dedup.capShingles(sh0).tracked
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dropIds = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s")
@@ -362,14 +363,14 @@ object Corpus {
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
         charFingerprint(col("text")).as("h"))
-      .cache()
+      .tracked
     // NULL scores (the zero-token 'drop' band) are EXCLUDED from the
     // quantile histogram and assigned stage 0 below: Spark windows order
     // NULLS FIRST while DuckDB orders NULLS LAST, so letting NULLs into
     // the cumulative curve would shift every threshold between engines.
     val hist = scored.filter(col("quality_score").isNotNull)
       .groupBy("quality_score").agg(count(lit(1)).as("c"))
-      .cache()
+      .tracked
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy("quality_score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -597,7 +598,7 @@ object Corpus {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .cache() // feeds totals (twice, via bounds) and the replica join
+      .tracked // feeds totals (twice, via bounds) and the replica join
     val totals = toks.groupBy("source")
       .agg(sum(col("n_tokens")).as("tok"))
     val bounds = totals.agg(
@@ -677,7 +678,7 @@ object Corpus {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("quality_score"), charFingerprint(col("text")).as("fp"),
         col("text"))
-      .cache()
+      .tracked
     val vol = base.groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -818,19 +819,23 @@ object Corpus {
     // cached: consumed by the shingle/pair path (whose GraphX CC action
     // materializes it first) AND the final cluster join — without the
     // cache the gate + canonical groupBy would recompute per consumer.
-    // All three caches are RELEASED before returning (below): the GraphX
-    // CC Pregel run is an eager barrier, so by the time `cc` is cut the
-    // shingle/pair caches have served every consumer, and cutting the
-    // final frame lets canon go too — a c13 run leaves no cached frames
-    // behind in a long session (the round-7 advice item; the bench runs
-    // 110 queries in one session).
-    val canon = canon0.cache()
+    // All four caches (canon, shingles, capped rows, capShingles' hot
+    // list via capShinglesKeep) are RELEASED before returning (below):
+    // the GraphX CC Pregel run is an eager barrier, so by the time `cc`
+    // is cut the shingle/pair caches have served every consumer, and
+    // cutting the final frame lets canon go too — a c13 run leaves no
+    // cached frames behind in a long session (the round-7 advice item;
+    // the bench runs 110 queries in one session). Operators that CAN'T
+    // release early (their caches feed the caller's action) register
+    // with graft.Caches instead.
+    val canon = canon0.tracked
     val sh0 = canon
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
-      .cache()
-    val capped = Dedup.capShingles(sh0).cache()
+      .tracked
+    val (capped0, hot) = Dedup.capShinglesKeep(sh0)
+    val capped = capped0.tracked
     val pairs = Dedup.verifiedPairsOn(capped)
       .select(col("id_a"), col("id_b"))
     val edgeRdd = pairs.as[(Long, Long)].rdd
@@ -841,6 +846,7 @@ object Corpus {
       Graph.fromEdges(edgeRdd, ())
         .connectedComponents().vertices.toDF("cc_id", "cluster_min"))
     capped.unpersist(false)
+    hot.unpersist(false)
     sh0.unpersist(false)
     val assigned = canon
       .join(cc, canon("doc_id") === cc("cc_id"), "left_outer")

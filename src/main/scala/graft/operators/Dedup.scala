@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -76,7 +77,16 @@ object Dedup {
     * Corpus pipeline (and their SQL mirrors via [[capShinglesSql]]).
     */
   private[graft] def capShingles(sh: DataFrame,
-      maxDf: Int = MaxShingleDf): DataFrame = {
+      maxDf: Int = MaxShingleDf): DataFrame =
+    capShinglesKeep(sh, maxDf)._1
+
+  /** [[capShingles]] exposing the internal hot-list frame so pipeline
+    * callers (c13) can unpersist it eagerly once their own barrier has
+    * consumed the capped rows; plain capShingles callers leave it to the
+    * [[graft.Caches]] registry.
+    */
+  private[graft] def capShinglesKeep(sh: DataFrame,
+      maxDf: Int = MaxShingleDf): (DataFrame, DataFrame) = {
     // count(*), NOT count(DISTINCT doc_id): every caller feeds per-doc
     // DISTINCT shingles (shingles3 array_distincts), so the row count IS
     // the document frequency — and a plain count partial-aggregates
@@ -97,13 +107,13 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("s")
-      .cache()
-    sh.join(hot, Seq("s"), "left_anti")
+      .tracked
+    (sh.join(hot, Seq("s"), "left_anti"), hot)
   }
 
   private[graft] def cappedShingleRows(s: SparkSession, dir: String,
       maxDf: Int = MaxShingleDf): DataFrame =
-    capShingles(shingleRows(s, dir).cache(), maxDf)
+    capShingles(shingleRows(s, dir).tracked, maxDf)
 
   /** CTE pair `hot`/`sh(doc_id, s)` over a prior CTE `src` — mirror of
     * [[capShingles]].
@@ -141,7 +151,7 @@ object Dedup {
     // id join against the dictionary happens anyway, capping here means
     // over-df shingles simply get no id (the inner join drops them) at
     // ZERO extra jobs: the distinct pass becomes a count pass
-    val sh = shingleRowsOf(docs).cache()
+    val sh = shingleRowsOf(docs).tracked
     val dict = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf)
       .select("s").orderBy("s").as[String]
@@ -202,7 +212,7 @@ object Dedup {
     * of spill before exhausting sandbox disk).
     */
   def d02NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(s, dir).cache()
+    val ds = shingleIds(s, dir).tracked
     exactJaccardPairs(ds).orderBy("id_a", "id_b")
   }
 
@@ -278,8 +288,8 @@ object Dedup {
     * (signature agreement / 16) is reported next to the exact value.
     */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val ds = shingleIds(s, dir).cache()
-    val sig = minhashSig(ds).cache()
+    val ds = shingleIds(s, dir).tracked
+    val sig = minhashSig(ds).tracked
     val cand = lshCandidates(sig)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -429,7 +439,7 @@ object Dedup {
     * rigid (radius < bands); a larger radius needs more, narrower chunks.
     */
   def d04bSimhashBanded(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSigs(s, dir).cache()
+    val sig = simhashSigs(s, dir).tracked
     val bandCols = (0 until SimBands).map(b => struct(lit(b).as("band"),
       shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bk")))
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
@@ -470,7 +480,7 @@ object Dedup {
     lshVerifiedPairs(
       cappedShingleRows(s, dir) // same cap contract as every path
         .select(col("doc_id"),
-          (abs(xxhash64(col("s"))) % lit(P)).as("sid")).cache())
+          (abs(xxhash64(col("s"))) % lit(P)).as("sid")).tracked)
       .orderBy("id_a", "id_b")
 
   /** MinHash→band→exact-verify pairs of a (doc_id, sid) frame — d06's
@@ -583,7 +593,7 @@ object Dedup {
     * Pair ids are canonical (min) doc_ids.
     */
   def d08NeardupAfterDedup(s: SparkSession, dir: String): DataFrame =
-    verifiedPairsOn(capShingles(canonShingleRows(s, dir).cache()).cache())
+    verifiedPairsOn(capShingles(canonShingleRows(s, dir).tracked).tracked)
       .orderBy("id_a", "id_b")
 
   /** Exploded (doc_id, shingle) rows of the CANONICAL corpus (min doc_id
@@ -780,7 +790,7 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select("s")
     val pairs = verifiedPairsOn(
-        canonShingleRows(s, dir).join(hot, Seq("s"), "left_anti").cache())
+        canonShingleRows(s, dir).join(hot, Seq("s"), "left_anti").tracked)
       .select(col("id_a"), col("id_b"))
     val edgeRdd = pairs.as[(Long, Long)].rdd
       .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
@@ -857,7 +867,7 @@ object Dedup {
     * path being evaluated.
     */
   def d10LshEvaluation(s: SparkSession, dir: String): DataFrame =
-    lshEvalOn(shingleIds(s, dir).cache())
+    lshEvalOn(shingleIds(s, dir).tracked)
 
   /** d10's recall/precision body over any (doc_id, sid) inverted index —
     * shared with [[d10bLshEvaluationSampled]] so the sampled grader is BY
@@ -867,7 +877,7 @@ object Dedup {
     // ground truth and candidates through the SHARED d02/d03 cores — the
     // evaluation grades exactly the scheme that runs, by construction
     val truePairs = exactJaccardPairs(ds).select("id_a", "id_b")
-    val cand = lshCandidates(minhashSig(ds)).cache()
+    val cand = lshCandidates(minhashSig(ds)).tracked
     val common = truePairs.join(cand, Seq("id_a", "id_b"))
     val stats = truePairs.agg(count(lit(1)).as("n_true"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
@@ -901,7 +911,7 @@ object Dedup {
     * THIS, not d10; pick `k` for the pair budget you can afford.
     */
   def d10bLshEvaluationSampled(s: SparkSession, dir: String): DataFrame =
-    lshEvalOn(shingleIdsOf(s, sampledDocs(s, dir)).cache())
+    lshEvalOn(shingleIdsOf(s, sampledDocs(s, dir)).tracked)
 
   /** Fixed d10b sample size: the certified default. Bounds the grader's
     * ground truth at ≤ SampleK·(SampleK−1)/2 pairs a priori — corpus-
@@ -1017,10 +1027,10 @@ object Dedup {
       dictionaryIds: Boolean): DataFrame = {
     val ds =
       if (dictionaryIds) shingleIdsOf(s, docs)
-      else capShingles(shingleRowsOf(docs).cache())
+      else capShingles(shingleRowsOf(docs).tracked)
         .select(col("doc_id"), (abs(xxhash64(col("s"))) % lit(P)).as("sid"))
     arrivalDecisionFromPairs(docs.select(col("doc_id")),
-      lshVerifiedPairs(ds.cache()))
+      lshVerifiedPairs(ds.tracked))
   }
 
   private def d12Sql = {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,7 +72,7 @@ object LmOps {
     val pages = Tables.documents(s, dir)
       .select(col("doc_id"), pageLines.as("lines"))
       .withColumn("n_lines", size(col("lines")).cast("long"))
-      .cache()
+      .tracked
     // cached for the same reason capShingles caches its hot list: the
     // TableCacheQueryStage boundary sits AFTER the df filter, so the size
     // AQE prices for its broadcast-vs-shuffle call is the TRUE
@@ -83,7 +84,7 @@ object LmOps {
       .groupBy("line").agg(count(lit(1)).as("df"))
       .filter(col("df") >= MinLineDf)
       .select("line")
-      .cache()
+      .tracked
     val kept = pages
       .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .join(freq, Seq("line"), "left_anti")
@@ -149,7 +150,7 @@ object LmOps {
   def t11LmScore(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .cache()
+      .tracked
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok"))
       .limit(VocabSize)
@@ -158,7 +159,7 @@ object LmOps {
       .join(broadcast(vocab), Seq("tok"), "left_outer")
       .select(col("doc_id"), col("pos"),
         when(col("in_v") === 1, col("tok")).otherwise("<unk>").as("w"))
-      .cache()
+      .tracked
     val uni = mapped.groupBy(col("w").as("w1"))
       .agg(count(lit(1)).as("cu"))
     val vt = uni.agg(count(lit(1)).as("vt"))
@@ -235,7 +236,7 @@ object LmOps {
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .cache()
+      .tracked
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy("doc_id")
@@ -300,7 +301,7 @@ object LmOps {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
-      .cache()
+      .tracked
     val base = shingled.filter(col("doc_id") % 5 =!= 0)
       .select("sh").distinct()
     val delta = shingled.filter(col("doc_id") % 3 === 0)
@@ -392,7 +393,7 @@ object LmOps {
       .select(concat(lit(" "),
         concat_ws(" ", filter(split(col("w"), ""), c => c =!= "")),
         lit(" ")).as("seq"), col("freq"))
-      .cache()
+      .tracked
     def pairCounts(seqs: DataFrame): DataFrame = {
       val sym = split(trim(col("seq")), " ")
       // zip_with over two shifted slices, not transform(sequence(1, n-1)):
@@ -504,14 +505,14 @@ object LmOps {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
-      .cache()
+      .tracked
     val wins = toks.filter(col("n_tokens") >= SpanW)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - lit(SpanW - 1))).as("s"),
         col("t"))
       .select(col("doc_id"), col("s"),
         concat_ws(" ", slice(col("t"), col("s"), lit(SpanW))).as("win"))
-      .cache()
+      .tracked
     val dup = wins.groupBy("win")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -181,7 +182,7 @@ object Multimodal {
       .filter(length(col("payload")) > 0)
       .as[MediaRow]
       .mapPartitions(_.map(phashStub)).toDF("doc_id", "ph")
-      .cache()
+      .tracked
     val bands = hashes.select(col("doc_id"), col("ph"), explode(array(
       struct(lit(0).as("band"), col("ph").bitwiseAND(lit(255L)).as("bk")),
       struct(lit(1).as("band"), shiftright(col("ph"), 8).as("bk"))))
@@ -235,7 +236,7 @@ object Multimodal {
     * linear in replicas.
     */
   def mm04bCappedNeardup(s: SparkSession, dir: String): DataFrame =
-    mm04bOn(phashFrame(s, mediaTable(s, dir)).cache())
+    mm04bOn(phashFrame(s, mediaTable(s, dir)).tracked)
 
   private[graft] def mm04bOn(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(col("doc_id"), col("ph"), explode(array(

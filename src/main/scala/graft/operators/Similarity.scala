@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -552,7 +553,7 @@ object Similarity {
     */
   private def ivfSearch(s: SparkSession, dir: String,
       cellFilter: Column, probeDepth: Int): DataFrame = {
-    val ranked = centroidRanked(s, dir).cache()
+    val ranked = centroidRanked(s, dir).tracked
     val cells = ranked.filter(col("rk") === 1 && cellFilter)
       .select(col("vec_id"), col("clabel"))
     val probes = ranked
@@ -718,7 +719,7 @@ object Similarity {
     */
   def d11SemDedup(s: SparkSession, dir: String): DataFrame = {
     val members = centroidRanked(s, dir).filter(col("rk") === 1)
-      .select(col("vec_id"), col("clabel")).cache()
+      .select(col("vec_id"), col("clabel")).tracked
     val e0 = withNorm(s, dir)
     val m = members.join(e0, Seq("vec_id"))
       .select(col("clabel"), col("vec_id"), col("embedding"), col("nrm"))
@@ -730,7 +731,7 @@ object Similarity {
         r(dot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= NearDupT)
-      .cache()
+      .tracked
     val dropped = pairs.select(col("clabel"), col("id_b").as("vec_id"))
       .distinct()
     val pairStats = pairs.groupBy("clabel").agg(count(lit(1)).as("n_dup_pairs"))
@@ -923,7 +924,7 @@ object Similarity {
     * ADC re-aggregation) is deterministic arithmetic on both engines.
     */
   def v07AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val ranked = centroidRanked(s, dir).cache()
+    val ranked = centroidRanked(s, dir).tracked
     val cells = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("clabel"))
     val probes = ranked
@@ -990,7 +991,7 @@ object Similarity {
     * rows, never the corpus.
     */
   def v10TwoStageRerank(s: SparkSession, dir: String): DataFrame = {
-    val ranked = centroidRanked(s, dir).cache()
+    val ranked = centroidRanked(s, dir).tracked
     val cells = ranked.filter(col("rk") === 1)
       .select(col("vec_id"), col("clabel"))
     val probes = ranked
@@ -1369,7 +1370,7 @@ object Similarity {
     * round-2 assignments near decision boundaries.
     */
   def v06KmeansLloyd(s: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(s, dir).cache()
+    val emb = withNorm(s, dir).tracked
     val seed = emb.orderBy("vec_id").limit(KmK)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
@@ -1391,7 +1392,7 @@ object Similarity {
     }
     // the final assignment feeds both the size table and the listing —
     // cache it or the whole 2-round chain executes twice
-    val fin = assigned.cache()
+    val fin = assigned.tracked
     val sizes = fin.groupBy("cid").agg(count(lit(1)).as("n_members"))
     fin.select(col("vec_id"), col("cid"))
       .join(sizes, Seq("cid"))
@@ -1489,7 +1490,7 @@ object Similarity {
     */
   def v14AnnFrontier(s: SparkSession, dir: String): DataFrame = {
     val exact = v01CosineTopk(s, dir)
-      .select(col("query_id"), col("neighbor_id")).cache()
+      .select(col("query_id"), col("neighbor_id")).tracked
     ladder(s, dir).map { case (name, df) =>
       val ann = df.select(col("query_id"), col("neighbor_id"))
         .withColumn("hit", lit(1L))

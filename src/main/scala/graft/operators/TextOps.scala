@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -287,7 +288,7 @@ object TextOps {
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .cache()
+      .tracked
     val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share", r(col("cnt").cast("double") / col("total"), 6))
@@ -393,7 +394,7 @@ object TextOps {
       .filter(size(col("t")) >= ContamK)
       .select(col("doc_id"), col("source"),
         explode(gramsK(col("t"), ContamK)).as("g"))
-      .cache() // the dominant stage; consumed by BOTH join sides
+      .tracked // the dominant stage; consumed by BOTH join sides
     val evalGrams = grams.filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
       .select("g").distinct()
     val train = grams.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
@@ -542,7 +543,7 @@ object TextOps {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
-      .cache()
+      .tracked
     val probe = sh.filter(col("doc_id") % 97 === 0).select("s").distinct()
     val corpus = sh.filter(col("doc_id") % 97 =!= 0)
     val totals = corpus.groupBy("doc_id")
@@ -842,7 +843,7 @@ object TextOps {
   def e12HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .cache()
+      .tracked
     val tot = occ.agg(count(lit(1)).as("total"))
     // per-source cell grids, merged by cell-sum (the mergeable sketch)
     val perSource = occ
@@ -892,7 +893,7 @@ object TextOps {
     val counts = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .cache() // total scalar + top-k both read it
+      .tracked // total scalar + top-k both read it
     val total = counts.agg(sum(col("cnt")).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("token")).limit(30)
     top

@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Caches.Tracked
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -47,7 +48,7 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
       .csv(path)
-      .cache()
+      .tracked
 
   /** S4 — bounded result export: single CSV file with header. */
   def writeCsvSingle(df: DataFrame, path: String): Unit =

@@ -22,6 +22,13 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 
+  /** True when the session's SQL cache holds NO InMemoryRelations —
+    * the observable half of graft.Caches' "no cached frames left behind"
+    * contract (CacheManager is private[sql], hence bridged).
+    */
+  def sqlCacheIsEmpty(s: SparkSession): Boolean =
+    s.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Idempotently register an extra planner strategy on a live session
     * (the `experimental` escape hatch, for sessions not built with
     * `withExtensions`; `GraftExtensions` covers the deployment path).

@@ -247,7 +247,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
         assert(!fp.contains("BroadcastHashJoin") && fp.contains("LeftAnti"),
           "AQE must NOT broadcast the oversized hot list:\n" +
             fp.linesIterator.take(30).mkString("\n"))
-      } finally spark.catalog.clearCache() // cappedShingleRows caches sh
+      } finally Caches.release(spark) // scoped: only graft-internal caches
     }
   }
 
