@@ -60,7 +60,7 @@ object SparkEntry {
     "d03_minhash_lsh", "d06_minhash_xxhash_scale",
     "d04b_simhash_banded", "d08_neardup_after_dedup", "d12_arrival_dedup",
     "v01_cosine_topk", "d05_embedding_neardup",
-    "d05b_embedding_neardup_lsh",
+    "d05b_embedding_neardup_lsh", "d05c_embedding_neardup_capped",
     "w01_top_per_group", "w03_running_total", "w04_asof_join",
     "j01_json_extract",
     "a02_local_supplier_volume", "a03_pricing_summary", "e03_rollup",

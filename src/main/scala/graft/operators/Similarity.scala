@@ -339,9 +339,13 @@ object Similarity {
     * its [[LshTables]] hyperplane buckets. Shared by v02 (query-side ANN)
     * and d05b (all-pairs-within-bucket near-dup).
     */
-  private def bucketed(s: SparkSession, dir: String): DataFrame = {
-    val e0 = withNorm(s, dir)
-    val d = maxDim(s, dir)
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedOf(withNorm(s, dir), maxDim(s, dir))
+
+  /** [[bucketed]] over a caller-supplied normed frame — the shared bucket
+    * spelling for v02/d05b (full corpus) and d05c (canonical corpus).
+    */
+  private def bucketedOf(e0: DataFrame, d: Int): DataFrame = {
     val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
       tableBucket(t, col("embedding"), d).as("bk")))
     e0.select(col("vec_id"), col("embedding"), col("nrm"),
@@ -350,14 +354,19 @@ object Similarity {
         col("tb.t").as("t"), col("tb.bk").as("bk"))
   }
 
-  private val bucketedSql: String = {
-    val tables = (0 until LshTables).map(t =>
+  /** The per-table bucket UNION over a prior CTE `e0` — ONE definition of
+    * the bucket spelling shared by every LSH oracle (v02/d05b/d05c), so
+    * they can never drift.
+    */
+  private val bucketTablesSql: String =
+    (0 until LshTables).map(t =>
       s"SELECT vec_id, embedding, nrm, $t AS t, " +
         s"${tableBucketSql(t, "embedding")} AS bk FROM e0")
       .mkString(" UNION ALL ")
+
+  private val bucketedSql: String =
     s"""e0 AS ($withNormSql),
-       |eb AS ($tables)""".stripMargin
-  }
+       |eb AS ($bucketTablesSql)""".stripMargin
 
   /** d05b — the 100 TB embedding near-dup: d05's verify confined to v02's
     * (table, bucket) groups. Candidates come from an equi-join on (t, bk) —
@@ -392,6 +401,86 @@ object Similarity {
     s"""WITH $bucketedSql,
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM eb a JOIN eb b
+       |           ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} AS cosine
+       |FROM cand c
+       |JOIN e0 x ON x.vec_id = c.id_a
+       |JOIN e0 y ON y.vec_id = c.id_b
+       |WHERE ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} >= $NearDupT
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Per-(table, bucket) member cap for [[d05cCappedNeardupLsh]]. */
+  private[graft] val EmbBucketCap = 64
+
+  /** d05c — embedding near-dup with the guards that make the LSH spelling
+    * actually hold at 100 TB. d05b confines the verify to (table, bucket)
+    * groups, but its bucket POPULATIONS are linear in corpus size, so
+    * within-bucket pairs are quadratic again — measured: 58× cost for 10×
+    * data at the sf1 scale-up, barely better than the all-pairs d05 (90×)
+    * it exists to replace. Two deterministic guards close that:
+    *
+    *  1. d09's canonicalization — exact-dedup vectors first (group by the
+    *     raw float array, keep min vec_id), so verbatim replication can
+    *     never densify a bucket. The sf1 corpus is a verbatim 10×
+    *     replication: d05b's buckets grow 10× and its pair stage 100×,
+    *     while the canonical bucket populations don't move at all.
+    *  2. mm04b's member cap — each (table, bucket) keeps its
+    *     [[EmbBucketCap]] smallest vec_ids through the skew-safe
+    *     [[graft.plans.GroupedTopK]] heap, bounding within-bucket pairs at
+    *     tables·buckets·cap² A PRIORI no matter how adversarially the
+    *     corpus hashes.
+    *
+    * Both guards are order-free and deterministic (bit-equality grouping,
+    * keep-smallest), so the DuckDB mirror is exact. Round8OpsSpec pins
+    * equality to d05b under a non-binding cap on the duplicate-free
+    * corpus, verbatim-flood invariance, and the one-bucket pair bound.
+    */
+  def d05cCappedNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    d05cOn(Tables.embeddings(s, dir), maxDim(s, dir))
+
+  private[graft] def d05cOn(emb: DataFrame, d: Int,
+      cap: Int = EmbBucketCap): DataFrame = {
+    val canon = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val e0 = canon.select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val kept = graft.plans.GroupedTopK(
+      bucketedOf(e0, d).select(col("vec_id"), col("t"), col("bk"))
+        .withColumn("__v", col("vec_id").cast("double")),
+      Seq("t", "bk"), "__v", "vec_id", cap, descending = false).drop("__v")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand.join(e0.as("x"), col("id_a") === col("x.vec_id"))
+      .join(e0.as("y"), col("id_b") === col("y.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        r(dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d05cSql =
+    s"""WITH canon AS (
+       |  SELECT embedding, min(vec_id) AS vec_id
+       |  FROM embeddings GROUP BY embedding),
+       |e0 AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM canon
+       |  WHERE sqrt(${dotSql("embedding", "embedding")}) > 0),
+       |eb AS ($bucketTablesSql),
+       |kept AS (
+       |  SELECT t, bk, vec_id FROM (
+       |    SELECT t, bk, vec_id,
+       |      row_number() OVER (PARTITION BY t, bk ORDER BY vec_id) AS rn
+       |    FROM eb) WHERE rn <= $EmbBucketCap),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM kept a JOIN kept b
        |           ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id)
        |SELECT c.id_a, c.id_b,
        |  ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} AS cosine
@@ -1535,7 +1624,8 @@ object Similarity {
     "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d09_embedding_neardup_canonical" -> (d09EmbeddingNeardupCanonical _),
-    "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _))
+    "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _),
+    "d05c_embedding_neardup_capped" -> (d05cCappedNeardupLsh _))
 
   val oracles: Map[String, String] = Map(
     "v14_ann_frontier" -> v14Sql,
@@ -1555,5 +1645,6 @@ object Similarity {
     "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d09_embedding_neardup_canonical" -> d09Sql,
-    "d05b_embedding_neardup_lsh" -> d05bSql)
+    "d05b_embedding_neardup_lsh" -> d05bSql,
+    "d05c_embedding_neardup_capped" -> d05cSql)
 }

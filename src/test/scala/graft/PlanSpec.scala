@@ -263,6 +263,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window") && !p.toLowerCase.contains("row_number"), p.take(2000))
   }
 
+  test("d05c bucket cap runs through the GroupedTopK operator, no window") {
+    // same contract as mm04b: the per-(table,bucket) smallest-K retention
+    // must be the skew-safe heap operator (partial+final pair), never a
+    // row_number window that would single-task an overfull bucket
+    val p = operators.Similarity.d05cCappedNeardupLsh(spark, Sf)
+      .queryExecution.sparkPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window") && !p.toLowerCase.contains("row_number"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+  }
+
   test("g20b triangle join is equi-only: no BNLJ or cartesian anywhere") {
     val p = plan(graph.NeighborAgg.g20bCappedClusteringCoeff(spark, Sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
