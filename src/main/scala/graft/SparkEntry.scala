@@ -94,6 +94,7 @@ object SparkEntry {
     "e22_weighted_quantiles",
     "g20b_capped_clustering_coeff", "d10b_lsh_evaluation_sampled",
     "mm04b_capped_neardup", "c13_corpus_job",
-    "v14_ann_frontier"
+    "v14_ann_frontier",
+    "g06b_pagerank_capped"
   ).filter(queries.contains)
 }

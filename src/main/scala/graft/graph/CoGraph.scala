@@ -165,52 +165,103 @@ object CoGraph {
   }
 
   /** Unrounded (src, dst, weight) for PageRank iteration. */
-  def normalizedWeights(s: SparkSession, dir: String): DataFrame = {
-    val e = weightedEdgesRaw(s, dir)
+  def normalizedWeights(s: SparkSession, dir: String): DataFrame =
+    normalizedWeightsOn(hourValue(s, dir))
+
+  /** [[normalizedWeights]] with g22's per-hour-bucket co-activity cap
+    * applied BEFORE the self-join: each hour bucket keeps its `cap`
+    * smallest user_ids (deterministic, via the skew-safe
+    * [[graft.plans.GroupedTopK]] heap — no window, no single-task
+    * row_number), so the weight build's quadratic term is ≤ cap² per
+    * bucket a priori however dense an event-storm hour gets. The sf1
+    * scale-up's verbatim replication densifies buckets 45 → 450 users,
+    * growing the UNCAPPED edge set ~103× (the whole g-family sf1 slope);
+    * under the cap the same storm contributes 64·63 directed pairs like
+    * any other saturated hour. Where no bucket exceeds `cap` (all gate
+    * SFs: max bucket 45 at sf0.1) the cap is a no-op and capped PageRank
+    * equals g06 bit-for-bit (Round9OpsSpec).
+    */
+  def cappedNormalizedWeights(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame =
+    normalizedWeightsOn(
+      NeighborAgg.keepMinK(hourValue(s, dir), "hour_epoch", "user_id", cap))
+
+  private def normalizedWeightsOn(hv: DataFrame): DataFrame = {
+    val e = weightedEdgesRawOn(hv)
     val totals = e.groupBy(col("src")).agg(sum(col("amount")).as("total_out"))
     e.join(totals, "src")
       .select(col("src"), col("dst"),
         (col("amount") / col("total_out")).as("weight"))
   }
 
-  /** (src, dst, amount) — the per-edge fraud value before normalization.
-    * Same alias discipline as [[edges]]; the summed `hour_value` is the
-    * SOURCE side's (`sum(a.hour_value)` in the oracle mirror below).
+  /** Per-(hour, user) exact fraud value — the self-join input shared by
+    * the uncapped and bucket-capped weight builds.
     */
-  private def weightedEdgesRaw(s: SparkSession, dir: String): DataFrame = {
-    val hourValue = Tables.events(s, dir)
+  private def hourValue(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("event_type") === "error")
       .select(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("user_id"), col("value"))
       .groupBy(col("hour_epoch"), col("user_id"))
       .agg(sum(col("value")).as("hour_value"))
-    hourValue.as("a").join(hourValue.as("b"),
+
+  /** (src, dst, amount) — the per-edge fraud value before normalization.
+    * Same alias discipline as [[edges]]; the summed `hour_value` is the
+    * SOURCE side's (`sum(a.hour_value)` in the oracle mirror below).
+    */
+  private def weightedEdgesRaw(s: SparkSession, dir: String): DataFrame =
+    weightedEdgesRawOn(hourValue(s, dir))
+
+  private def weightedEdgesRawOn(hv: DataFrame): DataFrame =
+    hv.as("a").join(hv.as("b"),
         col("a.hour_epoch") === col("b.hour_epoch")
           && col("a.user_id") =!= col("b.user_id"))
       .select(col("a.user_id").as("src"), col("b.user_id").as("dst"),
         col("a.hour_value").as("hour_value"))
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("hour_value")).as("amount"))
-  }
 
-  /** SQL mirror of the weighted-edge pipeline (shared by PageRank oracle). */
-  val weightsCte: String =
+  private val hourValueCte: String =
     """hour_value AS (
       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |         user_id, sum(value) AS hour_value
       |  FROM events WHERE event_type = 'error'
-      |  GROUP BY 1, 2),
-      |edge_amount AS (
-      |  SELECT a.user_id AS src, b.user_id AS dst, sum(a.hour_value) AS amount
-      |  FROM hour_value a JOIN hour_value b
-      |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id
-      |  GROUP BY 1, 2),
-      |totals AS (
-      |  SELECT src, sum(amount) AS total_out FROM edge_amount GROUP BY 1),
-      |weights AS (
-      |  SELECT e.src, e.dst, e.amount, e.amount / t.total_out AS weight
-      |  FROM edge_amount e JOIN totals t ON e.src = t.src)""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** edge_amount/totals/weights CTE tail over a named (hour_epoch,
+    * user_id, hour_value) source — shared by the uncapped and capped
+    * weight mirrors.
+    */
+  private def weightsTail(src: String): String =
+    s"""edge_amount AS (
+       |  SELECT a.user_id AS src, b.user_id AS dst, sum(a.hour_value) AS amount
+       |  FROM $src a JOIN $src b
+       |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id
+       |  GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT src, sum(amount) AS total_out FROM edge_amount GROUP BY 1),
+       |weights AS (
+       |  SELECT e.src, e.dst, e.amount, e.amount / t.total_out AS weight
+       |  FROM edge_amount e JOIN totals t ON e.src = t.src)""".stripMargin
+
+  /** SQL mirror of the weighted-edge pipeline (shared by PageRank oracle). */
+  val weightsCte: String =
+    s"""$hourValueCte,
+       |${weightsTail("hour_value")}""".stripMargin
+
+  /** [[cappedNormalizedWeights]]' mirror: keep-smallest-`cap` per hour
+    * bucket via row_number (exactly GroupedTopK's deterministic order),
+    * then the identical weight chain.
+    */
+  def cappedWeightsCte(cap: Int = NeighborAgg.BucketCap): String =
+    s"""$hourValueCte,
+       |hv_capped AS (
+       |  SELECT hour_epoch, user_id, hour_value FROM (
+       |    SELECT hour_epoch, user_id, hour_value,
+       |           row_number() OVER (PARTITION BY hour_epoch ORDER BY user_id) AS rn
+       |    FROM hour_value) t WHERE rn <= $cap),
+       |${weightsTail("hv_capped")}""".stripMargin
 
   val weightedEdgesSql: String =
     s"""WITH $weightsCte

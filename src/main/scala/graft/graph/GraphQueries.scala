@@ -12,6 +12,8 @@ object GraphQueries {
     "g04_component_stats" -> (Components.componentStats _),
     "g05_weighted_edges" -> (CoGraph.weightedEdges _),
     "g06_pagerank_loop" -> (PageRankOps.q _),
+    "g06b_pagerank_capped" -> ((s: SparkSession, d: String) =>
+      PageRankOps.cappedQ(s, d)),
     "g07_top_pagerank" -> (PageRankOps.topQ _),
     "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _),
     "g09_component_purity" -> (Components.componentPurity _),
@@ -46,6 +48,7 @@ object GraphQueries {
     "g24_pingpong" -> Scc.g24Sql,
     "g25_reciprocity" -> Scc.g25Sql,
     "g06_pagerank_loop" -> PageRankOps.qSql(),
+    "g06b_pagerank_capped" -> PageRankOps.cappedQSql(),
     "g07_top_pagerank" -> PageRankOps.topQSql(),
     "g09_component_purity" -> Components.componentPuritySql,
     "g10_isolation_summary" -> Components.isolationSummarySql,

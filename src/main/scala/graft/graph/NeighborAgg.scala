@@ -79,7 +79,7 @@ object NeighborAgg {
     * partition, so ONE 10⁶-member bucket cannot single-task the window
     * the `row_number` spelling would need.
     */
-  private def keepMinK(df: DataFrame, group: String, key: String,
+  private[graph] def keepMinK(df: DataFrame, group: String, key: String,
       k: Int): DataFrame =
     graft.plans.GroupedTopK(
       df.withColumn("__v", col(key).cast("double")),

@@ -93,6 +93,26 @@ object PageRankOps {
       .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
       .orderBy(col("id"))
 
+  /** g06b — g06 on the bucket-capped edge build
+    * ([[CoGraph.cappedNormalizedWeights]]): the g-family's scale twin.
+    * The loop, vertex set, damping, and dangling handling are IDENTICAL
+    * to g06 — only the weight build caps each hour bucket at `cap`
+    * smallest co-active users (g22's proven GroupedTopK guard) before
+    * its self-join, so per-iteration cost is bounded by buckets·cap²
+    * edges a priori. Where no bucket exceeds `cap`, g06b ≡ g06
+    * bit-for-bit (Round9OpsSpec pins it; true at every gate SF). The sf1
+    * scale-up is the motivating case: its replication densifies buckets
+    * to 450 users (edge set ×103, the entire g-family sf1 slope), which
+    * the cap turns back into a linear scan + bounded join.
+    */
+  def cappedQ(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame =
+    pageRankLoopWith(s, dir, Iterations,
+      CoGraph.cappedNormalizedWeights(s, dir, cap)
+        .repartition(col("src")).tracked)
+      .select(col("id"), round(col("pagerank"), 10).as("pagerank"))
+      .orderBy(col("id"))
+
   /** g07 — rank analytics (`4_graphx.ipynb:1059-1104`): top-10 by PR. */
   def topQ(s: SparkSession, dir: String): DataFrame =
     pageRankLoop(s, dir)
@@ -105,7 +125,8 @@ object PageRankOps {
     * reference, so the fixed iteration count is unrolled — it IS fixed in
     * the reference too).
     */
-  private def prCtes(iterations: Int): String = {
+  private def prCtes(iterations: Int,
+      weightsCte: String = CoGraph.weightsCte): String = {
     val n = "(SELECT count(*) FROM vertices)"
     val levels = (1 to iterations).map { k =>
       s"""pr$k AS (
@@ -116,7 +137,7 @@ object PageRankOps {
          |    FROM pr${k - 1} p JOIN weights w ON p.id = w.src
          |    GROUP BY 1) c ON v.id = c.id)""".stripMargin
     }
-    s"""${CoGraph.weightsCte},
+    s"""$weightsCte,
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |pr0 AS (SELECT id, 1.0 / $n AS pagerank FROM vertices),
        |${levels.mkString(",\n")}""".stripMargin
@@ -124,6 +145,14 @@ object PageRankOps {
 
   def qSql(iterations: Int = Iterations): String =
     s"""WITH ${prCtes(iterations)}
+       |SELECT id, round(pagerank, 10) AS pagerank
+       |FROM pr$iterations ORDER BY id""".stripMargin
+
+  /** [[cappedQ]]'s oracle: identical unrolled loop over the capped
+    * weights mirror.
+    */
+  def cappedQSql(iterations: Int = Iterations): String =
+    s"""WITH ${prCtes(iterations, CoGraph.cappedWeightsCte())}
        |SELECT id, round(pagerank, 10) AS pagerank
        |FROM pr$iterations ORDER BY id""".stripMargin
 
