@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -24,13 +26,21 @@ import scala.collection.mutable.ArrayBuffer
   * [[mark]] (spelled `.tracked` at call sites), and [[release]] unpersists
   * exactly the graft-registered frames of one session, leaving consumer
   * caches alone. Call it between jobs in a long-lived session (see
-  * docs/QUICKSTART.md); `Bench`/`Verify` drain it after every query.
+  * docs/QUICKSTART.md), or install [[autoRelease]] once and get the same
+  * hygiene with no per-job call; `Bench`/`Verify` drain it after every
+  * query.
   *
   * Lifetime notes:
-  *   - References are STRONG, keyed by session identity. This adds no new
-  *     leak class: Spark's own CacheManager already holds every cached
-  *     plan strongly with exactly the same lifetime — the registry entry
-  *     and the cache entry die together in [[release]].
+  *   - References are STRONG, keyed by session identity, with the same
+  *     lifetime as Spark's own CacheManager entries — registry entry and
+  *     cache entry die together in [[release]]. One caveat beyond the
+  *     CacheManager parallel: CacheManager entries can also die via
+  *     `clearCache()`/session teardown, which this registry cannot
+  *     observe. [[mark]]/[[release]] therefore SCAVENGE entries of any
+  *     session whose SparkContext has stopped (their blocks died with the
+  *     context; only the references linger), and long-lived multi-session
+  *     JVMs should call [[release]] before `session.stop()` — documented
+  *     in QUICKSTART.
   *   - Double-unpersist is a no-op, so operators that release their own
   *     intermediates early (c13's staged unpersists) still register here.
   *   - GraphX `Graph()` persists vertex/edge RDDs OUTSIDE the SQL cache;
@@ -39,11 +49,39 @@ import scala.collection.mutable.ArrayBuffer
   *     context (checkpoint pins are exempt — their lineage is truncated,
   *     they cannot be recomputed; FraudML's memoized split lives there).
   *     It is session-wide by nature (an RDD has no owning session), so it
-  *     can also drop consumer-persisted RDDs — documented, opt-in.
+  *     also drops consumer-persisted RDDs — opt-in, documented.
   */
 object Caches {
-  private val reg =
-    new java.util.IdentityHashMap[SparkSession, ArrayBuffer[Dataset[_]]]()
+  /** Per-session registry state: registered frames tagged with the
+    * action-generation they were registered under, the completed-action
+    * counter ([[autoRelease]]'s clock), and whether the auto listener is
+    * installed.
+    */
+  private final class State {
+    val buf = ArrayBuffer.empty[(Dataset[_], Long)]
+    var gen: Long = 0L
+    var auto: Boolean = false
+  }
+
+  private val reg = new java.util.IdentityHashMap[SparkSession, State]()
+
+  /** Callers hold reg.synchronized. */
+  private def stateFor(s: SparkSession): State = {
+    var st = reg.get(s)
+    if (st == null) { st = new State; reg.put(s, st) }
+    st
+  }
+
+  /** Drop registry entries of sessions whose SparkContext already stopped:
+    * their cached blocks died with the context, so only the strong refs
+    * linger. Callers hold reg.synchronized.
+    */
+  private def scavengeStopped(): Unit = {
+    val it = reg.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+  }
 
   /** `ds.cache()` + register for scoped release. Internal spelling:
     * `frame.tracked` via [[Tracked]].
@@ -51,9 +89,9 @@ object Caches {
   private[graft] def mark[T](ds: Dataset[T]): Dataset[T] = {
     ds.cache()
     reg.synchronized {
-      var buf = reg.get(ds.sparkSession)
-      if (buf == null) { buf = ArrayBuffer.empty; reg.put(ds.sparkSession, buf) }
-      buf += ds
+      scavengeStopped()
+      val st = stateFor(ds.sparkSession)
+      st.buf += ((ds, st.gen))
     }
     ds
   }
@@ -64,7 +102,15 @@ object Caches {
     */
   def release(spark: SparkSession): Int = {
     val drained = reg.synchronized {
-      Option(reg.remove(spark)).map(_.toList).getOrElse(Nil)
+      scavengeStopped()
+      val st = reg.get(spark)
+      if (st == null) Nil
+      else {
+        val d = st.buf.map(_._1).toList
+        st.buf.clear()
+        if (!st.auto) reg.remove(spark) // keep listener state only
+        d
+      }
     }
     drained.foreach(_.unpersist(blocking = false))
     drained.size
@@ -82,6 +128,62 @@ object Caches {
       .foreach(r => if (!r.isCheckpointed) r.unpersist(false))
     n
   }
+
+  /** Opt-in set-and-forget hygiene for long-lived consumer sessions:
+    * installs a `QueryExecutionListener` that drains graft-internal caches
+    * as the session's actions complete, so a consumer that never calls
+    * [[release]] still cannot accumulate one cache per query forever.
+    * Idempotent per session.
+    *
+    * The drain is GENERATION-LAGGED, not immediate: a frame is released
+    * only once the completed-action counter is ≥ 2 past the generation it
+    * was registered under. Operators run internal eager actions while
+    * BUILDING a frame (PageRank's vertex count, the embedding dim probe),
+    * so draining on the very next `onSuccess` would unpersist load-bearing
+    * caches mid-operator; the lag keeps every cache alive through its own
+    * operator's build and the caller's first action on the result.
+    * Checkpoint materializations (`checkpoint`/`localCheckpoint` — fired
+    * once per iteration by the graph loops) do not advance the clock.
+    * Worst-case residency: the internal caches of the last two queries.
+    *
+    * Trade-off (QUICKSTART): a caller that runs MANY actions over one
+    * returned frame recomputes the operator's internal stages from the
+    * third action on — keep manual [[release]] where that matters.
+    */
+  def autoRelease(spark: SparkSession): Unit = {
+    val install = reg.synchronized {
+      val st = stateFor(spark)
+      if (st.auto) false else { st.auto = true; true }
+    }
+    if (install) spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        if (funcName != "checkpoint" && funcName != "localCheckpoint") {
+          val drained = reg.synchronized {
+            val st = reg.get(spark)
+            if (st == null) Nil
+            else {
+              st.gen += 1
+              val cut = st.gen - 2
+              val (old, keep) = st.buf.partition(_._2 <= cut)
+              st.buf.clear(); st.buf ++= keep
+              old.map(_._1).toList
+            }
+          }
+          drained.foreach(_.unpersist(blocking = false))
+        }
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    })
+  }
+
+  /** Number of currently-registered frames for `spark` (test probe). */
+  private[graft] def registered(spark: SparkSession): Int =
+    reg.synchronized {
+      val st = reg.get(spark)
+      if (st == null) 0 else st.buf.size
+    }
 
   /** `.tracked` = `.cache()` + registration with [[Caches]]. */
   private[graft] implicit final class Tracked[T](private val ds: Dataset[T])

@@ -443,9 +443,14 @@ object Similarity {
       cap: Int = EmbBucketCap): DataFrame = {
     val canon = emb.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"))
+    // .tracked: e0 (the full-table canonicalization groupBy + norm) feeds
+    // THREE consumers — the bucketing and both sides of the verify join —
+    // and recomputing the canon shuffle 3x defeats an operator whose whole
+    // point is cost at scale. The Caches registry releases it between jobs.
     val e0 = canon.select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
+      .tracked
     val kept = graft.plans.GroupedTopK(
       bucketedOf(e0, d).select(col("vec_id"), col("t"), col("bk"))
         .withColumn("__v", col("vec_id").cast("double")),

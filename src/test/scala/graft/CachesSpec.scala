@@ -62,4 +62,36 @@ class CachesSpec extends AnyFunSuite with SparkTestSession {
       spark.sparkContext.getPersistentRDDs(id).isCheckpointed),
       "releaseAll must sweep the GraphX vertex/edge blocks too")
   }
+
+  test("autoRelease: two back-to-back queries drain with ZERO manual release calls") {
+    drainAll()
+    // isolated child session: its own listener manager and registry key,
+    // so installing the (uninstallable) listener cannot leak auto-drain
+    // semantics into the other suites sharing the test session
+    val s2 = spark.newSession()
+    Caches.autoRelease(s2)
+    Caches.autoRelease(s2) // idempotent — second install is a no-op
+    // a consumer cache the auto path must never touch
+    val mine = s2.range(0, 500L).toDF("id").cache()
+    assert(mine.count() == 500L)
+    // Q1: t10 registers pages + freq internally
+    assert(operators.LmOps.t10LineDedup(s2, Sf).count() > 0)
+    assert(Caches.registered(s2) >= 2,
+      "Q1's internals must still be resident (generation lag)")
+    // Q2 (different SF → distinct plans), two actions to advance the
+    // clock past the lag for BOTH queries' generations
+    val q2 = operators.LmOps.t10LineDedup(s2, SfMid)
+    assert(q2.count() > 0)
+    assert(q2.count() > 0)
+    // QueryExecutionListener delivery is async (shared listener bus) —
+    // poll for the drain instead of sleeping a fixed quantum
+    val deadline = System.currentTimeMillis + 30000
+    while (Caches.registered(s2) > 0 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(Caches.registered(s2) == 0,
+      s"auto-drain left ${Caches.registered(s2)} frames registered")
+    // consumer cache untouched by the auto path
+    assert(mine.storageLevel.useMemory, "autoRelease must not touch consumer caches")
+    mine.unpersist(blocking = true)
+  }
 }
