@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Caches.Tracked
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -268,7 +270,7 @@ object Analytics {
     */
   def a06CooccurrenceLift(s: SparkSession, dir: String): DataFrame = {
     val ut = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type")).distinct().cache()
+      .select(col("user_id"), col("event_type")).distinct().tracked
     val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
     val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val pairs = ut.alias("a")
@@ -330,7 +332,7 @@ object Analytics {
       .agg(max(to_date(col("o_orderdate"))).as("last_day"),
         count(lit(1)).as("freq"),
         Det.dsumDec(col("o_totalprice")).as("monetary"))
-      .cache() // reused: reference date scalar + the graded census
+      .tracked // reused: reference date scalar + the graded census
     val ref = perCust.agg(max(col("last_day")).as("ref_day"))
     perCust.crossJoin(broadcast(ref))
       .select(
@@ -470,7 +472,7 @@ object Analytics {
       .groupBy("d")
       .agg(Det.r(Det.dsum(col("o_totalprice")), 2).as("revenue"))
       .withColumn("iso_dow", (col("d") + 3) % 7 + 1)
-      .cache() // consumed by the weekday stats and the final projection
+      .tracked // consumed by the weekday stats and the final projection
     val dow = daily.groupBy("iso_dow")
       .agg(
         Det.r(Det.dsum(col("revenue")) / count(lit(1)), 4).as("baseline"),

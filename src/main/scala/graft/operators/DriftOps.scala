@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Caches.Tracked
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -59,6 +61,53 @@ object DriftOps {
     // them, not truncate up into bin 0
     floor(cents(c).cast("double") / lit(BinCents.toDouble)).cast("long")
 
+  /** The ONE ref/cur split definition the drift family shares (public for
+    * the streaming twin): Knuth-hash half of a stable key — 0 = reference,
+    * 1 = current.
+    */
+  def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    hashSplit(c, 2)
+
+  /** Per-bin two-split contingency counts over a frame carrying `split`
+    * (0/1) and `bin` — the shared builder: batch f01/f06 run it over
+    * [[splitOf]]-hashed orders, the streaming twin
+    * ([[graft.streaming.DriftStream.windowedSplitBins]]) runs the same
+    * aggregate per event-time window (extraKeys = the window column).
+    * State/shuffle bounded by |bins| (× live windows when keyed).
+    */
+  def splitBins(binned: DataFrame, extraKeys: Seq[String] = Nil): DataFrame =
+    binned.groupBy((extraKeys :+ "bin").map(col): _*)
+      .agg(
+        sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+
+  /** f06's EXACT χ² fold over a (bin, cnt_ref, cnt_cur) contingency table
+    * — THE arithmetic shared by batch f06 and the streaming monitor that
+    * reads [[graft.streaming.DriftStream.windowedSplitBins]]' sink (a
+    * stream alert and a batch backfill can never disagree; the spec pins
+    * cell equality). See [[f06Chi2Drift]] for the algebra and exactness
+    * story.
+    */
+  def chi2TermsOn(perBin: DataFrame): DataFrame = {
+    val totals = perBin.agg(
+      sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
+    val d = (col("cnt_ref").cast(Cnt) * col("n_cur").cast(Cnt)
+      - col("cnt_cur").cast(Cnt) * col("n_ref").cast(Cnt))
+      .cast("decimal(19,0)")
+    perBin.crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        (col("bin") * lit(BinCents / 100)).cast("double").as("lo_dollars"),
+        col("cnt_ref"), col("cnt_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          r((d * d).cast("double")
+            / ((col("cnt_ref") + col("cnt_cur")).cast("double")
+              * col("n_ref").cast("double") * col("n_cur").cast("double")),
+            8))
+          .otherwise(lit(null).cast("double")).as("chi2_term"))
+      .orderBy("bin")
+  }
+
   /** f01 — distribution drift as per-bin TOTAL-VARIATION terms between a
     * reference and a current split of `orders` (deterministic halves here;
     * in production: training snapshot vs live window).
@@ -82,7 +131,7 @@ object DriftOps {
       .agg(
         sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
         sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
-      .cache() // consumed twice: totals scalar + the per-bin projection
+      .tracked // consumed twice: totals scalar + the per-bin projection
     val totals = perBin.agg(
       sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
     perBin.crossJoin(broadcast(totals))
@@ -161,7 +210,7 @@ object DriftOps {
       .agg(sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
       .withColumn("bucket",
         floor(col("v").cast("double") / lit(BinCents.toDouble)).cast("long"))
-      .cache() // consumed by within-cums, bucket totals, and grand totals
+      .tracked // consumed by within-cums, bucket totals, and grand totals
     val withinW = Window.partitionBy("bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = perV
@@ -462,28 +511,8 @@ object DriftOps {
       .select(
         hashSplit(col("o_orderkey"), 2).as("split"),
         amountBin(col("o_totalprice")).as("bin"))
-    val perBin = binned.groupBy("bin")
-      .agg(
-        sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
-        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
-      .cache() // consumed twice: totals scalar + the per-bin projection
-    val totals = perBin.agg(
-      sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
-    val d = (col("cnt_ref").cast(Cnt) * col("n_cur").cast(Cnt)
-      - col("cnt_cur").cast(Cnt) * col("n_ref").cast(Cnt))
-      .cast("decimal(19,0)")
-    perBin.crossJoin(broadcast(totals))
-      .select(
-        col("bin"),
-        (col("bin") * lit(BinCents / 100)).cast("double").as("lo_dollars"),
-        col("cnt_ref"), col("cnt_cur"),
-        when(col("n_ref") > 0L && col("n_cur") > 0L,
-          r((d * d).cast("double")
-            / ((col("cnt_ref") + col("cnt_cur")).cast("double")
-              * col("n_ref").cast("double") * col("n_cur").cast("double")),
-            8))
-          .otherwise(lit(null).cast("double")).as("chi2_term"))
-      .orderBy("bin")
+    // cache: consumed twice inside the fold (totals scalar + projection)
+    chi2TermsOn(splitBins(binned).tracked)
   }
 
   private val f06Sql = {
@@ -554,7 +583,7 @@ object DriftOps {
         sum(when(col("split") === 1, 1L).otherwise(0L)).as("cb"))
       .withColumn("bucket",
         floor(col("v").cast("double") / lit(BinCents.toDouble)).cast("long"))
-      .cache() // consumed by within-cums and bucket totals
+      .tracked // consumed by within-cums and bucket totals
     val withinW = Window.partitionBy("bucket").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = perV
@@ -786,7 +815,7 @@ object DriftOps {
         .as("d"), col("o_totalprice"))
       .groupBy("d")
       .agg(sum(cents(col("o_totalprice"))).as("rev"))
-      .cache() // bounded (date span); feeds the median AND the runs pass
+      .tracked // bounded (date span); feeds the median AND the runs pass
     // exact discrete median of the daily revenue (e18's histogram cumsum)
     val hist = daily.groupBy(col("rev").as("v")).agg(count(lit(1)).as("c"))
     val cum = hist

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Caches.Tracked
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -701,7 +703,7 @@ object RelationalExt {
       .groupBy(col("o_orderpriority").as("priority"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-      .cache() // reused: median pass, dev regroup, outlier count
+      .tracked // reused: median pass, dev regroup, outlier count
     val w = Window.partitionBy("priority").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("priority")
