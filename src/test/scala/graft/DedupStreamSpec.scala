@@ -150,6 +150,7 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
           ms.toDF().toDF("doc_id", "text"), ttl)
         .toDF().writeStream.format("memory").queryName("ttl_evict_t")
         .outputMode("append").start()
+      val clock = new BatchClock(q)
       try {
         // wave 1: doc 1 + companion 2 — the (2 dup_of 1) verdict in the
         // SINK proves doc 1 is in state before the horizon wait starts.
@@ -165,14 +166,19 @@ class DedupStreamSpec extends AnyFunSuite with SparkTestSession {
         // one dup), so polling for an absolute count would be satisfied
         // by wave 1 alone and stop() would race the wave-2 batch
         val wave1Rows = spark.table("ttl_evict_t").count()
-        Thread.sleep(2 * ttl.toMillis) // let the members expire
+        // expiry wait derived from the STREAM'S OWN clock (round-8
+        // verdict item 7): the TTL write clock is the trigger timestamp
+        // of the input-bearing batch; wave 2 may only ship once a later
+        // batch's trigger timestamp has passed writeTs + ttl — observed,
+        // not slept-for, so runner speed cannot flake it either way
+        clock.awaitClockPast(clock.awaitWriteTs() + ttl.toMillis)
         ms.addData(Seq(3L -> text, 4L -> text))
         tries = 0
         while (tries < 150
             && spark.table("ttl_evict_t").count() <= wave1Rows) {
           Thread.sleep(200); tries += 1
         }
-      } finally q.stop()
+      } finally { clock.close(); q.stop() }
       val got = spark.table("ttl_evict_t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // 2 dedups vs 1 in-horizon; doc 3 re-admitted (1/2 expired);

@@ -110,6 +110,7 @@ class PhashStreamSpec extends AnyFunSuite with SparkTestSession {
       val q = PhashStream.phVerdictsWithin(ms.toDF(), ttl)
         .toDF().writeStream.format("memory").queryName("ph_ttl_t")
         .outputMode("append").start()
+      val clock = new BatchClock(q)
       try {
         // wave 1: doc 1 + companion 2 — the (2 dup_of 1) verdict in the
         // sink proves doc 1 is IN STATE before the horizon wait starts
@@ -122,7 +123,10 @@ class PhashStreamSpec extends AnyFunSuite with SparkTestSession {
         // one dup), so polling for an absolute count would be satisfied
         // by wave 1 alone and stop() would race the wave-2 batch
         val wave1Rows = spark.table("ph_ttl_t").count()
-        Thread.sleep(2 * ttl.toMillis) // let the members expire
+        // expiry wait derived from the stream's OWN clock (round-8
+        // verdict item 7): ship wave 2 only once a batch's trigger
+        // timestamp has passed the write batch's timestamp + ttl
+        clock.awaitClockPast(clock.awaitWriteTs() + ttl.toMillis)
         // wave 2: replica 10 + companion 11
         ms.addData(Seq(row(10L), row(11L)))
         tries = 0
@@ -130,7 +134,7 @@ class PhashStreamSpec extends AnyFunSuite with SparkTestSession {
             && spark.table("ph_ttl_t").count() <= wave1Rows) {
           Thread.sleep(200); tries += 1
         }
-      } finally q.stop()
+      } finally { clock.close(); q.stop() }
       val got = spark.table("ph_ttl_t").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       // 2 dedups vs 1 in-horizon; 10 is re-admitted (1/2 expired);
