@@ -24,6 +24,8 @@ object GraphQueries {
     "g14_label_propagation" -> (Components.lpaQ _),
     "g15_kcore" -> (Components.kcoreQ _),
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
+    "g16b_ppr_capped" -> ((s: SparkSession, d: String) =>
+      PageRankOps.g16bCappedPpr(s, d)),
     "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
     "g18_hits" -> (PageRankOps.g18Hits _),
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
@@ -58,6 +60,8 @@ object GraphQueries {
     "g14_label_propagation" -> Components.lpaQSql,
     "g15_kcore" -> Components.kcoreQSql,
     "g16_personalized_pagerank" -> PageRankOps.pprSql(),
+    "g16b_ppr_capped" -> PageRankOps.pprSql(
+      weightsCte = CoGraph.cappedWeightsCte()),
     "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
     "g18_hits" -> PageRankOps.g18Sql,
     "g19_neighbor_features" -> NeighborAgg.g19Sql,

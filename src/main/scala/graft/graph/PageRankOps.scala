@@ -240,8 +240,25 @@ object PageRankOps {
     * filtered; output is the top-[[PprTopK]].
     */
   def personalizedPageRank(s: SparkSession, dir: String,
-      iterations: Int = Iterations): DataFrame = {
-    val w = CoGraph.normalizedWeights(s, dir).repartition(col("src")).tracked
+      iterations: Int = Iterations): DataFrame =
+    pprOn(s, dir, iterations,
+      CoGraph.normalizedWeights(s, dir).repartition(col("src")).tracked)
+
+  /** g16b — g16 on the bucket-capped edge build: same twin relation as
+    * [[cappedQ]]/g06b (identical loop, seeds, reset mass, and top-k; only
+    * the weight build caps storm buckets via GroupedTopK), closing the
+    * LAST member of the iterative family still bound to the uncapped sf1
+    * edge densification. Equal to g16 bit-for-bit where no bucket
+    * exceeds the cap — every gate SF (Round9OpsSpec).
+    */
+  def g16bCappedPpr(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame =
+    pprOn(s, dir, Iterations,
+      CoGraph.cappedNormalizedWeights(s, dir, cap)
+        .repartition(col("src")).tracked)
+
+  private def pprOn(s: SparkSession, dir: String,
+      iterations: Int, w: DataFrame): DataFrame = {
     val seeds = confirmedOffenders(s, dir)
     val nSeeds = seeds.agg(count(lit(1)).as("ns"))
     // (id, reset, pr0): reset = α/|S| on seeds else 0 — cached once,
@@ -275,7 +292,8 @@ object PageRankOps {
       .limit(PprTopK)
   }
 
-  def pprSql(iterations: Int = Iterations): String = {
+  def pprSql(iterations: Int = Iterations,
+      weightsCte: String = CoGraph.weightsCte): String = {
     val ns = "(SELECT count(*) FROM seeds)"
     val levels = (1 to iterations).map { k =>
       s"""ppr$k AS (
@@ -286,7 +304,7 @@ object PageRankOps {
          |    FROM ppr${k - 1} p JOIN weights w ON p.id = w.src
          |    GROUP BY 1) c ON b.id = c.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${CoGraph.weightsCte},
+    s"""WITH $weightsCte,
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |seeds AS ($confirmedSeedsSql),
        |base AS (

@@ -52,6 +52,12 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(below == 0, s"$below vertices below the alpha/N floor")
   }
 
+  test("g16b == g16 where the bucket cap does not bind (sf0.001)") {
+    val g16 = graph.PageRankOps.personalizedPageRank(spark, Sf)
+    val g16b = graph.PageRankOps.g16bCappedPpr(spark, Sf)
+    assert(g16b.exceptAll(g16).isEmpty && g16.exceptAll(g16b).isEmpty)
+  }
+
   test("g06b plan: GroupedTopK heap caps the buckets — no window, no row_number") {
     val w = graph.CoGraph.cappedNormalizedWeights(spark, Sf)
     val plan = w.queryExecution.executedPlan.toString
