@@ -95,6 +95,6 @@ object SparkEntry {
     "g20b_capped_clustering_coeff", "d10b_lsh_evaluation_sampled",
     "mm04b_capped_neardup", "c13_corpus_job",
     "v14_ann_frontier",
-    "g06b_pagerank_capped", "g16b_ppr_capped"
+    "g06b_pagerank_capped", "g16b_ppr_capped", "g08b_graphx_capped"
   ).filter(queries.contains)
 }

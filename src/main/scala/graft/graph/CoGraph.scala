@@ -52,20 +52,58 @@ object CoGraph {
       .distinct()
   }
 
+  /** [[edges]] with the per-hour-bucket co-activity cap — the unweighted
+    * twin of [[cappedNormalizedWeights]], feeding the GraphX consumers
+    * (g08b): each hour bucket keeps its `cap` smallest user_ids through
+    * the GroupedTopK heap before the self-join, bounding the edge set at
+    * buckets·cap·(cap−1) directed pairs a priori.
+    */
+  def cappedEdges(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame = {
+    val act = NeighborAgg.keepMinK(activity(s, dir),
+      "hour_epoch", "user_id", cap)
+    act.as("a").join(act.as("b"),
+        col("a.hour_epoch") === col("b.hour_epoch")
+          && col("a.user_id") =!= col("b.user_id"))
+      .select(col("a.user_id").as("src"), col("b.user_id").as("dst"))
+      .distinct()
+  }
+
   /** g01 query — edge list, deterministically ordered. */
   def q(s: SparkSession, dir: String): DataFrame =
     edges(s, dir).orderBy(col("src"), col("dst"))
 
-  /** Shared SQL fragment: the DuckDB mirror of [[edges]]. */
-  val edgesCte: String =
+  private val activityCte: String =
     """activity AS (
       |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |         user_id
-      |  FROM events WHERE event_type = 'error'),
-      |edges AS (
-      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      |  FROM activity a JOIN activity b
-      |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id)""".stripMargin
+      |  FROM events WHERE event_type = 'error')""".stripMargin
+
+  /** `edges` CTE tail over a named (hour_epoch, user_id) activity source
+    * — shared by the uncapped and capped edge mirrors.
+    */
+  private def edgesTail(src: String): String =
+    s"""edges AS (
+       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+       |  FROM $src a JOIN $src b
+       |    ON a.hour_epoch = b.hour_epoch AND a.user_id <> b.user_id)""".stripMargin
+
+  /** Shared SQL fragment: the DuckDB mirror of [[edges]]. */
+  val edgesCte: String =
+    s"""$activityCte,
+       |${edgesTail("activity")}""".stripMargin
+
+  /** [[cappedEdges]]' mirror — keep-smallest-`cap` per hour bucket via
+    * row_number, then the identical edge join.
+    */
+  def cappedEdgesCte(cap: Int = NeighborAgg.BucketCap): String =
+    s"""$activityCte,
+       |act_capped AS (
+       |  SELECT hour_epoch, user_id FROM (
+       |    SELECT hour_epoch, user_id,
+       |           row_number() OVER (PARTITION BY hour_epoch ORDER BY user_id) AS rn
+       |    FROM activity) t WHERE rn <= $cap),
+       |${edgesTail("act_capped")}""".stripMargin
 
   val qSql: String =
     s"WITH $edgesCte SELECT src, dst FROM edges ORDER BY src, dst"

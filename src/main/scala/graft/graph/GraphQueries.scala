@@ -16,6 +16,8 @@ object GraphQueries {
       PageRankOps.cappedQ(s, d)),
     "g07_top_pagerank" -> (PageRankOps.topQ _),
     "g08_pagerank_graphx" -> (PageRankOps.graphxPageRank _),
+    "g08b_graphx_capped" -> ((s: SparkSession, d: String) =>
+      PageRankOps.g08bCappedGraphxPageRank(s, d)),
     "g09_component_purity" -> (Components.componentPurity _),
     "g10_isolation_summary" -> (Components.isolationSummary _),
     "g11_mules" -> (PageRankOps.mules _),
@@ -40,6 +42,8 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g08_pagerank_graphx" -> PageRankOps.graphxSql(),
+    "g08b_graphx_capped" -> PageRankOps.graphxSql(
+      edgesCte = CoGraph.cappedEdgesCte()),
     "g01_cooccurrence_edges" -> CoGraph.qSql,
     "g02_degrees" -> CoGraph.degreesSql,
     "g26_degree_distribution" -> CoGraph.g26Sql,

@@ -331,10 +331,26 @@ object PageRankOps {
     * correction (global rescale so ranks sum to |V|, compensating mass
     * lost to sink vertices).
     */
-  def graphxPageRank(s: SparkSession, dir: String): DataFrame = {
+  def graphxPageRank(s: SparkSession, dir: String): DataFrame =
+    graphxOn(s, dir, CoGraph.edges(s, dir))
+
+  /** g08b — GraphX `staticPageRank` over the bucket-capped edge set
+    * ([[CoGraph.cappedEdges]]): the native-GraphX member of the capped
+    * iterative family (g06b/g16b's sibling). Same Pregel loop, vertex
+    * universe, damping, and rescale — only the edge build caps storm
+    * buckets, so edge-partition sizes are bounded a priori. Equal to g08
+    * bit-for-bit where no bucket exceeds the cap (every gate SF,
+    * Round9OpsSpec).
+    */
+  def g08bCappedGraphxPageRank(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame =
+    graphxOn(s, dir, CoGraph.cappedEdges(s, dir, cap))
+
+  private def graphxOn(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     val session = s
     import session.implicits._
-    val edgeRdd = CoGraph.edges(s, dir)
+    val edgeRdd = edges
       .select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1.0) }
     val vtxRdd = Components.vertices(s, dir)
@@ -353,7 +369,8 @@ object PageRankOps {
     * rank₀ = 1.0 everywhere, rankₖ = α + (1−α)·Σ(rankₖ₋₁/outdeg) over
     * in-edges, then one global rescale to make Σrank = |V|.
     */
-  def graphxSql(iterations: Int = Iterations): String = {
+  def graphxSql(iterations: Int = Iterations,
+      edgesCte: String = CoGraph.edgesCte): String = {
     val levels = (1 to iterations).map { k =>
       s"""gpr$k AS (
          |  SELECT v.id, 0.15 + 0.85 * coalesce(c.s, 0) AS pagerank
@@ -363,7 +380,7 @@ object PageRankOps {
          |    JOIN outdeg o ON o.src = e.src
          |    GROUP BY 1) c ON v.id = c.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${CoGraph.edgesCte},
+    s"""WITH $edgesCte,
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
        |gpr0 AS (SELECT id, 1.0 AS pagerank FROM vertices),

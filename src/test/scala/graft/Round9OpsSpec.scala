@@ -58,6 +58,12 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestSession {
     assert(g16b.exceptAll(g16).isEmpty && g16.exceptAll(g16b).isEmpty)
   }
 
+  test("g08b == g08 where the bucket cap does not bind (sf0.001)") {
+    val g08 = graph.PageRankOps.graphxPageRank(spark, Sf)
+    val g08b = graph.PageRankOps.g08bCappedGraphxPageRank(spark, Sf)
+    assert(g08b.exceptAll(g08).isEmpty && g08.exceptAll(g08b).isEmpty)
+  }
+
   test("g06b plan: GroupedTopK heap caps the buckets — no window, no row_number") {
     val w = graph.CoGraph.cappedNormalizedWeights(spark, Sf)
     val plan = w.queryExecution.executedPlan.toString
