@@ -95,6 +95,7 @@ object SparkEntry {
     "g20b_capped_clustering_coeff", "d10b_lsh_evaluation_sampled",
     "mm04b_capped_neardup", "c13_corpus_job",
     "v14_ann_frontier",
-    "g06b_pagerank_capped", "g16b_ppr_capped", "g08b_graphx_capped"
+    "g06b_pagerank_capped", "g16b_ppr_capped", "g08b_graphx_capped",
+    "d05d_embedding_arrival_dedup"
   ).filter(queries.contains)
 }

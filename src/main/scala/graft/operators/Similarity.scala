@@ -23,7 +23,7 @@ object Similarity {
   import TextFn.{r, rSql}
 
   private val TopK = 5
-  private val NearDupT = 0.4 // calibrated: testdata has no pairs above 0.52
+  private[graft] val NearDupT = 0.4 // calibrated: testdata has no pairs above 0.52
   private val NQueries = 10 // vec_id < 10 are the query vectors
   private val LshBits = 4 // hyperplane sign bits → 16 buckets
 
@@ -51,7 +51,12 @@ object Similarity {
     * throw DIVIDE_BY_ZERO mid-scan (caught by EdgeCaseSpec).
     */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    withNormOf(Tables.embeddings(s, dir))
+
+  /** [[withNorm]] over a caller-supplied (vec_id, embedding) frame — the
+    * builder the streaming twin shares. */
+  private[graft] def withNormOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
@@ -184,7 +189,7 @@ object Similarity {
       .sorted.mkString("|")
   }
 
-  private def maxDim(s: SparkSession, dir: String): Int = {
+  private[graft] def maxDim(s: SparkSession, dir: String): Int = {
     val m = dimMemo.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]())
     val sig = dirSignature(dir)
@@ -345,7 +350,7 @@ object Similarity {
   /** [[bucketed]] over a caller-supplied normed frame — the shared bucket
     * spelling for v02/d05b (full corpus) and d05c (canonical corpus).
     */
-  private def bucketedOf(e0: DataFrame, d: Int): DataFrame = {
+  private[graft] def bucketedOf(e0: DataFrame, d: Int): DataFrame = {
     val buckets = (0 until LshTables).map(t => struct(lit(t).as("t"),
       tableBucket(t, col("embedding"), d).as("bk")))
     e0.select(col("vec_id"), col("embedding"), col("nrm"),
@@ -494,6 +499,70 @@ object Similarity {
        |JOIN e0 y ON y.vec_id = c.id_b
        |WHERE ${rSql(s"${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)", 6)} >= $NearDupT
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** d05d — embedding near-dup as the ARRIVAL-ORDER dedup decision:
+    * mm04b/d12's verdict form over d05c's LSH machinery, and the batch
+    * twin of [[graft.streaming.EmbedStream]]. Each vector compares
+    * against the ≤[[EmbBucketCap]] smallest-id members of its (table,
+    * bucket) groups; the owner is the EARLIEST verifying member; output
+    * is one keep/dup_of row per vector with the owner's rounded cosine.
+    *
+    * No canonicalization here — the arrival form absorbs verbatim
+    * replicas naturally (identical vectors bucket identically,
+    * cosine(x,x) = 1 ≥ threshold, and the bucket's earliest member is
+    * always retained), with the member cap bounding per-arrival compares
+    * at tables·cap however hard the stream floods. Zero-norm vectors are
+    * excluded like every cosine consumer ([[withNormOf]]).
+    */
+  def d05dArrivalDedup(s: SparkSession, dir: String): DataFrame =
+    d05dOn(Tables.embeddings(s, dir), maxDim(s, dir))
+
+  private[graft] def d05dOn(emb: DataFrame, d: Int,
+      cap: Int = EmbBucketCap): DataFrame = {
+    val e0 = withNormOf(emb).tracked // feeds eb, members, and the base
+    val eb = bucketedOf(e0, d)
+    val members = graft.plans.GroupedTopK(
+      eb.withColumn("__v", col("vec_id").cast("double")),
+      Seq("t", "bk"), "__v", "vec_id", cap, descending = false).drop("__v")
+    val hits = eb.as("x").join(members.as("m"),
+        col("x.t") === col("m.t") && col("x.bk") === col("m.bk")
+          && col("m.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("m.vec_id").as("mem_id"),
+        r(dot(col("x.embedding"), col("m.embedding"))
+          / (col("x.nrm") * col("m.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .distinct()
+    val owners = hits.groupBy("vec_id")
+      .agg(min(struct(col("mem_id"), col("cosine"))).as("o"))
+      .select(col("vec_id"), col("o.mem_id").as("dup_of"),
+        col("o.cosine").as("cosine"))
+    e0.select("vec_id").join(owners, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("dup_of").isNull.as("is_kept"),
+        col("dup_of"), col("cosine"))
+      .orderBy("vec_id")
+  }
+
+  private def d05dSql =
+    s"""WITH e0 AS ($withNormSql),
+       |eb AS ($bucketTablesSql),
+       |members AS (
+       |  SELECT t, bk, vec_id, embedding, nrm FROM (
+       |    SELECT t, bk, vec_id, embedding, nrm,
+       |      row_number() OVER (PARTITION BY t, bk ORDER BY vec_id) AS rn
+       |    FROM eb) WHERE rn <= $EmbBucketCap),
+       |hits AS (
+       |  SELECT DISTINCT x.vec_id, m.vec_id AS mem_id,
+       |    ${rSql(s"${dotSql("x.embedding", "m.embedding")} / (x.nrm * m.nrm)", 6)} AS cosine
+       |  FROM eb x JOIN members m
+       |    ON m.t = x.t AND m.bk = x.bk AND m.vec_id < x.vec_id
+       |  WHERE ${rSql(s"${dotSql("x.embedding", "m.embedding")} / (x.nrm * m.nrm)", 6)} >= $NearDupT),
+       |owners AS (
+       |  SELECT vec_id, min(mem_id) AS dup_of,
+       |    arg_min(cosine, mem_id) AS cosine
+       |  FROM hits GROUP BY 1)
+       |SELECT e.vec_id, o.dup_of IS NULL AS is_kept, o.dup_of, o.cosine
+       |FROM e0 e LEFT JOIN owners o ON o.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   /** v03 — label centroids + nearest-centroid assignment (one k-means
     * E-step over the labeled embeddings), reported as the label × assigned
@@ -1630,7 +1699,8 @@ object Similarity {
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
     "d09_embedding_neardup_canonical" -> (d09EmbeddingNeardupCanonical _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _),
-    "d05c_embedding_neardup_capped" -> (d05cCappedNeardupLsh _))
+    "d05c_embedding_neardup_capped" -> (d05cCappedNeardupLsh _),
+    "d05d_embedding_arrival_dedup" -> (d05dArrivalDedup _))
 
   val oracles: Map[String, String] = Map(
     "v14_ann_frontier" -> v14Sql,
@@ -1651,5 +1721,6 @@ object Similarity {
     "d05_embedding_neardup" -> d05Sql,
     "d09_embedding_neardup_canonical" -> d09Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql,
-    "d05c_embedding_neardup_capped" -> d05cSql)
+    "d05c_embedding_neardup_capped" -> d05cSql,
+    "d05d_embedding_arrival_dedup" -> d05dSql)
 }
