@@ -94,6 +94,52 @@ class EmbedStreamSpec extends AnyFunSuite with SparkTestSession {
       s"diff=${(streamDups diff expected) ++ (expected diff streamDups)}")
   }
 
+  test("TTL horizon variant evicts at the horizon: post-horizon replica is re-admitted") {
+    // the round-7 eviction contract on the embedding family: a replica
+    // arriving AFTER the horizon must NOT match the expired member — it
+    // becomes the bucket's new first member — while a same-wave companion
+    // still dedups (positive controls both sides of the horizon). Waits
+    // derive from the stream's own batch clock (BatchClock), never from
+    // wall-clock sleeps scaled off the TTL.
+    implicit val s = spark
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ttl = java.time.Duration.ofSeconds(4)
+    val v = Array.tabulate(16)(i => (math.sin(7 * i + 3) * 10).toFloat)
+    withStateProvider(RocksDbProvider) {
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = EmbedStream.embVerdictsWithin(
+          ms.toDF().toDF("vec_id", "embedding"), 16, ttl)
+        .toDF().writeStream.format("memory").queryName("emb_ttl_t")
+        .outputMode("append").start()
+      val clock = new BatchClock(q)
+      try {
+        // wave 1: vec 1 + companion 2 — the (2 dup_of 1) verdict in the
+        // sink proves vec 1 is IN STATE before the horizon wait starts
+        ms.addData(Seq(1L -> v, 2L -> v))
+        var tries = 0
+        while (tries < 150 && spark.table("emb_ttl_t").count() < 1) {
+          Thread.sleep(200); tries += 1
+        }
+        val wave1Rows = spark.table("emb_ttl_t").count()
+        clock.awaitClockPast(clock.awaitWriteTs() + ttl.toMillis)
+        // wave 2: replica 10 + companion 11
+        ms.addData(Seq(10L -> v, 11L -> v))
+        tries = 0
+        while (tries < 150
+            && spark.table("emb_ttl_t").count() <= wave1Rows) {
+          Thread.sleep(200); tries += 1
+        }
+      } finally { clock.close(); q.stop() }
+      val got = spark.table("emb_ttl_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 2 dedups vs 1 in-horizon; 10 is re-admitted (1/2 expired);
+      // 11 dedups vs 10 — and crucially NOT vs 1
+      assert(got == Set(2L -> 1L, 11L -> 10L),
+        s"expected {(2,1),(11,10)}, got $got")
+    }
+  }
+
   test("stream cosine fold == the batch VecDot round(6) on adversarial floats") {
     import spark.implicits._
     // the processor's Scala fold must be bit-identical to the Column
