@@ -108,6 +108,87 @@ object DriftOps {
       .orderBy("bin")
   }
 
+  /** f10's KS fold over a (bin, cnt_ref, cnt_cur) contingency table: the
+    * sup over BIN-PREFIX cumulative differences, cross-multiplied exactly
+    * like f02 (|cumRef·nCur − cumCur·nRef| in DECIMAL — no frequency ever
+    * floats). This is the KS statistic COMPUTABLE FROM THE STREAM SINK
+    * ([[graft.streaming.DriftStream.windowedSplitBins]]' output), with
+    * the known coarsening property binnedKS ≤ exactKS ≤ binnedKS + max
+    * within-bin mass (the sup is taken over ~50 bin edges instead of all
+    * values). The one global window runs over the BIN table — bounded by
+    * the price domain, never the data (f02's own discipline).
+    */
+  def ksFromBinsOn(perBin: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("ca", sum(col("cnt_ref")).over(w))
+      .withColumn("cb", sum(col("cnt_cur")).over(w))
+    val totals = perBin.agg(
+      sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("diff",
+        abs(col("ca").cast(Cnt) * col("n_cur").cast(Cnt)
+          - col("cb").cast(Cnt) * col("n_ref").cast(Cnt)))
+      .orderBy(col("diff").desc, col("bin").asc)
+      .limit(1)
+      .select(
+        ((col("bin") + 1) * lit(BinCents / 100)).cast("double")
+          .as("at_edge_dollars"),
+        r(col("diff").cast("double")
+          / (col("n_ref").cast(Cnt) * col("n_cur").cast(Cnt)).cast("double"),
+          6).as("ks_stat"),
+        col("n_ref"), col("n_cur"))
+  }
+
+  /** f10 — binned two-sample KS between the f01/f06 hash splits of
+    * `orders`: [[ksFromBinsOn]] over [[splitBins]]. The drift monitor's
+    * stream-compatible KS — runs identically over a batch snapshot or any
+    * finalized window of the live contingency sink.
+    */
+  def f10BinnedKs(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(s, dir)
+      .select(
+        hashSplit(col("o_orderkey"), 2).as("split"),
+        amountBin(col("o_totalprice")).as("bin"))
+    ksFromBinsOn(splitBins(binned).tracked)
+  }
+
+  private val f10Sql =
+    s"""WITH binned AS (
+       |  SELECT ${Det.sqlKnuthBucket("o_orderkey", 2L)} AS split,
+       |         CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |                    / $BinCents.0) AS BIGINT) AS bin
+       |  FROM orders),
+       |per_bin AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_ref,
+       |    CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cnt_cur
+       |  FROM binned GROUP BY 1),
+       |cum AS (
+       |  SELECT bin,
+       |    sum(cnt_ref) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+       |    sum(cnt_cur) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb
+       |  FROM per_bin),
+       |totals AS (
+       |  SELECT CAST(sum(cnt_ref) AS BIGINT) AS n_ref,
+       |         CAST(sum(cnt_cur) AS BIGINT) AS n_cur FROM per_bin),
+       |diffs AS (
+       |  SELECT bin,
+       |    abs(CAST(ca AS DECIMAL(18,0)) * CAST(n_cur AS DECIMAL(18,0))
+       |      - CAST(cb AS DECIMAL(18,0)) * CAST(n_ref AS DECIMAL(18,0)))
+       |      AS diff, n_ref, n_cur
+       |  FROM cum CROSS JOIN totals)
+       |SELECT CAST((bin + 1) * ${BinCents / 100} AS DOUBLE) AS at_edge_dollars,
+       |  ${Det.sqlR(
+            "CAST(diff AS DOUBLE) / CAST(CAST(n_ref AS DECIMAL(18,0)) " +
+              "* CAST(n_cur AS DECIMAL(18,0)) AS DOUBLE)", 6)} AS ks_stat,
+       |  n_ref, n_cur
+       |FROM diffs ORDER BY diff DESC, bin LIMIT 1""".stripMargin
+
   /** f01 — distribution drift as per-bin TOTAL-VARIATION terms between a
     * reference and a current split of `orders` (deterministic halves here;
     * in production: training snapshot vs live window).
@@ -901,6 +982,7 @@ object DriftOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f09_runs_test" -> (f09RunsTest _),
+    "f10_binned_ks" -> (f10BinnedKs _),
     "f08_two_proportion" -> (f08TwoProportion _),
     "f07_mann_whitney" -> (f07MannWhitney _),
     "f01_tvd_drift" -> (f01TvdDrift _),
@@ -912,6 +994,7 @@ object DriftOps {
 
   val oracles: Map[String, String] = Map(
     "f09_runs_test" -> f09Sql,
+    "f10_binned_ks" -> f10Sql,
     "f08_two_proportion" -> f08Sql,
     "f07_mann_whitney" -> f07Sql,
     "f01_tvd_drift" -> f01Sql,

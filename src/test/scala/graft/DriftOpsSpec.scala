@@ -124,4 +124,25 @@ class DriftOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(p2.contains("TakeOrderedAndProject"),
       "argmax must be top-1, not a global sort")
   }
+
+  test("f10 binned KS equals the brute-force recompute and is bounded by the exact sup") {
+    val row = DriftOps.f10BinnedKs(spark, SfMid).collect()(0)
+    val ks = row.getAs[Double]("ks_stat")
+    val nRef = row.getAs[Long]("n_ref")
+    val nCur = row.getAs[Long]("n_cur")
+    // brute force from the raw per-bin counts
+    val perBin = DriftOps.f01TvdDrift(spark, SfMid).collect()
+      .map(r => (r.getAs[Long]("bin"),
+        r.getAs[Long]("cnt_ref"), r.getAs[Long]("cnt_cur")))
+      .sortBy(_._1)
+    var ca = 0L; var cb = 0L
+    var best = 0.0
+    perBin.foreach { case (_, a, b) =>
+      ca += a; cb += b
+      val d = math.abs(ca.toDouble / nRef - cb.toDouble / nCur)
+      if (d > best) best = d
+    }
+    assert(math.abs(ks - best) < 1e-6, s"binned KS $ks vs brute $best")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
 }
