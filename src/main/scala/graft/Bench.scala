@@ -96,12 +96,22 @@ object Bench {
     // headline total is what BASELINE comparisons read, never the long tail
     // of sub-second entries this drops.
     val budget = 1800
+    // paths come from env vars — escape them so a quote/backslash cannot
+    // make the headline line invalid JSON (the exact failure this
+    // fallback exists to prevent), and drop the file pointer rather than
+    // blow the budget if someone supplies a pathological path
+    def esc(v: String): String =
+      v.replace("\\", "\\\\").replace("\"", "\\\"")
     val stdoutLine =
       if (line.length <= budget) line
       else {
+        val fullPtr = {
+          val p = s""""queries_full":"${esc(outPath)}","""
+          if (p.length <= 300) p else ""
+        }
         val fixed = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""queries_total":${results.size},"queries_full":"$outPath",""" +
-          s""""sf":"$sfDir","queries":{"""
+          s""""queries_total":${results.size},$fullPtr""" +
+          s""""sf":"${esc(sfDir)}","queries":{"""
         val entries = results.sortBy(-_._2)
           .map { case (k, v) => "\"" + k + "\":" + v }
         val sb = new StringBuilder(fixed)

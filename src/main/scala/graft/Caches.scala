@@ -60,10 +60,18 @@ object Caches {
   private final class State {
     val buf = ArrayBuffer.empty[(Dataset[_], Long)]
     var gen: Long = 0L
-    var auto: Boolean = false
   }
 
   private val reg = new java.util.IdentityHashMap[SparkSession, State]()
+
+  /** Sessions with the auto-release listener installed. WEAK keys: this
+    * map must never pin a session — the listener itself is held by the
+    * session's own listener manager, so both die with the session, and
+    * `reg` entries are fully removed by [[release]] (a registry entry
+    * only exists while tracked frames do). Guarded by reg's lock.
+    */
+  private val autoInstalled =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   /** Callers hold reg.synchronized. */
   private def stateFor(s: SparkSession): State = {
@@ -103,14 +111,8 @@ object Caches {
   def release(spark: SparkSession): Int = {
     val drained = reg.synchronized {
       scavengeStopped()
-      val st = reg.get(spark)
-      if (st == null) Nil
-      else {
-        val d = st.buf.map(_._1).toList
-        st.buf.clear()
-        if (!st.auto) reg.remove(spark) // keep listener state only
-        d
-      }
+      val st = reg.remove(spark)
+      if (st == null) Nil else st.buf.map(_._1).toList
     }
     drained.foreach(_.unpersist(blocking = false))
     drained.size
@@ -146,14 +148,24 @@ object Caches {
     * once per iteration by the graph loops) do not advance the clock.
     * Worst-case residency: the internal caches of the last two queries.
     *
-    * Trade-off (QUICKSTART): a caller that runs MANY actions over one
+    * Trade-offs (QUICKSTART): a caller that runs MANY actions over one
     * returned frame recomputes the operator's internal stages from the
-    * third action on — keep manual [[release]] where that matters.
+    * SECOND action on, and the lag clock assumes one logical query at a
+    * time — a session shared by CONCURRENT action-running threads can
+    * advance the clock past a sibling query's registration mid-build
+    * (correctness is unaffected; the drained frame recomputes via
+    * lineage). Keep manual [[release]] for multi-action reads or
+    * concurrent sharing.
+    *
+    * Lifetime: installation does NOT pin the session — the installed-set
+    * has weak keys and the listener is held by the session's own
+    * listener manager, while registry entries are fully removed by every
+    * drain; session-per-job JVMs can install per session freely.
     */
   def autoRelease(spark: SparkSession): Unit = {
     val install = reg.synchronized {
-      val st = stateFor(spark)
-      if (st.auto) false else { st.auto = true; true }
+      if (autoInstalled.containsKey(spark)) false
+      else { autoInstalled.put(spark, java.lang.Boolean.TRUE); true }
     }
     if (install) spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
@@ -167,6 +179,11 @@ object Caches {
               val cut = st.gen - 2
               val (old, keep) = st.buf.partition(_._2 <= cut)
               st.buf.clear(); st.buf ++= keep
+              // drop the entry once empty so a drained session holds no
+              // strong ref (session-per-job JVMs leak otherwise); the
+              // gen clock restarting at the next registration preserves
+              // the lag contract — it is relative to registration
+              if (st.buf.isEmpty) reg.remove(spark)
               old.map(_._1).toList
             }
           }

@@ -89,6 +89,7 @@ object DriftOps {
     * story.
     */
   def chi2TermsOn(perBin: DataFrame): DataFrame = {
+    requireSingleWindow(perBin)
     val totals = perBin.agg(
       sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))
     val d = (col("cnt_ref").cast(Cnt) * col("n_cur").cast(Cnt)
@@ -119,6 +120,7 @@ object DriftOps {
     * the price domain, never the data (f02's own discipline).
     */
   def ksFromBinsOn(perBin: DataFrame): DataFrame = {
+    requireSingleWindow(perBin)
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -136,11 +138,25 @@ object DriftOps {
       .select(
         ((col("bin") + 1) * lit(BinCents / 100)).cast("double")
           .as("at_edge_dollars"),
-        r(col("diff").cast("double")
-          / (col("n_ref").cast(Cnt) * col("n_cur").cast(Cnt)).cast("double"),
-          6).as("ks_stat"),
+        // degenerate one-sided table (a low-volume window whose rows all
+        // hash to one split) → NULL, not 0/0 = NaN — f04/f06's convention
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          r(col("diff").cast("double")
+            / (col("n_ref").cast(Cnt) * col("n_cur").cast(Cnt))
+              .cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("ks_stat"),
         col("n_ref"), col("n_cur"))
   }
+
+  /** Guard for the per-bin folds: a WINDOWED contingency (the stream
+    * sink) must be filtered to ONE window before folding — summing
+    * totals across windows would silently produce a statistic belonging
+    * to no window.
+    */
+  private def requireSingleWindow(perBin: DataFrame): Unit =
+    require(!perBin.columns.contains("win"),
+      "fold one window at a time: filter the windowed sink to a single " +
+        "window (and drop `win`) before chi2TermsOn/ksFromBinsOn")
 
   /** f10 — binned two-sample KS between the f01/f06 hash splits of
     * `orders`: [[ksFromBinsOn]] over [[splitBins]]. The drift monitor's
@@ -183,9 +199,11 @@ object DriftOps {
        |      AS diff, n_ref, n_cur
        |  FROM cum CROSS JOIN totals)
        |SELECT CAST((bin + 1) * ${BinCents / 100} AS DOUBLE) AS at_edge_dollars,
+       |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
        |  ${Det.sqlR(
             "CAST(diff AS DOUBLE) / CAST(CAST(n_ref AS DECIMAL(18,0)) " +
-              "* CAST(n_cur AS DECIMAL(18,0)) AS DOUBLE)", 6)} AS ks_stat,
+              "* CAST(n_cur AS DECIMAL(18,0)) AS DOUBLE)", 6)}
+       |  ELSE CAST(NULL AS DOUBLE) END AS ks_stat,
        |  n_ref, n_cur
        |FROM diffs ORDER BY diff DESC, bin LIMIT 1""".stripMargin
 
@@ -208,10 +226,9 @@ object DriftOps {
       .select(
         hashSplit(col("o_orderkey"), 2).as("split"),
         amountBin(col("o_totalprice")).as("bin"))
-    val perBin = binned.groupBy("bin")
-      .agg(
-        sum(when(col("split") === 0, 1L).otherwise(0L)).as("cnt_ref"),
-        sum(when(col("split") === 1, 1L).otherwise(0L)).as("cnt_cur"))
+    // the SAME shared builder f06/f10/the stream twin use — one split
+    // definition for the whole family
+    val perBin = splitBins(binned)
       .tracked // consumed twice: totals scalar + the per-bin projection
     val totals = perBin.agg(
       sum(col("cnt_ref")).as("n_ref"), sum(col("cnt_cur")).as("n_cur"))

@@ -164,16 +164,23 @@ object DedupStream {
         // folds (dupDocs) to the min over ALL verifying partners, which
         // is exactly d12's earliest-owner attribution, so stream and
         // batch agree on owners by construction, not just on the dup set
+        // the m.doc_id < r.doc_id guard is d12's own join predicate:
+        // without it an at-least-once redelivery would match a doc
+        // against ITSELF (jaccard = 1) and an out-of-order arrival could
+        // name a LATER id as owner — both diverging from the batch twin
         var ownerId = -1L
         var ownerJ = 0.0
         stored.foreach { m =>
-          if (ownerId < 0 || m.doc_id < ownerId) {
+          if (m.doc_id < r.doc_id && (ownerId < 0 || m.doc_id < ownerId)) {
             val j = r4(jaccardVs(rSet, r.sids.length, m.sids))
             if (j >= Dedup.JaccardT) { ownerId = m.doc_id; ownerJ = j }
           }
         }
         if (ownerId >= 0) out += DupVerdict(r.doc_id, ownerId, ownerJ)
-        if (stored.length < MaxBucketMembers) {
+        // idempotent append: a redelivered doc must not burn a second
+        // cap slot (batch members are DISTINCT smallest ids)
+        if (stored.length < MaxBucketMembers
+            && !stored.exists(_.doc_id == r.doc_id)) {
           val m = BucketMember(r.doc_id, r.sids)
           members.appendValue(m)
           stored += m

@@ -90,17 +90,25 @@ object EmbedStream {
       val out = List.newBuilder[EmbVerdict]
       rows.toSeq.sortBy(_.vec_id).foreach { r =>
         // owner = earliest verifying member in THIS bucket; dupDocs
-        // folds min across buckets — d05d's min(struct(mem_id, cosine))
+        // folds min across buckets — d05d's min(struct(mem_id, cosine)).
+        // The m.vec_id < r.vec_id guard is batch d05d's own join
+        // predicate: without it an at-least-once redelivery would match
+        // a vector against ITSELF (cosine = 1), and an out-of-order
+        // arrival could name a LATER id as its owner — both diverging
+        // from the batch twin.
         var ownerId = -1L
         var ownerC = 0.0
         stored.foreach { m =>
-          if (ownerId < 0 || m.vec_id < ownerId) {
+          if (m.vec_id < r.vec_id && (ownerId < 0 || m.vec_id < ownerId)) {
             val c = cosine6(r.embedding, r.nrm, m.embedding, m.nrm)
             if (c >= Similarity.NearDupT) { ownerId = m.vec_id; ownerC = c }
           }
         }
         if (ownerId >= 0) out += EmbVerdict(r.vec_id, ownerId, ownerC)
-        if (stored.length < Similarity.EmbBucketCap) {
+        // idempotent append: a redelivered vector must not burn a second
+        // cap slot (batch members are DISTINCT smallest ids)
+        if (stored.length < Similarity.EmbBucketCap
+            && !stored.exists(_.vec_id == r.vec_id)) {
           val m = EmbMember(r.vec_id, r.embedding, r.nrm)
           members.appendValue(m)
           stored += m

@@ -76,17 +76,24 @@ object PhashStream {
       val out = List.newBuilder[PhVerdict]
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
         // owner = earliest verifying member in THIS bucket; dupDocs folds
-        // min across buckets — mm04b's min(struct(mem_id, hamming))
+        // min across buckets — mm04b's min(struct(mem_id, hamming)). The
+        // m.doc_id < r.doc_id guard is mm04b's own join predicate:
+        // without it an at-least-once redelivery would match a frame
+        // against ITSELF (hamming = 0) and an out-of-order arrival could
+        // name a LATER id as owner — both diverging from the batch twin.
         var ownerId = -1L
         var ownerH = 0L
         stored.foreach { m =>
-          if (ownerId < 0 || m.doc_id < ownerId) {
+          if (m.doc_id < r.doc_id && (ownerId < 0 || m.doc_id < ownerId)) {
             val h = java.lang.Long.bitCount(r.ph ^ m.ph).toLong
             if (h <= Multimodal.PhRadius) { ownerId = m.doc_id; ownerH = h }
           }
         }
         if (ownerId >= 0) out += PhVerdict(r.doc_id, ownerId, ownerH)
-        if (stored.length < Multimodal.BucketMemberCap) {
+        // idempotent append: a redelivered frame must not burn a second
+        // cap slot (batch members are DISTINCT smallest ids)
+        if (stored.length < Multimodal.BucketMemberCap
+            && !stored.exists(_.doc_id == r.doc_id)) {
           val m = PhMember(r.doc_id, r.ph)
           members.appendValue(m)
           stored += m

@@ -70,8 +70,11 @@ class EmbedStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(streamDups.nonEmpty, "corpus must contain near-dups")
     assert(streamDups == batchDups,
       s"diff=${(streamDups diff batchDups) ++ (batchDups diff streamDups)}")
-    // keeper count agrees too
-    assert(rows.size - streamDups.size
+    // keeper count agrees too — over the nonzero-norm universe both
+    // operators actually see (zero vectors have no cosine and are
+    // excluded by withNormOf on BOTH paths)
+    val nonZero = rows.count(_._2.exists(_ != 0f))
+    assert(nonZero - streamDups.size
       == batch.count(_.getBoolean(1)), "keeper counts disagree")
   }
 
