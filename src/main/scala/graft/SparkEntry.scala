@@ -96,6 +96,8 @@ object SparkEntry {
     "mm04b_capped_neardup", "c13_corpus_job",
     "v14_ann_frontier",
     "g06b_pagerank_capped", "g16b_ppr_capped", "g08b_graphx_capped",
-    "d05d_embedding_arrival_dedup", "f10_binned_ks"
+    "d05d_embedding_arrival_dedup", "f10_binned_ks",
+    "g27_neighborhood_function", "g27b_hyperball",
+    "g28_landmark_harmonic", "g29_modularity"
   ).filter(queries.contains)
 }

