@@ -97,7 +97,9 @@ object SparkEntry {
     "v14_ann_frontier",
     "g06b_pagerank_capped", "g16b_ppr_capped", "g08b_graphx_capped",
     "d05d_embedding_arrival_dedup", "f10_binned_ks",
-    "g27_neighborhood_function", "g27b_hyperball",
-    "g28_landmark_harmonic", "g29_modularity"
+    // g27 (exact NF) is registered + oracle-checked but, like the d10/g20
+    // definitional quadratics, not headlined: its pair table is Σ|B(u,r)|
+    // by construction — g27b, its bounded-state twin, IS in-list
+    "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity"
   ).filter(queries.contains)
 }

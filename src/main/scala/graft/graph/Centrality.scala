@@ -189,13 +189,18 @@ object Centrality {
     * d ∈ {1,2,3} via CASE (6 = lcm(1,2,3)) — so cross-engine comparison
     * and the ORDER BY are integer, not float-accumulation-dependent;
     * the float `harmonic` column is a single exact IEEE division of
-    * that integer. State is K·V distance rows against the V² of true
-    * all-pairs closeness — the landmark trade that makes centrality
-    * triage feasible at 100 TB. Per round: one shuffle keyed by the
-    * frontier vertex, map-side partial min, lineage cut.
+    * that integer. Both scale guards compose here: landmarks bound the
+    * STATE at K·V distance rows (vs the V² of all-pairs closeness) and
+    * the bucket cap bounds the JOIN side (each BFS round joins the
+    * frontier against the capped edge set, so per-vertex fan-out is
+    * bounded however dense the hour buckets get — without it the sf1
+    * densification put the frontier at Σ deg(v) ≈ 10⁸ rows/round, a
+    * measured 33× slope; capped it is single-digit). Per round: one
+    * shuffle keyed by the frontier vertex, map-side partial min,
+    * lineage cut.
     */
   def g28LandmarkHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
+    val edges = CoGraph.cappedEdges(s, dir).repartition(col("src")).tracked
     val verts = endpointVertices(edges)
     val landmarks = verts.orderBy("id").limit(LandmarkK)
     var dist = landmarks.select(col("id").as("lm"), col("id").as("id"),
@@ -223,9 +228,9 @@ object Centrality {
       .orderBy(col("harmonic_x6").desc, col("id"))
   }
 
-  /** DuckDB mirror of [[g28LandmarkHarmonic]]. */
+  /** DuckDB mirror of [[g28LandmarkHarmonic]] — same capped edge CTE. */
   val g28Sql: String =
-    s"""WITH RECURSIVE ${CoGraph.edgesCte},
+    s"""WITH RECURSIVE ${CoGraph.cappedEdgesCte()},
        |verts AS (SELECT DISTINCT src AS id FROM edges),
        |landmarks AS (SELECT id FROM verts ORDER BY id LIMIT $LandmarkK),
        |reach(lm, id, hops) AS (
