@@ -100,6 +100,7 @@ object SparkEntry {
     // g27 (exact NF) is registered + oracle-checked but, like the d10/g20
     // definitional quadratics, not headlined: its pair table is Σ|B(u,r)|
     // by construction — g27b, its bounded-state twin, IS in-list
-    "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity"
+    "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity",
+    "c14_leakage_audit"
   ).filter(queries.contains)
 }

@@ -807,10 +807,93 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private def c09Sql = {
+  /** c14 — split-leakage audit: how many duplicate/near-duplicate pairs
+    * CROSS a split boundary under (a) the naive per-document hash split a
+    * team ships before thinking about dup structure, vs (b) c09's
+    * cluster-bucket split. Two docs are leak-related iff they share a
+    * c09 cluster (identical text, or connected through the verified
+    * ≥-0.5-Jaccard near-dup graph); a crossing pair trains on one side
+    * and evaluates on the other — the contamination this audit prices.
+    * The cluster-bucket row is the self-certifying control: by
+    * construction its `leak_pairs` is 0 (a cluster is atomic under the
+    * split rule), which the spec pins.
+    *
+    * Scale: NO pair materialization — per (scheme, cluster, split)
+    * counts n_s fold into crossing pairs as (n² − Σ n_s²) div 2 and dup
+    * pairs as n(n−1) div 2, pure integer arithmetic over a frame the
+    * size of the cluster count. The pair-shaped cost lives in c09's own
+    * verified-pair build, which this composes, not re-derives.
+    */
+  def c14LeakageAudit(s: SparkSession, dir: String): DataFrame = {
+    val naive = Det.knuthBucket(col("doc_id"), 10L)
+    val base = c09LeakageSafeSplit(s, dir)
+      .select(col("cluster_id"), col("split").as("cluster_split"),
+        when(naive <= 7L, "train").when(naive === 8L, "val")
+          .otherwise("test").as("naive_split"))
+      .tracked
+    val sch = base.select(lit("cluster_bucket").as("scheme"),
+        col("cluster_id"), col("cluster_split").as("split"))
+      .unionAll(base.select(lit("naive_hash").as("scheme"),
+        col("cluster_id"), col("naive_split").as("split")))
+    val per = sch.groupBy("scheme", "cluster_id", "split")
+      .agg(count(lit(1)).as("ns"))
+      .groupBy("scheme", "cluster_id")
+      .agg(sum(col("ns")).as("n"), sum(col("ns") * col("ns")).as("sq"))
+    per.groupBy("scheme")
+      .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("multi_doc_clusters"),
+        sum(expr("n * (n - 1) div 2")).as("dup_pairs"),
+        sum(expr("(n * n - sq) div 2")).as("leak_pairs"))
+      .select(col("scheme"), col("multi_doc_clusters"), col("dup_pairs"),
+        col("leak_pairs"),
+        when(col("dup_pairs") === 0L, lit(0.0))
+          .otherwise(r(col("leak_pairs").cast("double")
+            / col("dup_pairs").cast("double"), 6)).as("leak_rate"))
+      .orderBy("scheme")
+  }
+
+  private def c14Sql = {
+    val naive = Det.sqlKnuthBucket("doc_id", 10L)
+    s"""WITH RECURSIVE ${c09Cte()},
+       |base AS (
+       |  SELECT cluster_id, split AS cluster_split,
+       |    CASE WHEN $naive <= 7 THEN 'train'
+       |         WHEN $naive = 8 THEN 'val' ELSE 'test' END AS naive_split
+       |  FROM splits),
+       |sch AS (
+       |  SELECT 'cluster_bucket' AS scheme, cluster_id,
+       |         cluster_split AS split FROM base
+       |  UNION ALL
+       |  SELECT 'naive_hash', cluster_id, naive_split FROM base),
+       |per AS (
+       |  SELECT scheme, cluster_id, sum(ns) AS n, sum(ns * ns) AS sq
+       |  FROM (SELECT scheme, cluster_id, split, count(*) AS ns
+       |        FROM sch GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)
+       |SELECT scheme,
+       |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS multi_doc_clusters,
+       |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs,
+       |  CAST(sum((n * n - sq) // 2) AS BIGINT) AS leak_pairs,
+       |  CASE WHEN sum(n * (n - 1) // 2) = 0 THEN 0.0
+       |       ELSE round(CAST(sum((n * n - sq) // 2) AS DOUBLE)
+       |                  / CAST(sum(n * (n - 1) // 2) AS DOUBLE), 6)
+       |  END AS leak_rate
+       |FROM per GROUP BY scheme ORDER BY scheme""".stripMargin
+  }
+
+  private def c09Sql =
+    s"""WITH RECURSIVE ${c09Cte()}
+       |SELECT doc_id, cluster_id, split FROM splits
+       |ORDER BY doc_id""".stripMargin
+
+  /** The c09 chain (canon → verified pairs → CC clusters → split rule) as
+    * a reusable CTE ending in `splits(doc_id, cluster_id, split)` — the
+    * c14 leakage-audit oracle composes it. Must follow `WITH RECURSIVE`.
+    */
+  private def c09Cte() = {
     val bucket = Det.sqlKnuthBucket("cluster_id", 10L)
     val j = rSql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)", 4)
-    s"""WITH RECURSIVE canon AS (SELECT min(doc_id) AS doc_id, text
+    s"""canon AS (SELECT min(doc_id) AS doc_id, text
        |          FROM documents GROUP BY text),
        |shf AS ($shingleRowsSql),
        |hot AS (SELECT s FROM shf GROUP BY s
@@ -840,12 +923,12 @@ object Dedup {
        |          FROM documents),
        |assigned AS (
        |  SELECT d.doc_id, coalesce(cc.canonical_id, d.ec) AS cluster_id
-       |  FROM docec d LEFT JOIN cc ON cc.ec_id = d.ec)
-       |SELECT doc_id, cluster_id,
-       |  CASE WHEN $bucket <= 7 THEN 'train'
-       |       WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
-       |FROM assigned
-       |ORDER BY doc_id""".stripMargin
+       |  FROM docec d LEFT JOIN cc ON cc.ec_id = d.ec),
+       |splits AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN $bucket <= 7 THEN 'train'
+       |         WHEN $bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM assigned)""".stripMargin
   }
 
   /** d10 — LSH banding-curve evaluation: candidate recall and precision of
@@ -1059,6 +1142,7 @@ object Dedup {
     "r01_record_linkage" -> (r01RecordLinkage _),
     "r02_jaro_linkage" -> (r02JaroLinkage _),
     "c09_leakage_safe_split" -> (c09LeakageSafeSplit _),
+    "c14_leakage_audit" -> (c14LeakageAudit _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_ngram_jaccard_pairs" -> (d02NgramJaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -1080,6 +1164,7 @@ object Dedup {
     "r01_record_linkage" -> r01Sql,
     "r02_jaro_linkage" -> r02Sql,
     "c09_leakage_safe_split" -> c09Sql,
+    "c14_leakage_audit" -> c14Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard_pairs" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

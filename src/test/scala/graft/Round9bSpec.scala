@@ -76,6 +76,21 @@ class Round9bSpec extends AnyFunSuite with SparkTestSession {
     for (r <- out) assert(r.getLong(1) <= r.getLong(2))
   }
 
+  test("c14 leakage audit: cluster-bucket split leaks ZERO pairs by construction, schemes share the dup-pair universe") {
+    val out = operators.Dedup.c14LeakageAudit(spark, SfMid).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet == Set("cluster_bucket", "naive_hash"))
+    val (_, dupC, leakC, rateC) = out("cluster_bucket")
+    val (_, dupN, leakN, rateN) = out("naive_hash")
+    assert(leakC == 0L && rateC == 0.0,
+      "a cluster is atomic under the cluster-bucket rule — any crossing is a bug")
+    assert(dupC == dupN, "dup-pair universe is split-scheme-independent")
+    assert(leakN >= 0L && leakN <= dupN)
+    assert(out("cluster_bucket")._1 == out("naive_hash")._1, "cluster census is scheme-independent")
+    if (dupN > 0) assert(rateN == BigDecimal(leakN.toDouble / dupN)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("g27/g27b agree at sf0.01 too, and the NF saturates at |V|^2 when the graph is one blob") {
     val exact = graph.Centrality.g27NeighborhoodFunction(spark, SfMid).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
