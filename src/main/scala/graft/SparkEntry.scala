@@ -101,6 +101,6 @@ object SparkEntry {
     // definitional quadratics, not headlined: its pair table is Σ|B(u,r)|
     // by construction — g27b, its bounded-state twin, IS in-list
     "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity",
-    "c14_leakage_audit"
+    "c14_leakage_audit", "v15_hard_negatives"
   ).filter(queries.contains)
 }

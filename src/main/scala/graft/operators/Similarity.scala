@@ -1680,8 +1680,72 @@ object Similarity {
     arms.mkString("\nUNION ALL\n") + "\nORDER BY variant"
   }
 
+  /** Hard negatives returned per anchor by [[v15HardNegatives]]. */
+  private val HardK = 3
+
+  /** v15 — hard-negative mining for contrastive training: for each query
+    * anchor, the [[HardK]] most-cosine-similar vectors whose `label`
+    * DIFFERS from the anchor's — the near-miss impostors a contrastive
+    * or metric-learning objective wants as negatives (picking random
+    * negatives wastes gradient; picking these is the standard "hard
+    * negative" recipe). Output carries the negative's label so a
+    * curriculum can stratify by confusable class.
+    *
+    * Scale: identical plan to v01 — broadcast anchors, one corpus scan,
+    * per-anchor top-k — with the label inequality fused into the join
+    * predicate, so non-candidates are dropped BEFORE the dot product.
+    * At production query volume, swap the brute-force candidate side for
+    * the v02–v09 shortlist exactly as v10's two-stage rerank does; the
+    * label predicate stays in the rerank stage (bucket collisions don't
+    * respect labels). This brute-force form is the exactness oracle for
+    * that path. NULL-label candidates are excluded (inequality is
+    * three-valued) — both engines agree by the same SQL semantics.
+    */
+  def v15HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"), col("nrm").as("qn"))
+    e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label"),
+        r(dot(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= HardK)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  private def v15Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |  WHERE sqrt(${dotSql("embedding", "embedding")}) > 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel,
+       |             nrm AS qn
+       |      FROM e WHERE vec_id < $NQueries),
+       |pairs AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    e.label AS neighbor_label,
+       |    ${rSql(s"${dotSql("q.qe", "e.embedding")} / (q.qn * e.nrm)", 6)} AS cosine
+       |  FROM e JOIN q
+       |    ON e.vec_id <> q.query_id AND e.label <> q.qlabel),
+       |ranked AS (SELECT query_id, neighbor_id, neighbor_label, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, neighbor_label, cosine
+       |FROM ranked WHERE rank <= $HardK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v14_ann_frontier" -> (v14AnnFrontier _),
+    "v15_hard_negatives" -> (v15HardNegatives _),
     "v06_kmeans_lloyd" -> (v06KmeansLloyd _),
     "v01_cosine_topk" -> (v01CosineTopk _),
     "v02_ann_lsh" -> (v02AnnLsh _),
@@ -1704,6 +1768,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "v14_ann_frontier" -> v14Sql,
+    "v15_hard_negatives" -> v15Sql,
     "v06_kmeans_lloyd" -> v06Sql,
     "v01_cosine_topk" -> v01Sql,
     "v02_ann_lsh" -> v02Sql,

@@ -91,6 +91,32 @@ class Round9bSpec extends AnyFunSuite with SparkTestSession {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("v15 hard negatives: cross-label only, ranked, dominated by the unconstrained v01 top-1") {
+    val hn = operators.Similarity.v15HardNegatives(spark, SfMid)
+    val rows = hn.collect()
+    assert(rows.nonEmpty)
+    // labels must differ from the anchor's — recompute each anchor's label
+    val labels = Tables.embeddings(spark, SfMid)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- rows)
+      assert(labels(r.getLong(2)) != labels(r.getLong(0)),
+        s"neighbor ${r.getLong(2)} shares the anchor ${r.getLong(0)}'s label")
+    // per anchor: ranks are 1..k, cosine non-increasing in rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getDouble(4))
+      assert(cos.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // the unconstrained v01 top-1 dominates the constrained top-1
+    val v1 = operators.Similarity.v01CosineTopk(spark, SfMid)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for ((q, g) <- rows.groupBy(_.getLong(0)))
+      assert(g.minBy(_.getLong(1)).getDouble(4) <= v1(q) + 1e-9)
+  }
+
   test("g27/g27b agree at sf0.01 too, and the NF saturates at |V|^2 when the graph is one blob") {
     val exact = graph.Centrality.g27NeighborhoodFunction(spark, SfMid).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
