@@ -49,6 +49,16 @@ object Centrality {
   /** BFS depth for g28 landmark distances. */
   val LandmarkHops = 3
 
+  /** HLL precision for g27b: 2^9 = 512 registers per vertex sketch
+    * (~4.6% relative standard error once past the exact sparse range —
+    * ample for a diameter curve, and Round9bSpec's 15% gate). Every
+    * round moves one sketch per EDGE through the union aggregation, so
+    * sketch bytes multiply directly into shuffle/CPU: lgK 12 → 9 cut
+    * the sf0.1 wall time ~2× with no measured estimate change at test
+    * scales (ball sizes there sit in the sparse-exact range).
+    */
+  val HyperBallLgK = 9
+
   /** Distinct vertex set of the (symmetric) directed edge relation —
     * src side suffices because both orientations are materialized.
     */
@@ -147,7 +157,7 @@ object Centrality {
     val edges = CoGraph.cappedEdges(s, dir).repartition(col("src")).tracked
     val verts = endpointVertices(edges)
     var sk = verts
-      .groupBy("id").agg(hll_sketch_agg(col("id")).as("sk"))
+      .groupBy("id").agg(hll_sketch_agg(col("id"), lit(HyperBallLgK)).as("sk"))
       .transform(graft.Cut.cut)
     val rounds = ArrayBuffer[DataFrame](
       sk.agg(sum(hll_sketch_estimate(col("sk"))).as("est"))
