@@ -45,7 +45,11 @@ object FaultDrill {
         // round-5 session-3 paths: centroid-cell semantic dedup (cached
         // assignment + within-cell join) and the two-frame as-of window
         "d11_semdedup", "w18_asof_nearest") ++
-        (if (reliableDir.isDefined) Seq("g06_pagerank_loop", "g14_label_propagation")
+        (if (reliableDir.isDefined) Seq("g06_pagerank_loop", "g14_label_propagation",
+          // round-9 iterative additions: sketch-state HyperBall and the
+          // landmark BFS — both Cut-per-round loops whose truncated
+          // lineage only survives executor loss under reliable checkpoint
+          "g27b_hyperball", "g28_landmark_harmonic")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")

@@ -155,6 +155,29 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.v07AnnIvfPq(spark, d).count() == 0)
   }
 
+  test("centrality/audit family on an EMPTY graph and corpus: defined output, no exceptions") {
+    val d = java.nio.file.Files.createTempDirectory("edge_empty_graph").toString
+    Tables.events(spark, Sf).limit(0)
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Tables.documents(spark, Sf).limit(0)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Tables.embeddings(spark, Sf).limit(0)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // no edges → no vertices → empty curves/rankings, not crashes
+    assert(graph.Centrality.g27NeighborhoodFunction(spark, d).count() == 0)
+    assert(graph.Centrality.g28LandmarkHarmonic(spark, d).count() == 0)
+    assert(graph.Centrality.g29Modularity(spark, d).count() == 0)
+    // HyperBall on zero vertices: the per-round global sums have nothing
+    // to fold — whatever the row count, no radius may claim a positive
+    // ball and nothing may throw (ANSI mode: the avg division must not
+    // be reached with nv=0 on a non-null estimate)
+    val hb = graph.Centrality.g27bHyperball(spark, d).collect()
+    assert(hb.forall(r => r.isNullAt(1) || r.getLong(1) == 0L))
+    // audit + miner on empty inputs
+    assert(operators.Dedup.c14LeakageAudit(spark, d).count() == 0)
+    assert(operators.Similarity.v15HardNegatives(spark, d).count() == 0)
+  }
+
   test("c12 percentiles skip NULL n_tokens; v13 recall never exceeds 1.0") {
     // doc 0 has NULL text → NULL n_tokens: it must count in n_docs but
     // stay OUT of the token-length histogram (Spark orders NULLS FIRST,
