@@ -49,15 +49,22 @@ object Centrality {
   /** BFS depth for g28 landmark distances. */
   val LandmarkHops = 3
 
-  /** HLL precision for g27b: 2^9 = 512 registers per vertex sketch
-    * (~4.6% relative standard error once past the exact sparse range —
-    * ample for a diameter curve, and Round9bSpec's 15% gate). Every
-    * round moves one sketch per EDGE through the union aggregation, so
-    * sketch bytes multiply directly into shuffle/CPU: lgK 12 → 9 cut
-    * the sf0.1 wall time ~2× with no measured estimate change at test
-    * scales (ball sizes there sit in the sparse-exact range).
+  /** HLL precision for g27b. Every round moves one sketch per EDGE
+    * through the union aggregation, so sketch bytes multiply directly
+    * into shuffle/CPU — lgK 9 measured ~2× faster than 12 at sf0.1.
+    * The default stays 12 anyway, for DETERMINISM UNDER RETRY: a
+    * DataSketches HLL is only merge-order-insensitive while it stays in
+    * the exact sparse (coupon) range or is fully dense; the sparse→dense
+    * PROMOTION point is order-dependent, so an executor-loss task retry
+    * can flip an estimate near the boundary (FaultDrill caught exactly
+    * this at lgK=9, where the boundary sits inside test-scale ball
+    * sizes; at lgK=12 every certification SF's balls — ≤1500 — stay
+    * sparse-exact, and the drill passes with bit-equal output). At
+    * production scale estimates cross the boundary whatever lgK is:
+    * treat N(r) as the approximate statistic it is, and lower lgK for
+    * speed when a few-percent retry variance is acceptable.
     */
-  val HyperBallLgK = 9
+  val HyperBallLgK = 12
 
   /** Distinct vertex set of the (symmetric) directed edge relation —
     * src side suffices because both orientations are materialized.
