@@ -101,6 +101,7 @@ object SparkEntry {
     // definitional quadratics, not headlined: its pair table is Σ|B(u,r)|
     // by construction — g27b, its bounded-state twin, IS in-list
     "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity",
-    "c14_leakage_audit", "v15_hard_negatives"
+    "c14_leakage_audit", "v15_hard_negatives",
+    "g14b_lpa_capped", "g29b_modularity_capped"
   ).filter(queries.contains)
 }

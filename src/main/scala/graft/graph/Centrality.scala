@@ -290,9 +290,25 @@ object Centrality {
     * friendly label joins + three keyed aggregations, no iteration
     * beyond what g14 already does.
     */
-  def g29Modularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = CoGraph.edges(s, dir).tracked
-    val labels = Components.labelPropagation(s, dir).tracked
+  def g29Modularity(s: SparkSession, dir: String): DataFrame =
+    modularityOf(s, dir, capped = false)
+
+  /** g29b — [[g29Modularity]] with BOTH the community detection and the
+    * scored edge relation on the bucket-capped build: the full
+    * "communities + how modular are they" readout whose per-iteration
+    * and scoring costs are bounded a priori (g29's sf1 slope is g14's
+    * own 23×; g14b/g29b close it the way g06b closed g06). Where the
+    * cap does not bind, bit-identical to g29 (Round9bSpec).
+    */
+  def g29bModularityCapped(s: SparkSession, dir: String): DataFrame =
+    modularityOf(s, dir, capped = true)
+
+  private def modularityOf(s: SparkSession, dir: String,
+      capped: Boolean): DataFrame = {
+    val edges =
+      (if (capped) CoGraph.cappedEdges(s, dir) else CoGraph.edges(s, dir))
+        .tracked
+    val labels = Components.labelPropagation(s, dir, capped = capped).tracked
     val m = edges.agg(count(lit(1)).as("m"))
     val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
     val degc = deg.alias("d")
@@ -321,8 +337,14 @@ object Centrality {
   }
 
   /** DuckDB mirror of [[g29Modularity]] — composes the g14 LPA CTE. */
-  val g29Sql: String =
-    s"""WITH ${Components.lpaCte()},
+  val g29Sql: String = modularitySql(Components.lpaCte())
+
+  /** g29b's mirror — the same statement over the capped LPA chain. */
+  val g29bSql: String =
+    modularitySql(Components.lpaCte(edgesCte = CoGraph.cappedEdgesCte()))
+
+  private def modularitySql(lpaCte: String): String =
+    s"""WITH $lpaCte,
        |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
        |m AS (SELECT count(*) AS m FROM edges),
        |degc AS (

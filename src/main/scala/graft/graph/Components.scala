@@ -325,8 +325,10 @@ object Components {
     * cuts it per step exactly like the PR loop.
     */
   def labelPropagation(s: SparkSession, dir: String,
-      iterations: Int = LpaIterations): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
+      iterations: Int = LpaIterations, capped: Boolean = false): DataFrame = {
+    val rawEdges =
+      if (capped) CoGraph.cappedEdges(s, dir) else CoGraph.edges(s, dir)
+    val edges = rawEdges.repartition(col("src")).tracked
     var labels = vertices(s, dir).select(col("id"), col("id").as("label"))
     for (_ <- 1 to iterations) {
       val counted = edges.alias("e")
@@ -349,6 +351,16 @@ object Components {
   /** g14 query — deterministic (id, label) listing. */
   def lpaQ(s: SparkSession, dir: String): DataFrame =
     labelPropagation(s, dir).orderBy(col("id"))
+
+  /** g14b — [[lpaQ]] over the bucket-capped edge set: the iterative
+    * family's last member gains its scale twin (g06b/g16b/g08b pattern).
+    * Each superstep's join cost is bounded at buckets·cap·(cap−1) edges
+    * a priori, so the ×103 sf1 edge densification cannot reach the loop;
+    * where the cap does not bind the output is bit-identical to g14
+    * (Round9bSpec).
+    */
+  def g14bLpaCapped(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(s, dir, capped = true).orderBy(col("id"))
 
   /** Core order for [[kcore]]. */
   val KcoreK = 2
@@ -441,11 +453,20 @@ object Components {
   val lpaQSql: String =
     s"WITH ${lpaCte()} SELECT id, label FROM labels ORDER BY id"
 
+  /** g14b's mirror — the identical unrolled chain over the capped edge
+    * CTE. */
+  val g14bSql: String =
+    s"WITH ${lpaCte(edgesCte = CoGraph.cappedEdgesCte())} " +
+      "SELECT id, label FROM labels ORDER BY id"
+
   /** The g14 LPA unrolled-iteration CTE chain, reusable by downstream
     * oracles (g29 modularity composes it): ends in a `labels(id, label)`
-    * CTE holding the round-`iterations` partition.
+    * CTE holding the round-`iterations` partition. `edgesCte`
+    * parameterizes the edge relation (uncapped default; g14b/g29b pass
+    * the bucket-capped build), mirroring how `graphxSql` handles g08b.
     */
-  def lpaCte(iterations: Int = LpaIterations): String = {
+  def lpaCte(iterations: Int = LpaIterations,
+      edgesCte: String = CoGraph.edgesCte): String = {
     val steps = (1 to iterations).map { i =>
       s"""cnt$i AS (
          |  SELECT e.dst AS id, l.label, count(*) AS c
@@ -459,7 +480,7 @@ object Components {
          |  SELECT l.id, coalesce(p.label, l.label) AS label
          |  FROM lab${i - 1} l LEFT JOIN pick$i p ON l.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""${CoGraph.edgesCte},
+    s"""$edgesCte,
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |lab0 AS (SELECT id, id AS label FROM vertices),
        |$steps,

@@ -24,6 +24,7 @@ object GraphQueries {
     "g12_triangles" -> (Components.triangles _),
     "g13_fraud_distance" -> (Components.fraudDistance _),
     "g14_label_propagation" -> (Components.lpaQ _),
+    "g14b_lpa_capped" -> (Components.g14bLpaCapped _),
     "g15_kcore" -> (Components.kcoreQ _),
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
     "g16b_ppr_capped" -> ((s: SparkSession, d: String) =>
@@ -41,7 +42,8 @@ object GraphQueries {
     "g27_neighborhood_function" -> (Centrality.g27NeighborhoodFunction _),
     "g27b_hyperball" -> (Centrality.g27bHyperball _),
     "g28_landmark_harmonic" -> (Centrality.g28LandmarkHarmonic _),
-    "g29_modularity" -> (Centrality.g29Modularity _)
+    "g29_modularity" -> (Centrality.g29Modularity _),
+    "g29b_modularity_capped" -> (Centrality.g29bModularityCapped _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,6 +68,7 @@ object GraphQueries {
     "g12_triangles" -> Components.trianglesSql,
     "g13_fraud_distance" -> Components.fraudDistanceSql,
     "g14_label_propagation" -> Components.lpaQSql,
+    "g14b_lpa_capped" -> Components.g14bSql,
     "g15_kcore" -> Components.kcoreQSql,
     "g16_personalized_pagerank" -> PageRankOps.pprSql(),
     "g16b_ppr_capped" -> PageRankOps.pprSql(
@@ -81,6 +84,7 @@ object GraphQueries {
     // rows-only at the driver; Round9bSpec pins its error against exact g27
     "g27_neighborhood_function" -> Centrality.g27Sql,
     "g28_landmark_harmonic" -> Centrality.g28Sql,
-    "g29_modularity" -> Centrality.g29Sql
+    "g29_modularity" -> Centrality.g29Sql,
+    "g29b_modularity_capped" -> Centrality.g29bSql
   )
 }

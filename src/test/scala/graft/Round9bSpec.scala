@@ -62,6 +62,15 @@ class Round9bSpec extends AnyFunSuite with SparkTestSession {
     assert(hx.sliding(2).forall(w => w(0) >= w(1)), "must be sorted by harmonic_x6 desc")
   }
 
+  test("g14b == g14 and g29b == g29 where the bucket cap does not bind (sf0.001: max bucket 3)") {
+    val lpa = graph.Components.lpaQ(spark, Sf)
+    val lpab = graph.Components.g14bLpaCapped(spark, Sf)
+    assert(lpab.exceptAll(lpa).isEmpty && lpa.exceptAll(lpab).isEmpty)
+    val q29 = graph.Centrality.g29Modularity(spark, Sf)
+    val q29b = graph.Centrality.g29bModularityCapped(spark, Sf)
+    assert(q29b.exceptAll(q29).isEmpty && q29.exceptAll(q29b).isEmpty)
+  }
+
   test("g29 modularity masses are conserved: sum(degree_sum)=M, internal<=M, Q in [-0.5, 1]") {
     val out = graph.Centrality.g29Modularity(spark, Sf).collect()
     val m = graph.CoGraph.edges(spark, Sf).count()
