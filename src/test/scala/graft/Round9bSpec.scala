@@ -62,6 +62,37 @@ class Round9bSpec extends AnyFunSuite with SparkTestSession {
     assert(hx.sliding(2).forall(w => w(0) >= w(1)), "must be sorted by harmonic_x6 desc")
   }
 
+  test("g28 harmonic matches an independent in-memory BFS recompute at sf0.01") {
+    // third derivation path: neither Spark's iterative min-merge nor the
+    // DuckDB recursive CTE — a plain scala.collection BFS on the collected
+    // capped edge list, folded with the same CASE-lcm integer weights
+    val edges = graph.CoGraph.cappedEdges(spark, SfMid).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val verts = edges.map(_._1).distinct.sorted
+    val landmarks = verts.take(graph.Centrality.LandmarkK)
+    val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+      .withDefaultValue((0L, 0L)) // id -> (reached, harmonic_x6)
+    for (lm <- landmarks) {
+      val dist = scala.collection.mutable.Map(lm -> 0)
+      var frontier = Seq(lm)
+      for (h <- 1 to graph.Centrality.LandmarkHops) {
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = h)
+      }
+      for ((v, h) <- dist if h > 0) {
+        val (rc, hx) = expect(v)
+        expect(v) = (rc + 1, hx + (if (h == 1) 6 else if (h == 2) 3 else 2))
+      }
+    }
+    val got = graph.Centrality.g28LandmarkHarmonic(spark, SfMid).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == verts.toSet)
+    for (v <- verts)
+      assert(got(v) == expect(v), s"vertex $v: engine ${got(v)} vs BFS ${expect(v)}")
+  }
+
   test("g14b == g14 and g29b == g29 where the bucket cap does not bind (sf0.001: max bucket 3)") {
     val lpa = graph.Components.lpaQ(spark, Sf)
     val lpab = graph.Components.g14bLpaCapped(spark, Sf)
