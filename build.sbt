@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate parses the headline JSON from a bounded stdout
+// tail of `sbt runMain graft.Bench`. Two pieces of sbt decoration broke
+// that parse in rounds 7-9 (BENCH_r*.json `parsed: null`): the forked
+// process's output is re-logged with an `[info] ` prefix, and sbt appends
+// a `[success] Total time: ...` banner AFTER the JSON line. StdoutOutput
+// inherits the forked process's stdout verbatim (no prefix), and
+// showSuccess=false drops the banner, so the bare JSON is genuinely the
+// last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by another setting —
+// exclude it from the unused-key lint so the warning doesn't precede
+// every batch invocation's output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

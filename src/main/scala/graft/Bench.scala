@@ -124,7 +124,11 @@ object Bench {
         }
         sb.append("}}").toString
       }
-    println(stdoutLine)
+    // stop() BEFORE the headline print: Spark's shutdown can log to the
+    // console appender, and the driver's tail parser wants the JSON as
+    // the absolute last line of output (build.sbt strips sbt's own
+    // decoration around it — see `run / outputStrategy`).
     spark.stop()
+    println(stdoutLine)
   }
 }

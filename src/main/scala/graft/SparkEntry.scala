@@ -44,13 +44,28 @@ object SparkEntry {
       operators.LmOps.oracles ++ operators.DriftOps.oracles ++
       plans.GroupedTopK.oracles
 
-  /** Subset run by [[Bench]] per round (headline queries; the relational
-    * core, the iterative PageRank loop — baseline 22.5 s in the reference —
-    * and one representative of each training-data pipeline family).
-    * q20 (native recursive CTE) is oracle-gated but NOT benched: it is a
-    * feature certification whose cost is iteration-count-bound (max chain
-    * length × per-step join), not a scale-path operator. */
+  /** Subset run by [[Bench]] per round (headline queries).
+    *
+    * SELECTION RULE (also in SCALE.md "Headline selection"): a registered
+    * query is headlined iff it is (a) a §2 reference-parity core operator
+    * (the g01–g05 graph chain, the q-core, the mart pipeline's q14), OR
+    * (b) the cheapest representative of a training-data-pipeline family
+    * whose plan shape differs from anything already in-list, OR (c) a
+    * scale twin whose uncapped sibling is in-list (the Xb pairs measure
+    * the cap's cost every round). Excluded, with the reason recorded
+    * here: q20 (native recursive CTEs — feature certification, cost is
+    * chain-length-bound, not a scale-path operator), g27 (exact
+    * neighborhood function — definitional Σ|B(u,r)| pair table; its
+    * bounded-state twin g27b IS in-list), d10/g20's exhaustive ground
+    * truths (their sampled/capped twins are in-list), and display-only /
+    * fixture-bound ops (show, golden-CSV, JDBC round-trip — spec-timed,
+    * not bench-timed). Everything else registered is correctness-gated
+    * but intentionally not benched: timing 222 queries per round would
+    * dilute the signal the round-over-round diff reads. */
   def headline: Seq[String] = Seq(
+    "g01_cooccurrence_edges", "g02_degrees", "g03_connected_components",
+    "g04_component_stats", "g05_weighted_edges",
+    "q02_class_distribution", "q04_null_audit",
     "q01_price_histogram_2d", "q03_multi_agg_stats", "q05_conditional_agg",
     "q06_top_fraud_amounts", "q09_distinct_parts",
     "q10_join_revenue_per_nation", "q11_left_join_coalesce",
@@ -102,6 +117,8 @@ object SparkEntry {
     // by construction — g27b, its bounded-state twin, IS in-list
     "g27b_hyperball", "g28_landmark_harmonic", "g29_modularity",
     "c14_leakage_audit", "v15_hard_negatives",
-    "g14b_lpa_capped", "g29b_modularity_capped"
+    "g14b_lpa_capped", "g29b_modularity_capped",
+    "g15b_kcore_capped", "g17b_cost_distance_capped",
+    "g26b_degree_distribution_capped", "g21b_assortativity_capped"
   ).filter(queries.contains)
 }

@@ -289,6 +289,14 @@ object Centrality {
     * bit-identical across engines at round(…, 6). Shape: two broadcast-
     * friendly label joins + three keyed aggregations, no iteration
     * beyond what g14 already does.
+    *
+    * Coverage note: only communities with degree mass are emitted — deg
+    * is built from edge endpoints and inner-joined to the labels, so a
+    * community whose members all have zero degree (possible only if the
+    * vertex universe outgrew the edge relation; never on this graph,
+    * where vertices ARE edge endpoints) would not appear. Its Q_c is 0
+    * by definition, so Σ_c Q_c is unaffected; the DuckDB mirror shares
+    * the convention.
     */
   def g29Modularity(s: SparkSession, dir: String): DataFrame =
     modularityOf(s, dir, capped = false)

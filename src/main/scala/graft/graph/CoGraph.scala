@@ -143,9 +143,29 @@ object CoGraph {
     * Scale: degrees is one union+groupBy; the histogram is ≤ max-degree
     * rows; the window and ratio run over that bounded table only.
     */
-  def g26DegreeDistribution(s: SparkSession, dir: String): DataFrame = {
+  def g26DegreeDistribution(s: SparkSession, dir: String): DataFrame =
+    degreeDistributionOf(s, dir, capped = false)
+
+  /** g26b — [[g26DegreeDistribution]] over the bucket-capped edge set:
+    * the statistic itself is histogram-bounded, but its input scan is the
+    * densified edge build (sf1 slope 59.6×, `BENCH_sf1_r9b.json`), so the
+    * capped twin is what a 100 TB pipeline actually runs as its
+    * partitioning-strategy screen — hub detection under the same cap the
+    * downstream per-neighbor joins (g22) use. Where the cap does not bind,
+    * bit-identical to g26 (Round10Spec).
+    */
+  def g26bCappedDegreeDistribution(s: SparkSession, dir: String): DataFrame =
+    degreeDistributionOf(s, dir, capped = true)
+
+  private def degreeDistributionOf(s: SparkSession, dir: String,
+      capped: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = degrees(s, dir)
+    val e = if (capped) cappedEdges(s, dir) else edges(s, dir)
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+    val hist = deg
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
     val wTail = Window.orderBy(col("degree").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -161,7 +181,12 @@ object CoGraph {
       .orderBy("degree")
   }
 
-  val g26Sql: String =
+  val g26Sql: String = g26SqlOf(edgesCte)
+
+  /** g26b's mirror — the identical statement over the capped edge CTE. */
+  val g26bSql: String = g26SqlOf(cappedEdgesCte())
+
+  private def g26SqlOf(edgesCte: String): String =
     s"""WITH $edgesCte,
        |deg AS (
        |  SELECT id, CAST(count(*) AS BIGINT) AS degree
@@ -191,8 +216,23 @@ object CoGraph {
     * realistic vertex cardinality; the heavy side shuffles once on
     * (src, dst).
     */
-  def weightedEdges(s: SparkSession, dir: String): DataFrame = {
-    val edgeAmount = weightedEdgesRaw(s, dir)
+  def weightedEdges(s: SparkSession, dir: String): DataFrame =
+    weightedEdgesOn(hourValue(s, dir))
+
+  /** [[weightedEdges]] over the bucket-capped (hour, user) activity —
+    * the rounded-amount edge relation g17b's Bellman–Ford twin runs on.
+    * The cap is applied to the per-hour value rows BEFORE the self-join
+    * (exactly [[cappedNormalizedWeights]]' move), bounding the quadratic
+    * term at cap² per bucket a priori; where no bucket exceeds `cap` the
+    * output equals [[weightedEdges]] bit-for-bit (Round10Spec).
+    */
+  def cappedWeightedEdges(s: SparkSession, dir: String,
+      cap: Int = NeighborAgg.BucketCap): DataFrame =
+    weightedEdgesOn(
+      NeighborAgg.keepMinK(hourValue(s, dir), "hour_epoch", "user_id", cap))
+
+  private def weightedEdgesOn(hv: DataFrame): DataFrame = {
+    val edgeAmount = weightedEdgesRawOn(hv)
     val totals = edgeAmount.groupBy(col("src"))
       .agg(sum(col("amount")).as("total_out"))
     edgeAmount.join(totals, "src")

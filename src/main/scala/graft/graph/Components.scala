@@ -262,8 +262,11 @@ object Components {
     * per-vertex min with map-side partial aggregation, lineage cut per
     * round. Rounds are fixed, not data-dependent.
     */
-  def fraudCostDistance(s: SparkSession, dir: String): DataFrame = {
-    val edges = CoGraph.weightedEdges(s, dir)
+  def fraudCostDistance(s: SparkSession, dir: String,
+      capped: Boolean = false): DataFrame = {
+    val wEdges = if (capped) CoGraph.cappedWeightedEdges(s, dir)
+                 else CoGraph.weightedEdges(s, dir)
+    val edges = wEdges
       .select(col("src"), col("dst"),
         round(col("amount") * 100).cast("long").as("cost"))
       .repartition(col("src")).tracked
@@ -280,7 +283,20 @@ object Components {
     dist.orderBy("cost", "id")
   }
 
-  val fraudCostDistanceSql: String = {
+  /** g17b — [[fraudCostDistance]] over the bucket-capped weighted edges:
+    * the Bellman–Ford loop's scale twin (g06b/g15b pattern). The cap
+    * bounds the per-round relaxation join's edge side at
+    * buckets·cap·(cap−1) rows a priori (uncapped g17 slope: 14.9×,
+    * `BENCH_sf1_r9b.json`); where the cap does not bind the output is
+    * bit-identical to g17 (Round10Spec).
+    */
+  def g17bCostDistanceCapped(s: SparkSession, dir: String): DataFrame =
+    fraudCostDistance(s, dir, capped = true)
+
+  /** g17's unrolled mirror; `weightsCte` parameterizes the weighted-edge
+    * relation (g17b passes the bucket-capped build), the g16b pattern.
+    */
+  def fraudCostDistanceSqlOf(weightsCte: String): String = {
     val steps = (1 to CostHops).map { k =>
       s"""d$k AS (
          |  SELECT id, min(cost) AS cost FROM (
@@ -290,7 +306,7 @@ object Components {
          |    FROM d${k - 1} d JOIN wedges e ON d.id = e.src)
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${CoGraph.weightsCte},
+    s"""WITH $weightsCte,
        |wedges AS (
        |  SELECT src, dst,
        |         CAST(round(round(amount, 2) * 100) AS BIGINT) AS cost
@@ -300,6 +316,14 @@ object Components {
        |$steps
        |SELECT id, cost FROM d$CostHops ORDER BY cost, id""".stripMargin
   }
+
+  val fraudCostDistanceSql: String =
+    fraudCostDistanceSqlOf(CoGraph.weightsCte)
+
+  /** g17b's mirror — the identical relaxation chain over the capped
+    * weight CTE. */
+  val g17bSql: String =
+    fraudCostDistanceSqlOf(CoGraph.cappedWeightsCte())
 
   /** Fixed superstep count for [[labelPropagation]]. */
   val LpaIterations = 3
@@ -401,8 +425,10 @@ object Components {
     * loop per k or switch to the GraphX Pregel spelling.
     */
   def kcore(s: SparkSession, dir: String, k: Int = KcoreK,
-      rounds: Int = KcoreRounds): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
+      rounds: Int = KcoreRounds, capped: Boolean = false): DataFrame = {
+    val rawEdges =
+      if (capped) CoGraph.cappedEdges(s, dir) else CoGraph.edges(s, dir)
+    val edges = rawEdges.repartition(col("src")).tracked
     def survivors(alive: DataFrame): DataFrame = edges
       .join(alive.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(alive.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
@@ -423,10 +449,24 @@ object Components {
   /** g15 query. */
   def kcoreQ(s: SparkSession, dir: String): DataFrame = kcore(s, dir)
 
-  /** Unrolled DuckDB oracle: alive0..aliveN chained CTEs mirroring the
-    * synchronous peeling rounds op-for-op.
+  /** g15b — [[kcoreQ]] over the bucket-capped edge set: the synchronous
+    * peeling loop's scale twin (g06b/g14b pattern). Each round's
+    * degree-count input is bounded at buckets·cap·(cap−1) edges a priori,
+    * so sf1's ~103× edge densification cannot reach the per-round joins
+    * (uncapped g15 slope: 26.4×, `BENCH_sf1_r9b.json`); where the cap does
+    * not bind the output is bit-identical to g15 (Round10Spec).
     */
-  val kcoreQSql: String = {
+  def g15bKcoreCapped(s: SparkSession, dir: String): DataFrame =
+    kcore(s, dir, capped = true)
+
+  /** Unrolled DuckDB oracle: alive0..aliveN chained CTEs mirroring the
+    * synchronous peeling rounds op-for-op. `edgesCte` parameterizes the
+    * edge relation (g15b passes the bucket-capped build), the g08b/g14b
+    * mirror pattern. The vertex universe is all event users either way —
+    * capping trims edges, never the alive0 seed set (a vertex outside
+    * every surviving edge peels away in round 1 regardless).
+    */
+  def kcoreSql(edgesCte: String = CoGraph.edgesCte): String = {
     val steps = (1 to KcoreRounds).map { i =>
       s"""alive$i AS (
          |  SELECT e.src AS id FROM edges e
@@ -434,7 +474,7 @@ object Components {
          |  JOIN alive${i - 1} b ON e.dst = b.id
          |  GROUP BY 1 HAVING count(*) >= $KcoreK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${CoGraph.edgesCte},
+    s"""WITH $edgesCte,
        |vertices AS (SELECT DISTINCT user_id AS id FROM events),
        |alive0 AS (SELECT id FROM vertices),
        |$steps
@@ -445,6 +485,12 @@ object Components {
        |GROUP BY 1
        |ORDER BY core_deg DESC, id""".stripMargin
   }
+
+  val kcoreQSql: String = kcoreSql()
+
+  /** g15b's mirror — the identical unrolled peeling over the capped edge
+    * CTE. */
+  val g15bSql: String = kcoreSql(CoGraph.cappedEdgesCte())
 
   /** Unrolled DuckDB oracle: lab0..labN chained CTEs; the arg-min is the
     * window spelling (`ORDER BY c DESC, label`) — semantically identical

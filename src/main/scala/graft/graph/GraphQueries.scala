@@ -29,7 +29,13 @@ object GraphQueries {
     "g16_personalized_pagerank" -> (PageRankOps.personalizedPageRank(_, _)),
     "g16b_ppr_capped" -> ((s: SparkSession, d: String) =>
       PageRankOps.g16bCappedPpr(s, d)),
-    "g17_fraud_cost_distance" -> (Components.fraudCostDistance _),
+    "g17_fraud_cost_distance" -> ((s: SparkSession, d: String) =>
+      Components.fraudCostDistance(s, d)),
+    "g17b_cost_distance_capped" -> (Components.g17bCostDistanceCapped _),
+    "g15b_kcore_capped" -> (Components.g15bKcoreCapped _),
+    "g26b_degree_distribution_capped" ->
+      (CoGraph.g26bCappedDegreeDistribution _),
+    "g21b_assortativity_capped" -> (NeighborAgg.g21bCappedAssortativity _),
     "g18_hits" -> (PageRankOps.g18Hits _),
     "g19_neighbor_features" -> (NeighborAgg.g19NeighborFeatures _),
     "g20_clustering_coeff" -> (NeighborAgg.g20ClusteringCoeff _),
@@ -74,6 +80,10 @@ object GraphQueries {
     "g16b_ppr_capped" -> PageRankOps.pprSql(
       weightsCte = CoGraph.cappedWeightsCte()),
     "g17_fraud_cost_distance" -> Components.fraudCostDistanceSql,
+    "g17b_cost_distance_capped" -> Components.g17bSql,
+    "g15b_kcore_capped" -> Components.g15bSql,
+    "g26b_degree_distribution_capped" -> CoGraph.g26bSql,
+    "g21b_assortativity_capped" -> NeighborAgg.g21bSql,
     "g18_hits" -> PageRankOps.g18Sql,
     "g19_neighbor_features" -> NeighborAgg.g19Sql,
     "g20_clustering_coeff" -> NeighborAgg.g20Sql,

@@ -338,8 +338,23 @@ object NeighborAgg {
     * two-pass standardized form (subtract means first) — documented, not
     * needed at any realistic fraud-graph size.
     */
-  def g21Assortativity(s: SparkSession, dir: String): DataFrame = {
-    val e = CoGraph.edges(s, dir).tracked
+  def g21Assortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOf(s, dir, capped = false)
+
+  /** g21b — [[g21Assortativity]] over the bucket-capped edge set: the
+    * moment aggregation is one scan, but that scan is the densified edge
+    * build itself (sf1 slope 32.9×, `BENCH_sf1_r9b.json`), so the capped
+    * twin is the screen a 100 TB pipeline can afford to run — mixing
+    * structure under the same cap its per-neighbor joins use. Where the
+    * cap does not bind, bit-identical to g21 (Round10Spec).
+    */
+  def g21bCappedAssortativity(s: SparkSession, dir: String): DataFrame =
+    assortativityOf(s, dir, capped = true)
+
+  private def assortativityOf(s: SparkSession, dir: String,
+      capped: Boolean): DataFrame = {
+    val e = (if (capped) CoGraph.cappedEdges(s, dir)
+             else CoGraph.edges(s, dir)).tracked
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("d"))
     // the degree table is ∝ |V| — vertex-bounded but unbounded in V, so
@@ -368,8 +383,13 @@ object NeighborAgg {
         6).as("assortativity"))
   }
 
-  val g21Sql: String =
-    s"""WITH ${CoGraph.edgesCte},
+  val g21Sql: String = g21SqlOf(CoGraph.edgesCte)
+
+  /** g21b's mirror — the identical statement over the capped edge CTE. */
+  val g21bSql: String = g21SqlOf(CoGraph.cappedEdgesCte())
+
+  private def g21SqlOf(edgesCte: String): String =
+    s"""WITH $edgesCte,
        |deg AS (
        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS d
        |  FROM edges GROUP BY 1),

@@ -875,8 +875,9 @@ object Dedup {
        |  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs,
        |  CAST(sum((n * n - sq) // 2) AS BIGINT) AS leak_pairs,
        |  CASE WHEN sum(n * (n - 1) // 2) = 0 THEN 0.0
-       |       ELSE round(CAST(sum((n * n - sq) // 2) AS DOUBLE)
-       |                  / CAST(sum(n * (n - 1) // 2) AS DOUBLE), 6)
+       |       ELSE ${rSql(
+              "CAST(sum((n * n - sq) // 2) AS DOUBLE)" +
+                " / CAST(sum(n * (n - 1) // 2) AS DOUBLE)", 6)}
        |  END AS leak_rate
        |FROM per GROUP BY scheme ORDER BY scheme""".stripMargin
   }
