@@ -49,7 +49,10 @@ object FaultDrill {
           // round-9 iterative additions: sketch-state HyperBall and the
           // landmark BFS — both Cut-per-round loops whose truncated
           // lineage only survives executor loss under reliable checkpoint
-          "g27b_hyperball", "g28_landmark_harmonic")
+          "g27b_hyperball", "g28_landmark_harmonic",
+          // round-10 iterative twins: capped k-core peeling and capped
+          // Bellman-Ford — the same Cut-per-round shape
+          "g15b_kcore_capped", "g17b_cost_distance_capped")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")
