@@ -492,6 +492,166 @@ object Components {
     * CTE. */
   val g15bSql: String = kcoreSql(CoGraph.cappedEdgesCte())
 
+  /** Truss order for [[ktruss]]: every surviving edge must sit in
+    * ≥ TrussK−2 triangles within the surviving subgraph. */
+  val TrussK = 4
+  /** Fixed peeling rounds — fixpoint is reached within 3 rounds at all
+    * certification SFs (measured: 3/2/1 rounds at sf0.001/0.01/0.1);
+    * extra rounds past the fixpoint are no-ops, keeping the Spark loop
+    * and the unrolled oracle identical (the [[KcoreRounds]] discipline).
+    */
+  val TrussRounds = 3
+  /** Round budget for the fan-out-capped arm (g30b): the sparser mutual
+    * relation peels DEEPER — measured fixpoint at 5 rounds (incl. the
+    * confirming no-op) at sf0.01/sf0.1/sf1, vs 3 on the bucket-capped
+    * relation — so its budget is 6 (measured depth + one margin round).
+    */
+  val TrussFanoutRounds = 6
+
+  /** g30 — k-truss decomposition (Cohen 2008, public formula): the
+    * k-core's edge-centric, stricter sibling. Repeatedly delete edges
+    * whose SUPPORT (triangles through the edge within the surviving
+    * subgraph) is < k−2; what survives is the maximal subgraph where
+    * every edge is embedded in ≥ k−2 mutual triangles. For fraud triage
+    * this is the tightest structural screen in the family: a k-core
+    * hub can be a star center with no mutual structure, but a truss
+    * edge is two parties plus ≥ k−2 mutual counterparties — collusion
+    * triangles, not incidental co-activity.
+    *
+    * Defined over the bucket-capped CANONICAL edge set (src < dst — the
+    * undirected reading of the symmetric co-occurrence relation), the
+    * g27/g28 convention: the capped build is the production object, so
+    * the triangle enumeration's cost is bounded a priori by the capped
+    * ceiling (buckets·cap·(cap−1)/2 canonical edges, frozen past
+    * saturation). Determinism: synchronous peeling over a SET of edges
+    * — no tie order exists, so the unrolled-CTE oracle is definitional.
+    *
+    * Scale: per round ONE triangle enumeration (two broadcast joins of
+    * the surviving edge set — see the in-body plan notes) plus one
+    * count-groupBy over the exploded triangle sides; the reported
+    * support is the last round's (definitionally mirrored; equal to the
+    * final-truss support at the fixpoint). `localCheckpoint` cuts
+    * lineage per round. Round count is fixed; Round10Spec verifies the
+    * fixpoint is reached within the budget at test scale AND every
+    * reported support ≥ k−2.
+    */
+  def ktruss(s: SparkSession, dir: String, k: Int = TrussK,
+      rounds: Int = TrussRounds, fanoutCapped: Boolean = false): DataFrame = {
+    val t = k - 2
+    // Two deliberate plan moves, both measured at sf0.1:
+    // (1) The canonical capped edge set is ≤ buckets·cap·(cap−1)/2 rows
+    //     BY CONSTRUCTION (1.45M ≈ 23 MB at the 720-bucket/64-cap
+    //     defaults, frozen past saturation) — broadcasting the two probe
+    //     sides of the triangle join is scale-safe a priori, and
+    //     necessary: the post-checkpoint relation carries no size
+    //     statistics, so the planner would otherwise run three
+    //     sort-merge cascades per round (37 s → 27 s for the query).
+    // (2) Each triangle is EXPLODED into its three member edges in one
+    //     projection instead of a 3-branch unionAll — Spark does not
+    //     share a subplan across union branches, so the union spelling
+    //     re-ran the whole triangle join three times per round
+    //     (measured: the union support pass cost 8.5 s vs 2.9 s for the
+    //     enumeration itself; 27 s → 11 s for the query).
+    def supportOf(und: DataFrame): DataFrame =
+      und.alias("ab")
+        .join(broadcast(und.alias("bc")), col("ab.dst") === col("bc.src"))
+        .join(broadcast(und.alias("ac")),
+          col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+        .select(explode(array(
+          struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
+          struct(col("ab.dst").as("src"), col("bc.dst").as("dst")),
+          struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("support"))
+    val base =
+      if (fanoutCapped) NeighborAgg.fanoutUnd(s, dir)
+      else CoGraph.cappedEdges(s, dir)
+        .filter(col("src") < col("dst")).select("src", "dst")
+    var und = base.repartition(col("src")).tracked
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // inner join drops zero-support edges (absent from the count) —
+      // exactly the threshold semantics for t >= 1
+      kept = und.join(supportOf(und), Seq("src", "dst"))
+        .filter(col("support") >= t)
+        .transform(graft.Cut.cut)
+      und = kept.select("src", "dst")
+    }
+    // Reported support is the LAST round's — measured on the pre-filter
+    // iterate, exactly what the mirror's sup$N computes. At the fixpoint
+    // (Round10Spec verifies it is reached within the round budget) the
+    // final two iterates are equal, so this IS the support within the
+    // final truss — without paying a fourth triangle enumeration.
+    kept.orderBy(col("support").desc, col("src"), col("dst"))
+  }
+
+  /** g30 query. */
+  def ktrussQ(s: SparkSession, dir: String): DataFrame = ktruss(s, dir)
+
+  /** g30b — [[ktruss]] over the fan-out-capped MUTUAL edge relation
+    * ([[NeighborAgg.fanoutUnd]], the g20b discipline): max degree ≤
+    * FanOut by construction, so each round's triangle enumeration is
+    * ≤ |V|·FanOut² a priori — the production arm for graphs whose
+    * capped co-occurrence relation densifies toward its ceiling (g30's
+    * own triangle count is edge-set-frozen past bucket saturation but
+    * the frozen absolute cost is a 74M-row enumeration per round at
+    * sf1; g30b's is ~1/20 of that). The d10/d10b split: g30 is the
+    * definitional answer, g30b is what the nightly pipeline runs.
+    */
+  def g30bKtrussFanout(s: SparkSession, dir: String): DataFrame =
+    ktruss(s, dir, rounds = TrussFanoutRounds, fanoutCapped = true)
+
+  /** Unrolled DuckDB mirror: und0..undN chained CTEs, each a triangle
+    * enumeration + per-edge support count + threshold filter — the
+    * synchronous peeling op-for-op.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs
+    * once PER REFERENCE, and each round references the previous und
+    * level four times (three in the triangle join, one in the filter),
+    * so a 3-round chain would expand the base `events` scan ~4^4 times —
+    * measured as an fd-exhaustion "Too many open files" on the parquet
+    * before any row moved. Materialization makes the oracle evaluate
+    * each level once, like the engine does.
+    */
+  val ktrussQSql: String = ktrussSql(
+    CoGraph.cappedEdgesCte(), "SELECT src, dst FROM edges WHERE src < dst",
+    TrussRounds)
+
+  /** g30b's mirror — the identical peeling chain over the fan-out-capped
+    * mutual relation, at its own (deeper) round budget. */
+  val g30bSql: String = ktrussSql(
+    NeighborAgg.fanoutUndCte, "SELECT src, dst FROM und", TrussFanoutRounds)
+
+  private def ktrussSql(baseCtes: String, und0Select: String,
+      rounds: Int): String = {
+    val t = TrussK - 2
+    def supCte(i: Int): String =
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+         |  FROM und${i - 1} ab
+         |  JOIN und${i - 1} bc ON ab.dst = bc.src
+         |  JOIN und${i - 1} ac ON ac.src = ab.src AND ac.dst = bc.dst),
+         |sup$i AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS support FROM (
+         |    SELECT x AS src, y AS dst FROM tri$i
+         |    UNION ALL SELECT y, z FROM tri$i
+         |    UNION ALL SELECT x, z FROM tri$i)
+         |  GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""${supCte(i)},
+         |und$i AS MATERIALIZED (
+         |  SELECT u.src, u.dst, s.support FROM und${i - 1} u
+         |  JOIN sup$i s ON u.src = s.src AND u.dst = s.dst
+         |  WHERE s.support >= $t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCtes,
+       |und0 AS MATERIALIZED ($und0Select),
+       |$steps
+       |SELECT src, dst, CAST(support AS BIGINT) AS support
+       |FROM und$rounds
+       |ORDER BY support DESC, src, dst""".stripMargin
+  }
+
   /** Unrolled DuckDB oracle: lab0..labN chained CTEs; the arg-min is the
     * window spelling (`ORDER BY c DESC, label`) — semantically identical
     * to the engine's `min(struct(-cnt, label))` hash aggregate.

@@ -49,7 +49,9 @@ object GraphQueries {
     "g27b_hyperball" -> (Centrality.g27bHyperball _),
     "g28_landmark_harmonic" -> (Centrality.g28LandmarkHarmonic _),
     "g29_modularity" -> (Centrality.g29Modularity _),
-    "g29b_modularity_capped" -> (Centrality.g29bModularityCapped _)
+    "g29b_modularity_capped" -> (Centrality.g29bModularityCapped _),
+    "g30_ktruss" -> (Components.ktrussQ _),
+    "g30b_ktruss_fanout" -> (Components.g30bKtrussFanout _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,6 +97,8 @@ object GraphQueries {
     "g27_neighborhood_function" -> Centrality.g27Sql,
     "g28_landmark_harmonic" -> Centrality.g28Sql,
     "g29_modularity" -> Centrality.g29Sql,
-    "g29b_modularity_capped" -> Centrality.g29bSql
+    "g29b_modularity_capped" -> Centrality.g29bSql,
+    "g30_ktruss" -> Components.ktrussQSql,
+    "g30b_ktruss_fanout" -> Components.g30bSql
   )
 }

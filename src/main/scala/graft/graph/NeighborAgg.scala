@@ -177,9 +177,11 @@ object NeighborAgg {
       .join(und.as("c"),
         col("c.src") === col("a.src") && col("c.dst") === col("b.dst"))
       .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
-    val triPerNode = tri.select(col("x").as("id"))
-      .unionAll(tri.select(col("y").as("id")))
-      .unionAll(tri.select(col("z").as("id")))
+    // explode, not 3-branch unionAll: Spark shares no subplan across
+    // union branches, so the union spelling re-runs the triangle join
+    // per branch (the g30 finding — 3x the dominant cost)
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree")) // symmetric+distinct: one row per neighbor
@@ -235,7 +237,14 @@ object NeighborAgg {
     * subgraph of g20's graph — per-node degree and triangle counts are
     * ≤ g20's (the consistency property NeighborAggSpec asserts).
     */
-  def g20bCappedClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+  /** The triangle-safe undirected edge relation g20b pioneered —
+    * bucket-capped co-activity, per-node fan-out capped at [[FanOut]]
+    * smallest neighbor ids, symmetrized by MUTUAL retention, canonical
+    * src < dst. Max degree ≤ FanOut BY CONSTRUCTION, so any triangle
+    * enumeration over it is ≤ |V|·FanOut² a priori. Shared by g20b and
+    * g30b (k-truss production arm). Caller tracks/caches.
+    */
+  private[graph] def fanoutUnd(s: SparkSession, dir: String): DataFrame = {
     val capped = keepMinK(CoGraph.activity(s, dir), "hour_epoch", "user_id",
       BucketCap)
     val edges0 = capped.as("a").join(capped.as("b"),
@@ -247,35 +256,18 @@ object NeighborAgg {
     // mutual symmetrization: self-join on the reversed pair, canonical
     // orientation src<dst — a co-partitioned equi-join (both sides hash
     // on the edge key), no new shuffle shape beyond the cap stages
-    val und = dirE.as("e").join(dirE.as("r"),
+    dirE.as("e").join(dirE.as("r"),
         col("r.src") === col("e.dst") && col("r.dst") === col("e.src"))
       .filter(col("e.src") < col("e.dst"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .tracked
-    val tri = und.as("a")
-      .join(und.as("b"), col("b.src") === col("a.dst"))
-      .join(und.as("c"),
-        col("c.src") === col("a.src") && col("c.dst") === col("b.dst"))
-      .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
-    val triPerNode = tri.select(col("x").as("id"))
-      .unionAll(tri.select(col("y").as("id")))
-      .unionAll(tri.select(col("z").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-    val deg = und.select(col("src").as("id"))
-      .unionAll(und.select(col("dst").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    deg.filter(col("degree") >= 2)
-      .join(triPerNode, Seq("id"), "left")
-      .select(col("id"), col("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        Det.r((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double")
-          / (col("degree") * (col("degree") - 1)).cast("double"), 6)
-          .as("lcc"))
-      .orderBy(col("id"))
   }
 
-  val g20bSql: String =
-    s"""WITH activity AS (
+  /** [[fanoutUnd]]'s DuckDB mirror — CTE chain ending in
+    * `und(src, dst)`; row_number is exactly keepMinK's deterministic
+    * keep-smallest order.
+    */
+  private[graph] val fanoutUndCte: String =
+    s"""activity AS (
        |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        |         user_id
        |  FROM events WHERE event_type = 'error'),
@@ -295,7 +287,36 @@ object NeighborAgg {
        |und AS (
        |  SELECT e.src, e.dst FROM dir_e e
        |  JOIN dir_e r ON r.src = e.dst AND r.dst = e.src
-       |  WHERE e.src < e.dst),
+       |  WHERE e.src < e.dst)""".stripMargin
+
+  def g20bCappedClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val und = fanoutUnd(s, dir).tracked
+    val tri = und.as("a")
+      .join(und.as("b"), col("b.src") === col("a.dst"))
+      .join(und.as("c"),
+        col("c.src") === col("a.src") && col("c.dst") === col("b.dst"))
+      .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+    // explode, not 3-branch unionAll: Spark shares no subplan across
+    // union branches, so the union spelling re-runs the triangle join
+    // per branch (the g30 finding — 3x the dominant cost)
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        Det.r((coalesce(col("n_triangles"), lit(0L)) * 2).cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6)
+          .as("lcc"))
+      .orderBy(col("id"))
+  }
+
+  val g20bSql: String =
+    s"""WITH $fanoutUndCte,
        |tri AS (
        |  SELECT a.src AS x, a.dst AS y, b.dst AS z
        |  FROM und a
