@@ -52,7 +52,9 @@ object FaultDrill {
           "g27b_hyperball", "g28_landmark_harmonic",
           // round-10 iterative twins: capped k-core peeling and capped
           // Bellman-Ford — the same Cut-per-round shape
-          "g15b_kcore_capped", "g17b_cost_distance_capped")
+          "g15b_kcore_capped", "g17b_cost_distance_capped",
+          // round-10 second wave: k-truss edge peeling, both arms
+          "g30_ktruss", "g30b_ktruss_fanout")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")
