@@ -176,6 +176,19 @@ class EdgeCaseSpec extends AnyFunSuite with SparkTestSession {
     // audit + miner on empty inputs
     assert(operators.Dedup.c14LeakageAudit(spark, d).count() == 0)
     assert(operators.Similarity.v15HardNegatives(spark, d).count() == 0)
+    // round-10 family: iterative peeling/relaxation loops and edge-scan
+    // statistics on a graph with no edges — empty, not exceptions (the
+    // loops must tolerate empty broadcast sides and empty checkpoints)
+    assert(graph.Components.g15bKcoreCapped(spark, d).count() == 0)
+    assert(graph.Components.g17bCostDistanceCapped(spark, d).count() == 0)
+    assert(graph.CoGraph.g26bCappedDegreeDistribution(spark, d).count() == 0)
+    assert(graph.Components.ktrussQ(spark, d).count() == 0)
+    assert(graph.Components.g30bKtrussFanout(spark, d).count() == 0)
+    // g21 on an empty edge set: the global aggregate emits its single
+    // row with n_edges=0 and a NULL correlation (0/0 under ANSI must
+    // not throw), in both arms
+    val g21b = graph.NeighborAgg.g21bCappedAssortativity(spark, d).collect()
+    assert(g21b.length == 1 && g21b.head.getLong(0) == 0L && g21b.head.isNullAt(1))
   }
 
   test("c12 percentiles skip NULL n_tokens; v13 recall never exceeds 1.0") {
