@@ -538,31 +538,6 @@ object Components {
   def ktruss(s: SparkSession, dir: String, k: Int = TrussK,
       rounds: Int = TrussRounds, fanoutCapped: Boolean = false): DataFrame = {
     val t = k - 2
-    // Two deliberate plan moves, both measured at sf0.1:
-    // (1) The canonical capped edge set is ≤ buckets·cap·(cap−1)/2 rows
-    //     BY CONSTRUCTION (1.45M ≈ 23 MB at the 720-bucket/64-cap
-    //     defaults, frozen past saturation) — broadcasting the two probe
-    //     sides of the triangle join is scale-safe a priori, and
-    //     necessary: the post-checkpoint relation carries no size
-    //     statistics, so the planner would otherwise run three
-    //     sort-merge cascades per round (37 s → 27 s for the query).
-    // (2) Each triangle is EXPLODED into its three member edges in one
-    //     projection instead of a 3-branch unionAll — Spark does not
-    //     share a subplan across union branches, so the union spelling
-    //     re-ran the whole triangle join three times per round
-    //     (measured: the union support pass cost 8.5 s vs 2.9 s for the
-    //     enumeration itself; 27 s → 11 s for the query).
-    def supportOf(und: DataFrame): DataFrame =
-      und.alias("ab")
-        .join(broadcast(und.alias("bc")), col("ab.dst") === col("bc.src"))
-        .join(broadcast(und.alias("ac")),
-          col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
-        .select(explode(array(
-          struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
-          struct(col("ab.dst").as("src"), col("bc.dst").as("dst")),
-          struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-        .agg(count(lit(1)).as("support"))
     val base =
       if (fanoutCapped) NeighborAgg.fanoutUnd(s, dir)
       else CoGraph.cappedEdges(s, dir)
@@ -572,7 +547,7 @@ object Components {
     for (_ <- 1 to rounds) {
       // inner join drops zero-support edges (absent from the count) —
       // exactly the threshold semantics for t >= 1
-      kept = und.join(supportOf(und), Seq("src", "dst"))
+      kept = und.join(trussSupport(und), Seq("src", "dst"))
         .filter(col("support") >= t)
         .transform(graft.Cut.cut)
       und = kept.select("src", "dst")
@@ -584,6 +559,35 @@ object Components {
     // final truss — without paying a fourth triangle enumeration.
     kept.orderBy(col("support").desc, col("src"), col("dst"))
   }
+
+  /** One peeling round's per-edge support over a canonical (src < dst)
+    * undirected relation. Two deliberate plan moves, both measured at
+    * sf0.1 (PlanSpec pins them):
+    * (1) The canonical capped edge set is ≤ buckets·cap·(cap−1)/2 rows
+    *     BY CONSTRUCTION (1.45M ≈ 23 MB at the 720-bucket/64-cap
+    *     defaults, frozen past saturation) — broadcasting the two probe
+    *     sides of the triangle join is scale-safe a priori, and
+    *     necessary: the post-checkpoint relation carries no size
+    *     statistics, so the planner would otherwise run three
+    *     sort-merge cascades per round (37 s → 27 s for the query).
+    * (2) Each triangle is EXPLODED into its three member edges in one
+    *     projection instead of a 3-branch unionAll — Spark does not
+    *     share a subplan across union branches, so the union spelling
+    *     re-ran the whole triangle join three times per round
+    *     (measured: the union support pass cost 8.5 s vs 2.9 s for the
+    *     enumeration itself; 27 s → 11 s for the query).
+    */
+  private[graft] def trussSupport(und: DataFrame): DataFrame =
+    und.alias("ab")
+      .join(broadcast(und.alias("bc")), col("ab.dst") === col("bc.src"))
+      .join(broadcast(und.alias("ac")),
+        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+      .select(explode(array(
+        struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
+        struct(col("ab.dst").as("src"), col("bc.dst").as("dst")),
+        struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("support"))
 
   /** g30 query. */
   def ktrussQ(s: SparkSession, dir: String): DataFrame = ktruss(s, dir)

@@ -280,6 +280,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("g30 triangle round: broadcast-hash joins (stats-free checkpoint side), explode not union, no BNLJ") {
+    // the round plan, not ktruss's output plan — the eager per-round
+    // checkpoints make the final executedPlan a bare RDD scan, so the
+    // shape that matters is the support round itself, on a checkpointed
+    // relation exactly as the loop sees it
+    val und = graft.Cut.cut(graph.CoGraph.cappedEdges(spark, Sf)
+      .filter(col("src") < col("dst")).select("src", "dst"))
+    val p = plan(graph.Components.trussSupport(und))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // the two probe sides of the triangle join must be broadcast — the
+    // post-checkpoint relation has no size statistics, and the SMJ
+    // cascade it otherwise picks cost 37 s vs 11 s at sf0.1
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // support counting is ONE explode (Generate) into a partial
+    // aggregate, never a 3-branch union re-running the triangle join
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("Union"), "3-branch union spelling regressed: " + p.take(2000))
+    // and the aggregate is partial before the exchange (map-side combine)
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
   test("c13 composed pipeline plans hint-free with no BNLJ or cartesian") {
     val df = operators.Corpus.c13CorpusJob(spark, Sf)
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
