@@ -127,8 +127,14 @@ object Bench {
     // stop() BEFORE the headline print: Spark's shutdown can log to the
     // console appender, and the driver's tail parser wants the JSON as
     // the absolute last line of output (build.sbt strips sbt's own
-    // decoration around it — see `run / outputStrategy`).
-    spark.stop()
+    // decoration around it — see `run / outputStrategy`). A shutdown
+    // hiccup must not eat the headline line — the measurements are
+    // already complete at this point — so stop() failures go to stderr
+    // and the JSON prints regardless.
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed: ${e.getMessage}")
+    }
     println(stdoutLine)
   }
 }

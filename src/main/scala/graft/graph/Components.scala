@@ -537,6 +537,11 @@ object Components {
     */
   def ktruss(s: SparkSession, dir: String, k: Int = TrussK,
       rounds: Int = TrussRounds, fanoutCapped: Boolean = false): DataFrame = {
+    // inner-join threshold semantics below require t >= 1: a 2-truss
+    // (t = 0) must KEEP triangle-free edges, which the support join drops
+    require(k >= 3, s"ktruss requires k >= 3 (got $k): the support join " +
+      "drops zero-support edges, which only matches 'support >= k-2' " +
+      "when that threshold is >= 1")
     val t = k - 2
     val base =
       if (fanoutCapped) NeighborAgg.fanoutUnd(s, dir)
@@ -544,21 +549,45 @@ object Components {
         .filter(col("src") < col("dst")).select("src", "dst")
     var und = base.repartition(col("src")).tracked
     var kept: DataFrame = null
+    var prev = -1L
     for (_ <- 1 to rounds) {
+      // the iterate is materialized (tracked/cut), so this count is a
+      // cheap cached-block scan; it feeds both the broadcast gate and
+      // the fixpoint audit below
+      val n = und.count()
+      prev = n
       // inner join drops zero-support edges (absent from the count) —
       // exactly the threshold semantics for t >= 1
-      kept = und.join(trussSupport(und), Seq("src", "dst"))
+      kept = und.join(trussSupport(und, hint = n <= TrussBroadcastMaxRows),
+          Seq("src", "dst"))
         .filter(col("support") >= t)
         .transform(graft.Cut.cut)
       und = kept.select("src", "dst")
     }
-    // Reported support is the LAST round's — measured on the pre-filter
-    // iterate, exactly what the mirror's sup$N computes. At the fixpoint
-    // (Round10Spec verifies it is reached within the round budget) the
-    // final two iterates are equal, so this IS the support within the
-    // final truss — without paying a fourth triangle enumeration.
+    // Fixpoint audit: the round budget is fixed so the unrolled oracle
+    // stays definitionally identical, but the budget was MEASURED at the
+    // certification SFs — at an out-of-envelope data shape the last round
+    // may still be peeling, and the mirrored oracle could not catch it
+    // (it mirrors the same budget). Warn rather than fail: the truncated
+    // result is still the round-budgeted operator the oracle defines.
+    if (prev >= 0 && kept.count() < prev)
+      System.err.println(s"[graft] ktruss(k=$k, rounds=$rounds): last " +
+        "round still peeled edges — fixpoint NOT reached within the round " +
+        "budget; result is the budgeted iterate, not a proven k-truss")
     kept.orderBy(col("support").desc, col("src"), col("dst"))
   }
+
+  /** Broadcast-hint ceiling for [[trussSupport]]'s probe sides, in rows
+    * (~16 bytes/row canonical edge ⇒ ~320 MB at the ceiling — well under
+    * executor/driver headroom on any cluster that would run this). The
+    * construction ceilings (buckets·cap·(cap−1)/2 for the bucket-capped
+    * relation, |V|·FanOut/2 for the fan-out arm) sit far below this at
+    * every certified shape, but BOTH grow with the data — bucket count
+    * with the time span, |V| with the graph — so the hint is gated on
+    * the materialized count rather than assumed: an out-of-envelope
+    * graph degrades to shuffle joins instead of OOMing the driver.
+    */
+  private[graft] val TrussBroadcastMaxRows: Long = 20L * 1000 * 1000
 
   /** One peeling round's per-edge support over a canonical (src < dst)
     * undirected relation. Two deliberate plan moves, both measured at
@@ -566,10 +595,12 @@ object Components {
     * (1) The canonical capped edge set is ≤ buckets·cap·(cap−1)/2 rows
     *     BY CONSTRUCTION (1.45M ≈ 23 MB at the 720-bucket/64-cap
     *     defaults, frozen past saturation) — broadcasting the two probe
-    *     sides of the triangle join is scale-safe a priori, and
-    *     necessary: the post-checkpoint relation carries no size
-    *     statistics, so the planner would otherwise run three
+    *     sides of the triangle join is scale-safe while that ceiling
+    *     holds, and necessary: the post-checkpoint relation carries no
+    *     size statistics, so the planner would otherwise run three
     *     sort-merge cascades per round (37 s → 27 s for the query).
+    *     `hint = false` (gated by [[TrussBroadcastMaxRows]] in the loop)
+    *     drops to plain equi-joins for out-of-envelope relations.
     * (2) Each triangle is EXPLODED into its three member edges in one
     *     projection instead of a 3-branch unionAll — Spark does not
     *     share a subplan across union branches, so the union spelling
@@ -577,10 +608,12 @@ object Components {
     *     (measured: the union support pass cost 8.5 s vs 2.9 s for the
     *     enumeration itself; 27 s → 11 s for the query).
     */
-  private[graft] def trussSupport(und: DataFrame): DataFrame =
+  private[graft] def trussSupport(und: DataFrame,
+      hint: Boolean = true): DataFrame = {
+    def probe(d: DataFrame): DataFrame = if (hint) broadcast(d) else d
     und.alias("ab")
-      .join(broadcast(und.alias("bc")), col("ab.dst") === col("bc.src"))
-      .join(broadcast(und.alias("ac")),
+      .join(probe(und.alias("bc")), col("ab.dst") === col("bc.src"))
+      .join(probe(und.alias("ac")),
         col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
       .select(explode(array(
         struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
@@ -588,6 +621,7 @@ object Components {
         struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
       .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
       .agg(count(lit(1)).as("support"))
+  }
 
   /** g30 query. */
   def ktrussQ(s: SparkSession, dir: String): DataFrame = ktruss(s, dir)
