@@ -120,6 +120,7 @@ object SparkEntry {
     "g14b_lpa_capped", "g29b_modularity_capped",
     "g15b_kcore_capped", "g17b_cost_distance_capped",
     "g26b_degree_distribution_capped", "g21b_assortativity_capped",
-    "g30_ktruss", "g30b_ktruss_fanout"
+    "g30_ktruss", "g30b_ktruss_fanout",
+    "g31_landmark_betweenness", "g31b_betweenness_fanout"
   ).filter(queries.contains)
 }

@@ -374,4 +374,188 @@ object Centrality {
        |             6) AS q_contrib
        |FROM degc dc LEFT JOIN mc ON dc.label = mc.label CROSS JOIN m
        |ORDER BY dc.label""".stripMargin
+
+  // ------------------------------------------------------------------
+  // g31 — landmark-sampled betweenness centrality (Brandes)
+  // ------------------------------------------------------------------
+
+  /** g31 — betweenness centrality sampled from the g28 landmark seeds:
+    * hop-bounded Brandes (Brandes 2001, "A faster algorithm for
+    * betweenness centrality" — public formula) on the bucket-capped
+    * edge set. For each of the [[LandmarkK]] deterministic landmark
+    * sources, a level-synchronous BFS to [[LandmarkHops]] counts
+    * shortest paths σ(v) (INTEGER-exact — sums of integer path counts),
+    * then the backward pass accumulates the dependency
+    * δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)); the reported
+    * betweenness is Σ over landmark sources of δ — the Brandes
+    * estimator restricted to the sampled sources and the hop horizon,
+    * the standard scale form (Bader et al., ICALP'07 sampling).
+    *
+    * The one classic centrality the family lacked: degree (g02),
+    * PageRank (g06/g08/g16), harmonic (g28), HITS (g18), modularity
+    * (g29), k-core/truss (g15/g30) are in — betweenness is the
+    * "broker" score a fraud team reads to find the mule ACCOUNTS THAT
+    * CONNECT rings rather than sit inside them.
+    *
+    * Determinism discipline: σ are integers; each dependency term is
+    * one IEEE division+multiply on bit-identical inputs, SNAPPED to
+    * DECIMAL(38,12) before summation (the [[graft.operators.Det]]
+    * dstddev pattern) so every aggregate is exact integer arithmetic —
+    * order-independent across partitionings, retries and engines; the
+    * final round is [[graft.operators.Det.r]]'s floor spelling.
+    *
+    * Scale: state is K·V rows per level (landmarks bound it like g28);
+    * each forward round is one shuffle keyed by the frontier vertex
+    * against the capped edge relation, each backward round one join
+    * down-level plus one bounded left join; lineage cut per level.
+    */
+  def g31LandmarkBetweenness(s: SparkSession, dir: String): DataFrame =
+    betweennessOn(CoGraph.cappedEdges(s, dir))
+
+  /** g31b — [[g31LandmarkBetweenness]] over the fan-out-capped MUTUAL
+    * edge relation ([[NeighborAgg.fanoutUnd]] symmetrized back to both
+    * orientations — max degree ≤ FanOut by construction): the
+    * production arm. g31's per-round frontier join is bounded by the
+    * bucket-cap ceiling, but its fan-out per vertex is still the capped
+    * relation's degree (up to buckets·cap for a user active in every
+    * hour); under the fan-out cap each BFS round is ≤ K·V·FanOut rows
+    * a priori — the g20b/g30b discipline applied to the BFS family.
+    */
+  def g31bBetweennessFanout(s: SparkSession, dir: String): DataFrame = {
+    val und = NeighborAgg.fanoutUnd(s, dir)
+    betweennessOn(und.unionAll(
+      und.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  private def betweennessOn(edges0: DataFrame): DataFrame = {
+    val edges = edges0.repartition(col("src")).tracked
+    val verts = endpointVertices(edges)
+    val landmarks = verts.orderBy("id").limit(LandmarkK)
+    // forward: level-synchronous BFS with integer path counting.
+    // levels(k) = (lm, id, sigma): vertices FIRST reached at depth k,
+    // with their shortest-path count from lm. The anti-join against the
+    // running (lm, id) visited set is what makes "first reached" exact.
+    var levels = Vector(landmarks.select(col("id").as("lm"),
+      col("id").as("id"), lit(1L).as("sigma")))
+    var seen = levels(0).select("lm", "id")
+    for (_ <- 1 to LandmarkHops) {
+      val nxt = levels.last.alias("l")
+        .join(edges.alias("e"), col("l.id") === col("e.src"))
+        .select(col("l.lm").as("lm"), col("e.dst").as("id"),
+          col("l.sigma").as("sigma"))
+        .join(seen, Seq("lm", "id"), "left_anti")
+        .groupBy("lm", "id").agg(sum(col("sigma")).as("sigma"))
+        .transform(graft.Cut.cut)
+      levels :+= nxt
+      seen = seen.unionAll(nxt.select("lm", "id")).transform(graft.Cut.cut)
+    }
+    // backward: dependency accumulation. The horizon level's delta is 0
+    // (no successors within the hop bound — the standard truncation of
+    // sampled Brandes); each level k then pulls from level k+1 through
+    // the edge relation: pred(w) ∩ level k = {v : v→w, d(v) = d(w)−1}.
+    var down = levels(LandmarkHops)
+      .select(col("lm"), col("id"), col("sigma"), lit(0.0).as("delta"))
+    val deltaLevels = ArrayBuffer[DataFrame]()
+    for (k <- (LandmarkHops - 1) to 1 by -1) {
+      val dep = levels(k).alias("v")
+        .join(edges.alias("e"), col("v.id") === col("e.src"))
+        .join(down.alias("w"),
+          col("v.lm") === col("w.lm") && col("e.dst") === col("w.id"))
+        .groupBy(col("v.lm").as("lm"), col("v.id").as("id"))
+        .agg(sum((col("v.sigma").cast("double") / col("w.sigma").cast("double")
+          * (lit(1.0) + col("w.delta"))).cast("decimal(38,12)"))
+          .cast("double").as("dep"))
+      down = levels(k)
+        .join(dep, Seq("lm", "id"), "left_outer")
+        .select(col("lm"), col("id"), col("sigma"),
+          coalesce(col("dep"), lit(0.0)).as("delta"))
+        .transform(graft.Cut.cut)
+      deltaLevels += down
+    }
+    val bc = deltaLevels.reduce(_.unionAll(_))
+      .groupBy("id")
+      .agg(sum(col("delta").cast("decimal(38,12)")).cast("double").as("bc"))
+    val sig = levels.tail.reduce(_.unionAll(_))
+      .groupBy("id").agg(sum(col("sigma")).as("paths"))
+    verts.alias("v")
+      .join(sig.alias("s"), col("v.id") === col("s.id"), "left_outer")
+      .join(bc.alias("b"), col("v.id") === col("b.id"), "left_outer")
+      .select(col("v.id").as("id"),
+        coalesce(col("s.paths"), lit(0L)).as("paths_from_landmarks"),
+        graft.operators.Det.r(coalesce(col("b.bc"), lit(0.0)), 6)
+          .as("betweenness"))
+      .orderBy(col("betweenness").desc, col("id"))
+  }
+
+  /** DuckDB mirror of the hop-bounded Brandes chain — unrolled lev/del
+    * CTEs over a `baseCtes` that must end in a both-orientations
+    * `edges(src, dst)` relation. Every level is `AS MATERIALIZED`
+    * (each is referenced 3–4 times; see the k-truss mirror's fd note)
+    * and every float aggregate mirrors the engine's decimal-snap
+    * op-for-op.
+    */
+  private def betweennessSql(baseCtes: String): String = {
+    val H = LandmarkHops
+    val fwd = (1 to H).map { k =>
+      val excl = (0 until k).map(j =>
+        s"NOT EXISTS (SELECT 1 FROM lev$j p$j " +
+          s"WHERE p$j.lm = l.lm AND p$j.id = e.dst)").mkString("\n    AND ")
+      s"""lev$k AS MATERIALIZED (
+         |  SELECT l.lm, e.dst AS id, sum(l.sigma) AS sigma
+         |  FROM lev${k - 1} l JOIN edges e ON l.id = e.src
+         |  WHERE $excl
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((H - 1) to 1 by -1).map { k =>
+      s"""dep$k AS MATERIALIZED (
+         |  SELECT v.lm, v.id,
+         |    CAST(sum(CAST(CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+         |      * (1.0 + w.delta) AS DECIMAL(38,12))) AS DOUBLE) AS dep
+         |  FROM lev$k v
+         |  JOIN edges e ON v.id = e.src
+         |  JOIN del${k + 1} w ON w.lm = v.lm AND w.id = e.dst
+         |  GROUP BY 1, 2),
+         |del$k AS MATERIALIZED (
+         |  SELECT l.lm, l.id, l.sigma,
+         |         coalesce(d.dep, CAST(0 AS DOUBLE)) AS delta
+         |  FROM lev$k l LEFT JOIN dep$k d ON d.lm = l.lm AND d.id = l.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val delUnion = (1 to (H - 1))
+      .map(k => s"SELECT id, delta FROM del$k").mkString(" UNION ALL ")
+    val sigUnion = (1 to H)
+      .map(k => s"SELECT id, sigma FROM lev$k").mkString(" UNION ALL ")
+    s"""WITH $baseCtes,
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |landmarks AS (SELECT id FROM verts ORDER BY id LIMIT $LandmarkK),
+       |lev0 AS MATERIALIZED (
+       |  SELECT id AS lm, id, CAST(1 AS BIGINT) AS sigma FROM landmarks),
+       |$fwd,
+       |del$H AS MATERIALIZED (
+       |  SELECT lm, id, sigma, CAST(0 AS DOUBLE) AS delta FROM lev$H),
+       |$bwd,
+       |bc AS (
+       |  SELECT id, CAST(sum(CAST(delta AS DECIMAL(38,12))) AS DOUBLE) AS bc
+       |  FROM ($delUnion) GROUP BY 1),
+       |sig AS (
+       |  SELECT id, sum(sigma) AS paths FROM ($sigUnion) GROUP BY 1)
+       |SELECT v.id,
+       |  CAST(coalesce(s.paths, 0) AS BIGINT) AS paths_from_landmarks,
+       |  ${graft.operators.Det.sqlR("coalesce(b.bc, CAST(0 AS DOUBLE))", 6)}
+       |    AS betweenness
+       |FROM verts v
+       |LEFT JOIN sig s ON s.id = v.id
+       |LEFT JOIN bc b ON b.id = v.id
+       |ORDER BY betweenness DESC, v.id""".stripMargin
+  }
+
+  val g31Sql: String = betweennessSql(CoGraph.cappedEdgesCte())
+
+  /** g31b's mirror — the fan-out-capped mutual relation symmetrized
+    * back to both orientations, then the identical Brandes chain. */
+  val g31bSql: String = betweennessSql(
+    s"""${NeighborAgg.fanoutUndCte},
+       |edges AS (SELECT src, dst FROM und
+       |          UNION ALL SELECT dst AS src, src AS dst FROM und)"""
+      .stripMargin)
 }

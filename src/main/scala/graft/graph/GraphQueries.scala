@@ -51,7 +51,9 @@ object GraphQueries {
     "g29_modularity" -> (Centrality.g29Modularity _),
     "g29b_modularity_capped" -> (Centrality.g29bModularityCapped _),
     "g30_ktruss" -> (Components.ktrussQ _),
-    "g30b_ktruss_fanout" -> (Components.g30bKtrussFanout _)
+    "g30b_ktruss_fanout" -> (Components.g30bKtrussFanout _),
+    "g31_landmark_betweenness" -> (Centrality.g31LandmarkBetweenness _),
+    "g31b_betweenness_fanout" -> (Centrality.g31bBetweennessFanout _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -99,6 +101,8 @@ object GraphQueries {
     "g29_modularity" -> Centrality.g29Sql,
     "g29b_modularity_capped" -> Centrality.g29bSql,
     "g30_ktruss" -> Components.ktrussQSql,
-    "g30b_ktruss_fanout" -> Components.g30bSql
+    "g30b_ktruss_fanout" -> Components.g30bSql,
+    "g31_landmark_betweenness" -> Centrality.g31Sql,
+    "g31b_betweenness_fanout" -> Centrality.g31bSql
   )
 }
