@@ -426,17 +426,26 @@ object GraphFrame {
     def sendToSrc(c: Column): AggregateMessages = { toSrc = Some(c); this }
     def sendToDst(c: Column): AggregateMessages = { toDst = Some(c); this }
 
-    /** One aggregate over the received messages, grouped by recipient id. */
+    /** One aggregate over the received messages, grouped by recipient id.
+      *
+      * Both-directions sends are ONE explode projection over the triplet
+      * relation, not a 2-branch union: the triplets view joins vertices
+      * twice, and Spark shares no subplan across union branches, so the
+      * union spelling ran those joins twice per query (the g30/g20
+      * finding, enforced library-wide by UnionLintSpec).
+      */
     def agg(aggCol: Column): DataFrame = {
       require(toSrc.nonEmpty || toDst.nonEmpty,
         "aggregateMessages: set sendToSrc and/or sendToDst")
       val t = g.triplets
+      def part(recipient: String, m: Column) =
+        struct(col(s"$recipient.${GraphFrame.ID}").as(ID), m.as("MSG"))
       val parts = Seq(
-        toDst.map(m => t.select(col(s"dst.${GraphFrame.ID}").as(ID),
-          m.as("MSG"))),
-        toSrc.map(m => t.select(col(s"src.${GraphFrame.ID}").as(ID),
-          m.as("MSG")))).flatten
-      parts.reduce(_ unionAll _).groupBy(col(ID)).agg(aggCol)
+        toDst.map(m => part("dst", m)),
+        toSrc.map(m => part("src", m))).flatten
+      t.select(explode(array(parts: _*)).as("m"))
+        .select(col(s"m.$ID").as(ID), col("m.MSG").as("MSG"))
+        .groupBy(col(ID)).agg(aggCol)
     }
   }
 

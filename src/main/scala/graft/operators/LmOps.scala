@@ -307,6 +307,9 @@ object LmOps {
     val delta = shingled.filter(col("doc_id") % 3 === 0)
     val novel = delta.join(base, Seq("sh"), "left_anti")
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    // cached: perDoc feeds both the union branch and the rollup's
+    // re-aggregation — uncached, the anti-join + outer-join chain ran
+    // twice (union branches share no subplan; UnionLintSpec enforces)
     val perDoc = delta.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"))
       .join(novel, Seq("doc_id"), "left_outer")
@@ -314,6 +317,7 @@ object LmOps {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty", r(col("n_novel").cast("double")
         / col("n_shingles"), 4))
+      .tracked
     val rollup = perDoc.agg(
       lit(null).cast("long").as("doc_id"),
       sum(col("n_shingles")).as("n_shingles"),
