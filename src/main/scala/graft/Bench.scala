@@ -76,8 +76,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Protocol fields (VERDICT r10 item 2): every artifact records its
+    // best-of-N and, when the g06 anchor ran in the same window, the
+    // anchor time — so a cross-window diff can tell container-I/O drift
+    // from a real regression without a separate calibration run.
+    val anchor = results.collectFirst {
+      case ("g06_pagerank_loop", v) if v >= 0 => s""","anchor_s":$v"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs$anchor,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // Persist the COMPLETE per-query JSON to a file: the driver captures a
     // bounded 2000-char stdout tail, which head-truncated the full map once
     // the headline grew past ~60 queries (r05 and r08 gate artifacts had
@@ -110,7 +118,7 @@ object Bench {
           if (p.length <= 300) p else ""
         }
         val fixed = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""queries_total":${results.size},$fullPtr""" +
+          s""""runs":$runs$anchor,"queries_total":${results.size},$fullPtr""" +
           s""""sf":"${esc(sfDir)}","queries":{"""
         val entries = results.sortBy(-_._2)
           .map { case (k, v) => "\"" + k + "\":" + v }
