@@ -54,7 +54,10 @@ object FaultDrill {
           // Bellman-Ford — the same Cut-per-round shape
           "g15b_kcore_capped", "g17b_cost_distance_capped",
           // round-10 second wave: k-truss edge peeling, both arms
-          "g30_ktruss", "g30b_ktruss_fanout")
+          "g30_ktruss", "g30b_ktruss_fanout",
+          // round-11: hop-bounded Brandes — forward sigma levels and
+          // backward delta levels are both Cut-per-round state
+          "g31_landmark_betweenness", "g31b_betweenness_fanout")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")
