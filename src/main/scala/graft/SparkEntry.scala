@@ -121,6 +121,7 @@ object SparkEntry {
     "g15b_kcore_capped", "g17b_cost_distance_capped",
     "g26b_degree_distribution_capped", "g21b_assortativity_capped",
     "g30_ktruss", "g30b_ktruss_fanout",
-    "g31_landmark_betweenness", "g31b_betweenness_fanout"
+    "g31_landmark_betweenness", "g31b_betweenness_fanout",
+    "c15_corpus_overlap", "c15b_corpus_overlap_kmv"
   ).filter(queries.contains)
 }

@@ -942,7 +942,211 @@ object Corpus {
        |FROM packed GROUP BY 1, 2 ORDER BY split, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // c15 — cross-corpus overlap (contamination accounting between sources)
+  // ---------------------------------------------------------------------
+
+  /** Distinct (source, word-3-gram shingle) rows — the content universe
+    * both overlap arms share. One linear scan + one distinct shuffle keyed
+    * by (source, shingle); no cap: the downstream self-join fans out per
+    * shingle by SOURCE count (hundreds at most), not document count, so a
+    * universal boilerplate shingle costs sources² pair rows, not docs².
+    */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(shingles3(col("t"))).as("s"))
+      .distinct()
+
+  private val ssSql =
+    """ss AS (
+      |  SELECT DISTINCT source, unnest(shp) AS s
+      |  FROM (SELECT source,
+      |          list_distinct(list_transform(range(1, greatest(len(tt) - 1, 1)),
+      |            i -> tt[i] || ' ' || tt[i + 1] || ' ' || tt[i + 2])) AS shp
+      |        FROM (SELECT source,
+      |                list_filter(string_split(trim(text), ' '), x -> x <> '') AS tt
+      |              FROM documents WHERE text IS NOT NULL)
+      |        WHERE len(tt) >= 3))""".stripMargin
+
+  /** c15 — EXACT pairwise corpus overlap: for every pair of sources, the
+    * distinct-shingle intersection size and Jaccard — the contamination
+    * number a curator reads before mixing corpora ("how much of B is
+    * already in A?"). Full pair grid (zero-overlap pairs kept: absence of
+    * overlap is the datum).
+    *
+    * Scale: the join key is the shingle over DISTINCT (source, shingle)
+    * rows, so cost is one distinct shuffle of the corpus's shingle set
+    * plus per-shingle source-pair fan-out (≤ sources², independent of
+    * corpus size). This is the definitional arm; c15b is the fixed-state
+    * sketch that answers the same question without shuffling the universe.
+    */
+  def c15CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = sourceShingles(s, dir).tracked
+    val n = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val ov = ss.as("a")
+      .join(ss.as("b"), col("a.s") === col("b.s")
+        && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("overlap"))
+    // full grid: sources are a tiny dim (hundreds), the cross is sources²
+    val grid = n.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(n.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    grid.join(ov, Seq("source_a", "source_b"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("overlap"),
+        r(col("overlap").cast("double")
+          / (col("n_a") + col("n_b") - col("overlap")), 4).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val c15Sql =
+    s"""WITH $ssSql,
+       |n AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+       |         count(*) AS overlap
+       |       FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+       |       GROUP BY 1, 2),
+       |grid AS (SELECT na.source AS source_a, nb.source AS source_b,
+       |           na.n AS n_a, nb.n AS n_b
+       |         FROM n na JOIN n nb ON na.source < nb.source)
+       |SELECT source_a, source_b, n_a, n_b,
+       |  coalesce(overlap, 0) AS overlap,
+       |  ${rSql("coalesce(overlap, 0) * 1.0 / (n_a + n_b - coalesce(overlap, 0))", 4)}
+       |    AS jaccard
+       |FROM grid LEFT JOIN ov USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** KMV sketch size: 512 bottom hashes per source. RSE of a bottom-k
+    * distinct estimate is ~1/sqrt(k) ≈ 4.4%; measured against c15 at
+    * sf0.01 the worst pairwise |Jaccard error| is 0.017 (CorpusOverlapSpec
+    * pins ≤ 0.03 with headroom). */
+  private[graft] val KmvK = 512
+
+  /** c15b — the 100 TB arm: per-source KMV (bottom-k) sketch over the
+    * SAME shingle universe, k smallest scrambled hashes per source via the
+    * native [[graft.plans.GroupedTopK]] partial bottom-k (no full sort, no
+    * per-source window over the universe). Each source compresses to ≤
+    * [[KmvK]] longs — sketches are buildable in one linear pass, mergeable
+    * across snapshots, and the pairwise estimate below never touches the
+    * corpus again, which is the point: estimating overlap between two
+    * 50 TB corpora without joining them.
+    *
+    * Estimators (Beyer et al., SIGMOD'07 K-Minimum-Values): for a pair,
+    * take the k smallest of the merged sketches U; Ĵ = |{v ∈ U : v in
+    * both sketches}| / |U|; |A∪B|^ = (k−1)·P / v_k when U saturates (else
+    * exact |U|); overlap^ = round(Ĵ · |A∪B|^). All arithmetic is integer
+    * (DIV / round-half-up spelled as (2·c·û + m) DIV (2·m)) except the
+    * 4-dp-snapped Jaccard — bit-stable across engines, so the oracle is
+    * exact even though the VALUE is an estimate.
+    */
+  /** (source, scrambled shingle hash) rows — the shared stream/batch
+    * derive: the Knuth multiplicative scramble (a bijection on [0, P))
+    * decorrelates bottom-k order from text. Callers dedup (the KMV fold
+    * itself is a distinct-set operation).
+    */
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(shingles3(col("t"))).as("s"))
+      .select(col("source"),
+        pmod(charFingerprint(col("s")) * lit(Det.KnuthA),
+          lit(Det.KnuthP)).as("h"))
+
+  def c15bCorpusOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GroupedTopK
+    val u = shingleHashes(Tables.documents(s, dir)).distinct()
+    val sk = GroupedTopK.rank(
+        u.withColumn("hd", col("h").cast("double")),
+        Seq("source"), "hd", KmvK, descending = false)
+      .select(col("source"), col("h"))
+      .tracked
+    kmvPairEstimates(sk)
+  }
+
+  /** Pairwise KMV estimates from (source, h) sketch rows — shared
+    * VERBATIM by the batch arm (bottom-k via GroupedTopK above) and the
+    * streaming accumulator's finalized sketches
+    * ([[graft.streaming.KmvStream]]); KmvStreamSpec pins the equality.
+    */
+  private[graft] def kmvPairEstimates(sk: DataFrame): DataFrame = {
+    val P = Det.KnuthP
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("pa"))
+      .crossJoin(srcs.select(col("source").as("pb")))
+      .filter(col("pa") < col("pb"))
+    // one equi-join (explode the pair into members — no union, so no
+    // shared-subplan re-run; the SCALE.md g30 rule)
+    val pool = pairs
+      .select(col("pa"), col("pb"),
+        explode(array(col("pa"), col("pb"))).as("member"))
+      .join(sk, col("member") === col("source"))
+      .select(col("pa"), col("pb"), col("h"), col("member"))
+    val uh = pool.groupBy(col("pa"), col("pb"), col("h"))
+      .agg(max(when(col("member") === col("pa"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("member") === col("pb"), 1L).otherwise(0L)).as("in_b"))
+    // merged-sketch bottom-k: the window partition is ≤ 2k rows by
+    // construction (two sketches), so this window is state-bounded
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pa", "pb").orderBy("h")
+    val top = uh.withColumn("rn", row_number().over(w)).filter(col("rn") <= KmvK)
+    top.groupBy(col("pa").as("source_a"), col("pb").as("source_b"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("vk"),
+        sum(col("in_a") * col("in_b")).as("c"))
+      .withColumn("union_est",
+        when(col("m") === KmvK, expr(s"((m - 1) * ${P}L) div vk"))
+          .otherwise(col("m")))
+      .select(col("source_a"), col("source_b"), col("m").as("sketch_m"),
+        col("union_est"),
+        r(col("c").cast("double") / col("m"), 4).as("jaccard_est"),
+        expr("(2 * c * union_est + m) div (2 * m)").as("overlap_est"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val c15bSql = {
+    val P = Det.KnuthP
+    val fp = TextFn.charFingerprintSql("s")
+    s"""WITH $ssSql,
+       |u AS (SELECT DISTINCT source, ($fp * ${Det.KnuthA}) % $P AS h FROM ss),
+       |sk AS (SELECT source, h FROM (
+       |         SELECT source, h,
+       |           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |         FROM u) WHERE rn <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (SELECT a.source AS pa, b.source AS pb
+       |          FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pool AS (SELECT pa, pb, sk.h, sk.source AS member
+       |         FROM pairs JOIN sk ON sk.source = pa OR sk.source = pb),
+       |uh AS (SELECT pa, pb, h,
+       |         max(CASE WHEN member = pa THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN member = pb THEN 1 ELSE 0 END) AS in_b
+       |       FROM pool GROUP BY 1, 2, 3),
+       |top AS (SELECT * FROM (
+       |          SELECT uh.*,
+       |            row_number() OVER (PARTITION BY pa, pb ORDER BY h) AS rn
+       |          FROM uh) WHERE rn <= $KmvK),
+       |agg AS (SELECT pa AS source_a, pb AS source_b,
+       |          count(*) AS m, max(h) AS vk, sum(in_a * in_b) AS c
+       |        FROM top GROUP BY 1, 2)
+       |SELECT source_a, source_b, m AS sketch_m,
+       |  CAST(CASE WHEN m = $KmvK THEN ((m - 1) * $P) // vk ELSE m END
+       |       AS BIGINT) AS union_est,
+       |  ${rSql("c * 1.0 / m", 4)} AS jaccard_est,
+       |  CAST((2 * c * (CASE WHEN m = $KmvK THEN ((m - 1) * $P) // vk
+       |                      ELSE m END) + m) // (2 * m) AS BIGINT)
+       |    AS overlap_est
+       |FROM agg ORDER BY source_a, source_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_corpus_overlap" -> (c15CorpusOverlap _),
+    "c15b_corpus_overlap_kmv" -> (c15bCorpusOverlapKmv _),
     "c13_corpus_job" -> (c13CorpusJob _),
     "c12_corpus_datasheet" -> (c12CorpusDatasheet _),
     "c10_sequence_packing" -> (c10SequencePacking _),
@@ -957,6 +1161,8 @@ object Corpus {
     "c08_domain_cap" -> (c08DomainCap _))
 
   val oracles: Map[String, String] = Map(
+    "c15_corpus_overlap" -> c15Sql,
+    "c15b_corpus_overlap_kmv" -> c15bSql,
     "c13_corpus_job" -> c13Sql,
     "c12_corpus_datasheet" -> c12Sql,
     "c10_sequence_packing" -> c10Sql,
