@@ -53,7 +53,10 @@ object GraphQueries {
     "g30_ktruss" -> (Components.ktrussQ _),
     "g30b_ktruss_fanout" -> (Components.g30bKtrussFanout _),
     "g31_landmark_betweenness" -> (Centrality.g31LandmarkBetweenness _),
-    "g31b_betweenness_fanout" -> (Centrality.g31bBetweennessFanout _)
+    "g31b_betweenness_fanout" -> (Centrality.g31bBetweennessFanout _),
+    "g32_hash_walks" -> (Walks.g32HashWalks _),
+    "g32b_hash_walks_fanout" -> (Walks.g32bHashWalksFanout _),
+    "g33_skipgram_pairs" -> (Walks.g33SkipgramPairs _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +106,9 @@ object GraphQueries {
     "g30_ktruss" -> Components.ktrussQSql,
     "g30b_ktruss_fanout" -> Components.g30bSql,
     "g31_landmark_betweenness" -> Centrality.g31Sql,
-    "g31b_betweenness_fanout" -> Centrality.g31bSql
+    "g31b_betweenness_fanout" -> Centrality.g31bSql,
+    "g32_hash_walks" -> Walks.g32Sql,
+    "g32b_hash_walks_fanout" -> Walks.g32bSql,
+    "g33_skipgram_pairs" -> Walks.g33Sql
   )
 }
