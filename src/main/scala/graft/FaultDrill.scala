@@ -57,7 +57,10 @@ object FaultDrill {
           "g30_ktruss", "g30b_ktruss_fanout",
           // round-11: hop-bounded Brandes — forward sigma levels and
           // backward delta levels are both Cut-per-round state
-          "g31_landmark_betweenness", "g31b_betweenness_fanout")
+          "g31_landmark_betweenness", "g31b_betweenness_fanout",
+          // round-11 second wave: hash-walk frontier is Cut-per-step;
+          // the skip-gram fold rides the same walk levels
+          "g32b_hash_walks_fanout", "g33_skipgram_pairs")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")

@@ -122,6 +122,7 @@ object SparkEntry {
     "g26b_degree_distribution_capped", "g21b_assortativity_capped",
     "g30_ktruss", "g30b_ktruss_fanout",
     "g31_landmark_betweenness", "g31b_betweenness_fanout",
-    "c15_corpus_overlap", "c15b_corpus_overlap_kmv"
+    "c15_corpus_overlap", "c15b_corpus_overlap_kmv",
+    "g32_hash_walks", "g32b_hash_walks_fanout", "g33_skipgram_pairs"
   ).filter(queries.contains)
 }
