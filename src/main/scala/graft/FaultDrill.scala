@@ -59,8 +59,9 @@ object FaultDrill {
           // backward delta levels are both Cut-per-round state
           "g31_landmark_betweenness", "g31b_betweenness_fanout",
           // round-11 second wave: hash-walk frontier is Cut-per-step;
-          // the skip-gram fold rides the same walk levels
-          "g32b_hash_walks_fanout", "g33_skipgram_pairs")
+          // the skip-gram fold rides the same walk levels — both arms
+          // (uncapped g32 and fan-out g32b) drilled, like the g31 pair
+          "g32_hash_walks", "g32b_hash_walks_fanout", "g33_skipgram_pairs")
          else Nil)
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[3,4,4096]")

@@ -44,6 +44,21 @@ object SparkEntry {
       operators.LmOps.oracles ++ operators.DriftOps.oracles ++
       plans.GroupedTopK.oracles
 
+  /** Alternate oracle spellings needing check_oracle.py's --alt mode
+    * (Python-UDF-backed SQL, e.g. xxh64). NOT part of the driver gate —
+    * [[oracleSql]] stays vanilla-DuckDB; these power the sf≥1
+    * certification sweeps where the vanilla spellings are documented
+    * approximations (d06/d12 id-dependence).
+    */
+  def altOracleSql: Map[String, String] = operators.Dedup.altOracles
+
+  /** Staged DuckDB oracle programs (check_oracle.py --staged): per-round
+    * temp-table spellings of the iterative-graph mirrors whose monolithic
+    * recursive/unrolled CTEs time out at sf≥1. Values are raw JSON
+    * program objects — see [[graph.StagedOracles]].
+    */
+  def stagedOracleJson: Map[String, String] = graph.StagedOracles.programs
+
   /** Subset run by [[Bench]] per round (headline queries).
     *
     * SELECTION RULE (also in SCALE.md "Headline selection"): a registered
@@ -123,6 +138,9 @@ object SparkEntry {
     "g30_ktruss", "g30b_ktruss_fanout",
     "g31_landmark_betweenness", "g31b_betweenness_fanout",
     "c15_corpus_overlap", "c15b_corpus_overlap_kmv",
-    "g32_hash_walks", "g32b_hash_walks_fanout", "g33_skipgram_pairs"
+    "g32_hash_walks", "g32b_hash_walks_fanout", "g33_skipgram_pairs",
+    // round-12: capped façade arms — rule (c), scale twins of the in-list
+    // façade surface (gf05 OOM'd at sf1 over the raw relation)
+    "gf03b_facade_motif_capped", "gf05b_facade_triangles_capped"
   ).filter(queries.contains)
 }

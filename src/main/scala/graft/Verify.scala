@@ -66,6 +66,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // alternate UDF-backed spellings (check_oracle.py --alt); always
+    // dumped, only consumed by the certification sweeps
+    val altJson = SparkEntry.altOracleSql.filter(kv => selected(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_alt.json"), altJson)
+    // staged temp-table programs (check_oracle.py --staged); values are
+    // already JSON objects — written raw
+    val stagedJson = SparkEntry.stagedOracleJson.filter(kv => selected(kv._1))
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_staged.json"), stagedJson)
     spark.stop()
   }
 }

@@ -1,0 +1,231 @@
+package graft.graph
+
+/** Staged DuckDB oracle programs for the iterative-graph mirrors that
+  * time out as monolithic recursive/unrolled CTEs at sf≥1 (VERDICT r11
+  * item 3).
+  *
+  * The monolithic spellings (Components.qSql's recursive `reach`
+  * closure, PageRankOps.qSql's chained pr1..prN CTEs) are the DRIVER
+  * GATE oracles and stay untouched — they are exact and fast at the
+  * gate SFs. At sf1 the closure's pair table is O(V·componentSize) and
+  * the chained CTEs recompute shared inputs, so the MIRROR becomes the
+  * quadratic side. These programs stage the same computation the way
+  * the engine does: materialize each round as a DuckDB TEMP TABLE and
+  * iterate (min-label propagation for CC — converging in diameter
+  * rounds over V-row tables — and the literal per-iteration
+  * contrib/damping step for the PageRank family).
+  *
+  * Consumed by tools/check_oracle.py --staged from the
+  * `oracle_staged.json` dump. Program format (one JSON object per
+  * query):
+  * {{{
+  *   { "init":  [sql, …],        // run once
+  *     "loop":  [sql, …],        // run per round
+  *     "until_zero": sql | null, // scalar; loop ends when 0 (after swap)
+  *     "swap":  [sql, …],        // run per round, after until_zero
+  *     "max_iter": n,            // fixed count when until_zero is null
+  *     "final": sql }            // the compared result
+  * }}}
+  *
+  * Every fragment that exists as a shared CTE string is COMPOSED from
+  * it (edgesCte, weightsCte, confirmedSeedsSql) — the staged spelling
+  * can never drift from the gate spelling on the non-iterative parts.
+  */
+object StagedOracles {
+
+  // ---- JSON plumbing ----------------------------------------------------
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jarr(xs: Seq[String]): String =
+    xs.map(jstr).mkString("[", ",", "]")
+
+  private def prog(init: Seq[String], loop: Seq[String], swap: Seq[String],
+      untilZero: Option[String], maxIter: Int, fin: String): String =
+    s"""{"init": ${jarr(init)}, "loop": ${jarr(loop)}, """ +
+      s""""swap": ${jarr(swap)}, """ +
+      s""""until_zero": ${untilZero.map(jstr).getOrElse("null")}, """ +
+      s""""max_iter": $maxIter, "final": ${jstr(fin)}}"""
+
+  // ---- shared materializations -----------------------------------------
+
+  /** The co-occurrence edge set, via the SAME edges CTE the gate uses. */
+  private val edgesInit: String =
+    s"CREATE OR REPLACE TEMP TABLE edges_t AS WITH ${CoGraph.edgesCte} " +
+      "SELECT src, dst FROM edges"
+
+  private val verticesInit: String =
+    "CREATE OR REPLACE TEMP TABLE vertices_t AS " +
+      "SELECT DISTINCT user_id AS id FROM events"
+
+  /** The normalized weight table, via the SAME weights CTE. */
+  private val weightsInit: String =
+    s"CREATE OR REPLACE TEMP TABLE weights_t AS WITH ${CoGraph.weightsCte} " +
+      "SELECT src, dst, weight FROM weights"
+
+  // ---- connected components (g03/g04/g09/g10/gf02/gf06) ----------------
+
+  /** Min-label propagation: every vertex keeps min(own label, labels of
+    * in-neighbors). The edge set is symmetric, so this converges to the
+    * min member id per component — the same label the recursive `reach`
+    * closure computes — in ≤ diameter rounds, with V-row state instead
+    * of the closure's V×componentSize pair table.
+    */
+  private val ccLoop = Seq(
+    """CREATE OR REPLACE TEMP TABLE nxt AS
+      |SELECT id, min(c) AS component FROM (
+      |  SELECT id, component AS c FROM lbl
+      |  UNION ALL
+      |  SELECT e.dst AS id, l.component AS c
+      |  FROM edges_t e JOIN lbl l ON l.id = e.src) u
+      |GROUP BY id""".stripMargin)
+
+  private val ccUntil =
+    "SELECT count(*) FROM nxt n JOIN lbl l USING (id) " +
+      "WHERE n.component <> l.component"
+
+  private val ccSwap = Seq("CREATE OR REPLACE TEMP TABLE lbl AS SELECT * FROM nxt")
+
+  private val ccInit = Seq(edgesInit, verticesInit,
+    "CREATE OR REPLACE TEMP TABLE lbl AS SELECT id, id AS component FROM vertices_t")
+
+  private def ccProg(fin: String): String =
+    prog(ccInit, ccLoop, ccSwap, Some(ccUntil), 1000, fin)
+
+  private val g03Fin = "SELECT id, component FROM lbl ORDER BY id"
+
+  private val g04Fin =
+    """SELECT component, CAST(count(*) AS BIGINT) AS component_size,
+      |       count(*) BETWEEN 5 AND 50 AS is_medium
+      |FROM lbl GROUP BY 1
+      |ORDER BY component_size DESC, component""".stripMargin
+
+  private val g09Fin =
+    s"""WITH fraud AS (SELECT DISTINCT user_id AS id, 1 AS is_fraud
+       |          FROM events WHERE event_type = 'error')
+       |SELECT component, CAST(count(*) AS BIGINT) AS component_size,
+       |       CAST(sum(coalesce(is_fraud, 0)) AS BIGINT) AS n_fraud,
+       |       ${graft.operators.Det.sqlR(
+          "CAST(sum(coalesce(is_fraud, 0)) AS DOUBLE) / count(*)", 4)} AS purity
+       |FROM lbl LEFT JOIN fraud USING (id)
+       |GROUP BY component
+       |HAVING count(*) >= 2
+       |ORDER BY component_size DESC, purity DESC, component""".stripMargin
+
+  private val g10Fin =
+    """WITH sizes AS (SELECT component, count(*) AS n FROM lbl GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_components,
+      |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated,
+      |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_connected_vertices,
+      |       max(n) AS max_component_size
+      |FROM sizes""".stripMargin
+
+  /** gf06's labels are LEXICOGRAPHIC minima (the façade's ascending
+    * string dictionary), so the propagation runs over VARCHAR ids.
+    */
+  private val gf06Prog: String = prog(
+    Seq(edgesInit,
+      "CREATE OR REPLACE TEMP TABLE edges_s AS SELECT CAST(src AS VARCHAR) " +
+        "AS src, CAST(dst AS VARCHAR) AS dst FROM edges_t",
+      "CREATE OR REPLACE TEMP TABLE lbl_s AS SELECT CAST(user_id AS VARCHAR)" +
+        " AS id, CAST(user_id AS VARCHAR) AS component " +
+        "FROM (SELECT DISTINCT user_id FROM events)"),
+    Seq("""CREATE OR REPLACE TEMP TABLE nxt_s AS
+          |SELECT id, min(c) AS component FROM (
+          |  SELECT id, component AS c FROM lbl_s
+          |  UNION ALL
+          |  SELECT e.dst AS id, l.component AS c
+          |  FROM edges_s e JOIN lbl_s l ON l.id = e.src) u
+          |GROUP BY id""".stripMargin),
+    Seq("CREATE OR REPLACE TEMP TABLE lbl_s AS SELECT * FROM nxt_s"),
+    Some("SELECT count(*) FROM nxt_s n JOIN lbl_s l USING (id) " +
+      "WHERE n.component <> l.component"),
+    1000,
+    "SELECT id, component FROM lbl_s ORDER BY id")
+
+  // ---- PageRank family (g06/g07/g11/g16) --------------------------------
+
+  /** One damping step — the literal body of PageRankOps.prCtes' level k,
+    * over materialized pr_t/weights_t/vertices_t.
+    */
+  private val prLoop = Seq(
+    """CREATE OR REPLACE TEMP TABLE pr_next AS
+      |SELECT v.id,
+      |       0.85 * coalesce(c.contrib, 0)
+      |         + 0.15 / (SELECT count(*) FROM vertices_t) AS pagerank
+      |FROM vertices_t v LEFT JOIN (
+      |  SELECT w.dst AS id, sum(p.pagerank * w.weight) AS contrib
+      |  FROM pr_t p JOIN weights_t w ON p.id = w.src
+      |  GROUP BY 1) c ON v.id = c.id""".stripMargin)
+
+  private val prSwap = Seq("CREATE OR REPLACE TEMP TABLE pr_t AS SELECT * FROM pr_next")
+
+  private val prInit = Seq(weightsInit, verticesInit,
+    "CREATE OR REPLACE TEMP TABLE pr_t AS SELECT id, " +
+      "1.0 / (SELECT count(*) FROM vertices_t) AS pagerank FROM vertices_t")
+
+  private def prProg(fin: String): String =
+    prog(prInit, prLoop, prSwap, None, PageRankOps.Iterations, fin)
+
+  private val g06Fin =
+    "SELECT id, round(pagerank, 10) AS pagerank FROM pr_t ORDER BY id"
+
+  private val g07Fin =
+    "SELECT id, round(pagerank, 10) AS pagerank FROM pr_t " +
+      "ORDER BY pagerank DESC, id LIMIT 10"
+
+  /** mulesSql's membership test `id IN (SELECT DISTINCT src FROM
+    * edge_amount)` over the weight table (same src set — weights is
+    * edge_amount joined to its own totals).
+    */
+  private val g11Fin =
+    s"""SELECT id, round(pagerank, 10) AS pagerank
+       |FROM pr_t
+       |WHERE id IN (SELECT DISTINCT src FROM weights_t)
+       |  AND id NOT IN (${PageRankOps.confirmedSeedsSql})
+       |ORDER BY pagerank DESC, id LIMIT 10""".stripMargin
+
+  private val g16Prog: String = prog(
+    Seq(weightsInit, verticesInit,
+      s"CREATE OR REPLACE TEMP TABLE seeds_t AS ${PageRankOps.confirmedSeedsSql}",
+      """CREATE OR REPLACE TEMP TABLE base_t AS
+        |SELECT v.id,
+        |  CASE WHEN s.id IS NOT NULL
+        |       THEN 0.15 / (SELECT count(*) FROM seeds_t) ELSE 0.0 END AS reset,
+        |  CASE WHEN s.id IS NOT NULL
+        |       THEN 1.0 / (SELECT count(*) FROM seeds_t) ELSE 0.0 END AS pagerank
+        |FROM vertices_t v LEFT JOIN seeds_t s ON v.id = s.id""".stripMargin,
+      "CREATE OR REPLACE TEMP TABLE pr_t AS SELECT id, pagerank FROM base_t"),
+    Seq("""CREATE OR REPLACE TEMP TABLE pr_next AS
+          |SELECT b.id, 0.85 * coalesce(c.contrib, 0) + b.reset AS pagerank
+          |FROM base_t b LEFT JOIN (
+          |  SELECT w.dst AS id, sum(p.pagerank * w.weight) AS contrib
+          |  FROM pr_t p JOIN weights_t w ON p.id = w.src
+          |  GROUP BY 1) c ON b.id = c.id""".stripMargin),
+    prSwap, None, PageRankOps.Iterations,
+    s"SELECT id, round(pagerank, 10) AS pagerank FROM pr_t " +
+      s"WHERE pagerank > 0 ORDER BY pagerank DESC, id LIMIT ${PageRankOps.PprTopK}")
+
+  /** name → staged-program JSON (raw object strings; Verify writes them
+    * verbatim into oracle_staged.json).
+    */
+  val programs: Map[String, String] = Map(
+    "g03_connected_components" -> ccProg(g03Fin),
+    "g04_component_stats" -> ccProg(g04Fin),
+    "g09_component_purity" -> ccProg(g09Fin),
+    "g10_isolation_summary" -> ccProg(g10Fin),
+    "gf02_facade_components" -> ccProg(g03Fin),
+    "gf06_facade_string_ids" -> gf06Prog,
+    "g06_pagerank_loop" -> prProg(g06Fin),
+    "g07_top_pagerank" -> prProg(g07Fin),
+    "g11_mules" -> prProg(g11Fin),
+    "g16_personalized_pagerank" -> g16Prog)
+}

@@ -960,16 +960,16 @@ object Corpus {
       .select(col("source"), explode(shingles3(col("t"))).as("s"))
       .distinct()
 
+  // composed from the shared tokensSql/shingles3Sql spellings (not
+  // hand-inlined) so a change to the tokenizer helpers can never desync
+  // the c15/c15b oracles from the engine's `sourceShingles`
   private val ssSql =
-    """ss AS (
-      |  SELECT DISTINCT source, unnest(shp) AS s
-      |  FROM (SELECT source,
-      |          list_distinct(list_transform(range(1, greatest(len(tt) - 1, 1)),
-      |            i -> tt[i] || ' ' || tt[i + 1] || ' ' || tt[i + 2])) AS shp
-      |        FROM (SELECT source,
-      |                list_filter(string_split(trim(text), ' '), x -> x <> '') AS tt
-      |              FROM documents WHERE text IS NOT NULL)
-      |        WHERE len(tt) >= 3))""".stripMargin
+    s"""ss AS (
+       |  SELECT DISTINCT source, unnest(shp) AS s
+       |  FROM (SELECT source, ${shingles3Sql("tt")} AS shp
+       |        FROM (SELECT source, ${tokensSql("text")} AS tt
+       |              FROM documents WHERE text IS NOT NULL)
+       |        WHERE len(tt) >= 3))""".stripMargin
 
   /** c15 — EXACT pairwise corpus overlap: for every pair of sources, the
     * distinct-shingle intersection size and Jaccard — the contamination

@@ -537,10 +537,14 @@ object Dedup {
   }
 
   /** See [[d06MinhashXxhashScale]]'s scaladoc for why the dictionary-id
-    * chain is a legitimate exact oracle for the xxhash-id path.
+    * chain is a legitimate exact oracle for the xxhash-id path (the
+    * driver's vanilla-DuckDB gate spelling). [[altOracles]] carries the
+    * EXACT-id spelling for the certification sweeps.
     */
-  private def d06Sql =
-    s"""WITH $shingleIdsSql,
+  private def d06Sql = d06SqlOver(shingleIdsSql)
+
+  private def d06SqlOver(ids: String) =
+    s"""WITH $ids,
        |$lshCoreSql
        |SELECT i.id_a, i.id_b,
        |  ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} AS jaccard
@@ -549,6 +553,20 @@ object Dedup {
        |JOIN sizes zb ON zb.doc_id = i.id_b
        |WHERE ${rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)} >= $JaccardT
        |ORDER BY i.id_a, i.id_b""".stripMargin
+
+  /** CTE chain ending in `ds(doc_id, sid)` with sids from
+    * `abs(xxh64(s)) % P` — the EXACT mirror of the engine's dictionary-
+    * free id assignment ([[d06MinhashXxhashScale]]). `xxh64` is not a
+    * DuckDB built-in: tools/check_oracle.py registers it (--alt) as a
+    * Python UDF implementing XXH64 seed 42 over UTF-8 bytes — bit-equal
+    * to Spark's `xxhash64` (XxHashSpec pins the equality on fixtures).
+    * Under this spelling banded-LSH candidate membership is identical on
+    * BOTH sides, so d06/d12 certify exact at EVERY SF — the sf≥1
+    * "+500 borderline pairs" id-dependence contract retires.
+    */
+  private def xxhashIdsSql: String =
+    s"""${cappedShingleRowsSql()},
+       |ds AS (SELECT doc_id, abs(xxh64(s)) % $P AS sid FROM sh)""".stripMargin
 
   /** CTE chain ending in `cc(doc_id, canonical_id)` — the near-dup cluster
     * closure over the d02 exact pair set that [[d07DedupClusters]]'s oracle
@@ -1117,9 +1135,11 @@ object Dedup {
       lshVerifiedPairs(ds.tracked))
   }
 
-  private def d12Sql = {
+  private def d12Sql = d12SqlOver(shingleIdsSql)
+
+  private def d12SqlOver(ids: String) = {
     val j = rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)
-    s"""WITH $shingleIdsSql,
+    s"""WITH $ids,
        |$lshCoreSql,
        |pairs AS (
        |  SELECT i.id_a, i.id_b, $j AS jaccard
@@ -1174,4 +1194,16 @@ object Dedup {
     "d06_minhash_xxhash_scale" -> d06Sql,
     "d07_dedup_clusters" -> d07Sql,
     "d08_neardup_after_dedup" -> d08Sql)
+
+  /** EXACT-id oracle spellings for the xxhash-id queries, requiring the
+    * `xxh64` UDF tools/check_oracle.py registers under --alt. The driver
+    * gate keeps [[oracles]]' dictionary-id spellings (vanilla DuckDB, no
+    * UDFs); the sf≥1 certification sweeps use these — same chain, same
+    * band scheme, but candidate membership computed under the engine's
+    * OWN id assignment, so the documented borderline-pair divergence
+    * cannot occur.
+    */
+  val altOracles: Map[String, String] = Map(
+    "d06_minhash_xxhash_scale" -> d06SqlOver(xxhashIdsSql),
+    "d12_arrival_dedup" -> d12SqlOver(xxhashIdsSql))
 }

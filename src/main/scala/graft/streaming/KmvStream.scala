@@ -89,14 +89,21 @@ object KmvStream {
 
   /** Streaming per-source sketch snapshots (Update mode: read the latest
     * row per source). `docs` must carry (source, text).
+    *
+    * k is fixed at [[K]] (= Corpus.KmvK): the shared pair-estimate stage
+    * ([[graft.operators.Corpus.kmvPairEstimates]]) hardcodes that k for
+    * both the merged bottom-k cutoff and the saturation test, so a
+    * different sketch k would yield silently wrong union/overlap
+    * estimates (a saturated smaller-k sketch would read as an exact
+    * unsaturated union).
     */
-  def sketches(docs: DataFrame, k: Int = K)(
+  def sketches(docs: DataFrame)(
       implicit s: SparkSession): Dataset[KmvSnapshot] = {
     import s.implicits._
     arrivals(docs)
       .as[HashArrival]
       .groupByKey(_.source)
-      .transformWithState(new KmvProcessor(k),
+      .transformWithState(new KmvProcessor(K),
         TimeMode.None(), OutputMode.Update())
   }
 
