@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executor-kill fault drill for the STATEFUL streams (VERDICT r11 item
+  * 5): [[streaming.EdgeStream]] (event-time timers, append) and
+  * [[streaming.KmvStream]] (TimeMode.None, update) on a REAL
+  * multi-executor master with RocksDB state, with one executor JVM
+  * force-killed mid-run. [[FaultDrill]] proves the BATCH registry
+  * recovers through lineage/checkpoint; this proves the
+  * `transformWithState` twins recover through the state store — the
+  * replacement executor must reload RocksDB state from the checkpoint
+  * and the re-planned micro-batches must reach the byte-identical
+  * finalized output.
+  *
+  * Protocol per stream: stage the corpus as ordered json files, one
+  * micro-batch per file (`maxFilesPerTrigger 1`); run CLEAN to get the
+  * reference output; re-run from a fresh checkpoint with a killer
+  * thread murdering one CoarseGrainedExecutorBackend mid-stream; assert
+  * the faulted finalized output equals the clean one AND the batch
+  * twin's answer ([[graph.CoGraph.cappedEdges]] /
+  * [[operators.Corpus.c15bCorpusOverlapKmv]]' shared estimate stage) —
+  * the same stream≡batch contract the specs pin, now under executor
+  * loss.
+  *
+  * EdgeStream staging detail: files are RANGE-partitioned and sorted on
+  * `ts` so arrival order is time order (a file source has no other
+  * order guarantee), the watermark uses 1 h lateness so a same-hour
+  * bucket split across a file boundary cannot be late-dropped, and two
+  * far-future sentinel files (written last → latest mtime → final two
+  * micro-batches) advance the watermark past every real bucket's close
+  * and fire the timers — the EdgeStreamSpec finalize pattern expressed
+  * in files.
+  *
+  * Usage: spark-submit --class graft.StreamFaultDrill <jar> [sfDir]
+  * (SPARK_GRAFT_MASTER defaults to local-cluster[3,4,4096]).
+  * Prints one `[streamdrill] <name>: …` line per drill and
+  * `STREAM DRILL PASS`/`FAIL`; exit 1 on any mismatch.
+  */
+object StreamFaultDrill {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      "local-cluster[3,4,4096]")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "12")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def executorPids(): Seq[ProcessHandle] =
+      ProcessHandle.allProcesses().iterator().asScala.filter { p =>
+        p.info().commandLine().map[Boolean](
+          _.contains("CoarseGrainedExecutorBackend")).orElse(false)
+      }.toSeq
+
+    /** Fire-and-forget killer: murder one executor `delayMs` in. */
+    def killer(tag: String, delayMs: Long): Thread = {
+      val t = new Thread(() => {
+        Thread.sleep(delayMs)
+        executorPids().headOption match {
+          case Some(p) =>
+            System.err.println(s"[streamdrill] $tag: killing executor pid ${p.pid()}")
+            p.destroyForcibly()
+          case None =>
+            System.err.println(s"[streamdrill] $tag: no executor JVM found")
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+
+    val work = Files.createTempDirectory("streamfaultdrill").toString
+    var failures = List.empty[String]
+
+    // ---- EdgeStream ------------------------------------------------------
+
+    val edgeIn = s"$work/edge_in"
+    Tables.events(spark, sfDir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").json(edgeIn)
+    // FileStreamSource orders files by MODIFICATION TIME; the parts all
+    // land within the same write and can tie/shuffle, and an
+    // out-of-range-order file would advance the watermark past earlier
+    // hours and late-drop them (the first drill run measured exactly
+    // that: 8 of 48 edges). Stamp an explicit mtime staircase in path
+    // (= ts-range) order so arrival order IS time order; the two
+    // sentinel files get the top steps — advance the watermark, then
+    // fire the timers.
+    val parts = Files.list(Paths.get(edgeIn)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      .sortBy(_.getFileName.toString)
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + 2000L * i))
+    }
+    val sentinel =
+      """{"ts":"2099-01-01T00:00:00.000Z","user_id":999999999,"event_type":"error"}"""
+    val s1 = Paths.get(s"$edgeIn/zz-sentinel-1.json")
+    val s2 = Paths.get(s"$edgeIn/zz-sentinel-2.json")
+    Files.writeString(s1, sentinel + "\n")
+    Files.writeString(s2, sentinel + "\n")
+    Files.setLastModifiedTime(s1, java.nio.file.attribute.FileTime
+      .fromMillis(t0 + 2000L * (parts.size + 1)))
+    Files.setLastModifiedTime(s2, java.nio.file.attribute.FileTime
+      .fromMillis(t0 + 2000L * (parts.size + 2)))
+
+    def runEdge(tag: String, kill: Boolean): Seq[(Long, Long, Long)] = {
+      val in = spark.readStream
+        .schema("ts TIMESTAMP, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(edgeIn)
+      // lateness covers the corpus's full time span: no row can EVER be
+      // late-dropped, buckets accumulate state across the whole run
+      // (maximum surviving RocksDB state for the kill to threaten), and
+      // every timer fires in the sentinel batches — arrival-order-immune
+      // by construction, like the batch self-join it must equal
+      val q = streaming.EdgeStream.bucketEdges(in, lateness = "3650 days")
+        .toDF()
+        .writeStream.format("memory").queryName(s"edge_$tag")
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/edge_ckpt_$tag")
+        .start()
+      if (kill) killer(s"edge_$tag", 2000)
+      q.processAllAvailable(); q.stop()
+      spark.table(s"edge_$tag")
+        .select("hour_epoch", "src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+
+    val edgeClean = runEdge("clean", kill = false)
+    val edgeFault = runEdge("fault", kill = true)
+    val edgeBatch = graph.CoGraph.cappedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edgeStreamSet = edgeClean.map(e => (e._2, e._3)).toSet
+    if (edgeFault != edgeClean)
+      failures ::= s"EdgeStream: faulted ${edgeFault.size} rows != clean ${edgeClean.size}"
+    if (edgeStreamSet != edgeBatch)
+      failures ::= s"EdgeStream: stream edge set ${edgeStreamSet.size} != batch ${edgeBatch.size}"
+    println(s"[streamdrill] EdgeStream: clean=${edgeClean.size} rows, " +
+      s"faulted=${if (edgeFault == edgeClean) "bit-equal" else "DIVERGED"}, " +
+      s"batch-distinct=${edgeBatch.size} " +
+      s"(${if (edgeStreamSet == edgeBatch) "match" else "MISMATCH"})")
+
+    // ---- KmvStream -------------------------------------------------------
+
+    val kmvIn = s"$work/kmv_in"
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .repartition(6)
+      .write.mode("overwrite").json(kmvIn)
+
+    def runKmv(tag: String, kill: Boolean): Seq[String] = {
+      val in = spark.readStream
+        .schema("source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(kmvIn)
+      val q = streaming.KmvStream.sketches(in)
+        .toDF()
+        .writeStream.format("memory").queryName(s"kmv_$tag")
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/kmv_ckpt_$tag")
+        .start()
+      if (kill) killer(s"kmv_$tag", 2000)
+      q.processAllAvailable(); q.stop()
+      streaming.KmvStream.overlapEstimates(
+          streaming.KmvStream.latest(spark.table(s"kmv_$tag")))
+        .collect().map(_.toString).toSeq.sorted
+    }
+
+    val kmvClean = runKmv("clean", kill = false)
+    val kmvFault = runKmv("fault", kill = true)
+    val kmvBatch = operators.Corpus.c15bCorpusOverlapKmv(spark, sfDir)
+      .collect().map(_.toString).toSeq.sorted
+    if (kmvFault != kmvClean)
+      failures ::= s"KmvStream: faulted estimates != clean"
+    if (kmvClean != kmvBatch)
+      failures ::= s"KmvStream: stream estimates != batch c15b (${kmvClean.size} vs ${kmvBatch.size})"
+    println(s"[streamdrill] KmvStream: ${kmvClean.size} pair estimates, " +
+      s"faulted=${if (kmvFault == kmvClean) "bit-equal" else "DIVERGED"}, " +
+      s"batch=${if (kmvClean == kmvBatch) "match" else "MISMATCH"}")
+
+    if (failures.isEmpty) {
+      println(s"STREAM DRILL PASS master=$master")
+      spark.stop()
+    } else {
+      failures.foreach(f => println(s"STREAM DRILL FAIL: $f"))
+      spark.stop()
+      sys.exit(1)
+    }
+  }
+}
