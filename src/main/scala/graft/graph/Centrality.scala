@@ -351,7 +351,7 @@ object Centrality {
   val g29bSql: String =
     modularitySql(Components.lpaCte(edgesCte = CoGraph.cappedEdgesCte()))
 
-  private def modularitySql(lpaCte: String): String =
+  private[graph] def modularitySql(lpaCte: String): String =
     s"""WITH $lpaCte,
        |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
        |m AS (SELECT count(*) AS m FROM edges),

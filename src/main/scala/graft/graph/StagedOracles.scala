@@ -66,10 +66,12 @@ object StagedOracles {
     "CREATE OR REPLACE TEMP TABLE vertices_t AS " +
       "SELECT DISTINCT user_id AS id FROM events"
 
-  /** The normalized weight table, via the SAME weights CTE. */
+  /** The normalized weight table, via the SAME weights CTE (amount kept:
+    * g17's integer-cents edge costs derive from it).
+    */
   private val weightsInit: String =
     s"CREATE OR REPLACE TEMP TABLE weights_t AS WITH ${CoGraph.weightsCte} " +
-      "SELECT src, dst, weight FROM weights"
+      "SELECT src, dst, amount, weight FROM weights"
 
   // ---- connected components (g03/g04/g09/g10/gf02/gf06) ----------------
 
@@ -214,10 +216,114 @@ object StagedOracles {
     s"SELECT id, round(pagerank, 10) AS pagerank FROM pr_t " +
       s"WHERE pagerank > 0 ORDER BY pagerank DESC, id LIMIT ${PageRankOps.PprTopK}")
 
+  // ---- GraphX-semantics PageRank (g08) ----------------------------------
+
+  /** graphxSql's level body over materialized tables, plus the
+    * SPARK-18847 rescale in the final.
+    */
+  private val g08Prog: String = prog(
+    Seq(edgesInit, verticesInit,
+      "CREATE OR REPLACE TEMP TABLE outdeg_t AS " +
+        "SELECT src, count(*) AS d FROM edges_t GROUP BY 1",
+      "CREATE OR REPLACE TEMP TABLE gpr_t AS " +
+        "SELECT id, 1.0 AS pagerank FROM vertices_t"),
+    Seq("""CREATE OR REPLACE TEMP TABLE gpr_next AS
+          |SELECT v.id, 0.15 + 0.85 * coalesce(c.s, 0) AS pagerank
+          |FROM vertices_t v LEFT JOIN (
+          |  SELECT e.dst AS id, sum(p.pagerank / o.d) AS s
+          |  FROM gpr_t p JOIN edges_t e ON p.id = e.src
+          |  JOIN outdeg_t o ON o.src = e.src
+          |  GROUP BY 1) c ON v.id = c.id""".stripMargin),
+    Seq("CREATE OR REPLACE TEMP TABLE gpr_t AS SELECT * FROM gpr_next"),
+    None, PageRankOps.Iterations,
+    """WITH factor AS (SELECT (SELECT count(*) FROM vertices_t) / sum(pagerank)
+      |           AS f FROM gpr_t)
+      |SELECT id, round(pagerank * f, 10) AS pagerank
+      |FROM gpr_t CROSS JOIN factor
+      |ORDER BY round(pagerank * f, 10) DESC, id LIMIT 50""".stripMargin)
+
+  // ---- label propagation (g14) and modularity over it (g29) -------------
+
+  /** lpaCte's per-level cnt/pick/lab step as one statement (the window
+    * arg-min spelling, nested so the row_number runs over the aggregate).
+    */
+  private val lpaLoop = Seq(
+    """CREATE OR REPLACE TEMP TABLE lab_next AS
+      |SELECT l.id, coalesce(p.label, l.label) AS label
+      |FROM lab l LEFT JOIN (
+      |  SELECT id, label FROM (
+      |    SELECT id, label,
+      |      row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      |    FROM (SELECT e.dst AS id, x.label, count(*) AS c
+      |          FROM edges_t e JOIN lab x ON e.src = x.id GROUP BY 1, 2))
+      |  WHERE rn = 1) p ON l.id = p.id""".stripMargin)
+
+  private val lpaInit = Seq(edgesInit, verticesInit,
+    "CREATE OR REPLACE TEMP TABLE lab AS SELECT id, id AS label FROM vertices_t")
+
+  private val lpaSwap = Seq("CREATE OR REPLACE TEMP TABLE lab AS SELECT * FROM lab_next")
+
+  private def lpaProg(fin: String): String =
+    prog(lpaInit, lpaLoop, lpaSwap, None, Components.LpaIterations, fin)
+
+  /** g29's final — the SAME modularitySql statement, with the leading CTE
+    * aliasing `edges`/`labels` onto the materialized tables (so the
+    * scoring spelling is shared verbatim with the gate oracle).
+    */
+  private val g29Fin: String = Centrality.modularitySql(
+    "edges AS (SELECT src, dst FROM edges_t),\n" +
+      "labels AS (SELECT id, label FROM lab)")
+
+  // ---- k-core peeling (g15) ---------------------------------------------
+
+  private val g15Prog: String = prog(
+    Seq(edgesInit, verticesInit,
+      "CREATE OR REPLACE TEMP TABLE alive AS SELECT id FROM vertices_t"),
+    Seq(s"""CREATE OR REPLACE TEMP TABLE alive_next AS
+           |SELECT e.src AS id FROM edges_t e
+           |JOIN alive a ON e.src = a.id
+           |JOIN alive b ON e.dst = b.id
+           |GROUP BY 1 HAVING count(*) >= ${Components.KcoreK}""".stripMargin),
+    Seq("CREATE OR REPLACE TEMP TABLE alive AS SELECT * FROM alive_next"),
+    None, Components.KcoreRounds,
+    """SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_deg
+      |FROM edges_t e
+      |JOIN alive a ON e.src = a.id
+      |JOIN alive b ON e.dst = b.id
+      |GROUP BY 1
+      |ORDER BY core_deg DESC, id""".stripMargin)
+
+  // ---- Bellman–Ford cost distance (g17) ---------------------------------
+
+  private val g17Prog: String = prog(
+    Seq(weightsInit,
+      """CREATE OR REPLACE TEMP TABLE wedges_t AS
+        |SELECT src, dst, CAST(round(round(amount, 2) * 100) AS BIGINT) AS cost
+        |FROM weights_t""".stripMargin,
+      s"CREATE OR REPLACE TEMP TABLE seeds_t AS ${PageRankOps.confirmedSeedsSql}",
+      "CREATE OR REPLACE TEMP TABLE dist AS " +
+        "SELECT id, CAST(0 AS BIGINT) AS cost FROM seeds_t"),
+    Seq("""CREATE OR REPLACE TEMP TABLE dist_next AS
+          |SELECT id, min(cost) AS cost FROM (
+          |  SELECT id, cost FROM dist
+          |  UNION ALL
+          |  SELECT e.dst AS id, d.cost + e.cost AS cost
+          |  FROM dist d JOIN wedges_t e ON d.id = e.src)
+          |GROUP BY 1""".stripMargin),
+    Seq("CREATE OR REPLACE TEMP TABLE dist AS SELECT * FROM dist_next"),
+    None, Components.CostHops,
+    "SELECT id, cost FROM dist ORDER BY cost, id")
+
   /** name → staged-program JSON (raw object strings; Verify writes them
     * verbatim into oracle_staged.json).
     */
   val programs: Map[String, String] = Map(
+    "g08_pagerank_graphx" -> g08Prog,
+    "g14_label_propagation" -> lpaProg(
+      "SELECT id, label FROM lab ORDER BY id"),
+    "g29_modularity" -> lpaProg(g29Fin),
+    "g15_kcore" -> g15Prog,
+    "g17_fraud_cost_distance" -> g17Prog,
     "g03_connected_components" -> ccProg(g03Fin),
     "g04_component_stats" -> ccProg(g04Fin),
     "g09_component_purity" -> ccProg(g09Fin),
