@@ -17,8 +17,11 @@ import graft.Tables
   * executes it as a range-partitioned sort + `zipWithIndex`-free window, fine
   * to |distinct shingles| in the billions but admittedly a scale tax.
   * [[d06MinhashXxhashScale]] is the production path: `xxhash64(shingle)`
-  * directly as the id — no dictionary, no sort, pure scan+agg — registered
-  * rows-only because DuckDB has no xxhash64.
+  * directly as the id — no dictionary, no sort, pure scan+agg. Its driver-
+  * gate oracle is the dictionary-id chain (exact at the gate SFs); the
+  * certification sweeps check it under the engine's OWN ids via the
+  * [[altOracles]] spellings + check_oracle.py's --alt xxh64 UDF
+  * (bit-equal to Spark's xxhash64, pinned both sides by XxHashSpec).
   */
 object Dedup {
   import TextFn._
