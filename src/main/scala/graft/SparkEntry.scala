@@ -141,6 +141,9 @@ object SparkEntry {
     "g32_hash_walks", "g32b_hash_walks_fanout", "g33_skipgram_pairs",
     // round-12: capped façade arms — rule (c), scale twins of the in-list
     // façade surface (gf05 OOM'd at sf1 over the raw relation)
-    "gf03b_facade_motif_capped", "gf05b_facade_triangles_capped"
+    "gf03b_facade_motif_capped", "gf05b_facade_triangles_capped",
+    // round-12: incremental dedup — rule (b), the daily-ingest plan shape
+    // (band join with a shrunken new side) nothing else in-list has
+    "d13_incremental_arrival_dedup"
   ).filter(queries.contains)
 }

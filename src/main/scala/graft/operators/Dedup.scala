@@ -251,19 +251,33 @@ object Dedup {
       .agg(min(perm(0, col("sid"))).as("h1"),
         (1 until NumPerm).map(j => min(perm(j, col("sid"))).as(s"h${j + 1}")): _*)
 
+  /** (doc_id, band, bk) band-bucket rows of a [[minhashSig]] frame:
+    * [[Bands]] bands × 2 rows per signature.
+    */
+  private def bandRows(sig: DataFrame): DataFrame = {
+    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
+      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+  }
+
+  /** Band-bucket equi-join: candidate pairs (id_a < id_b) with id_a from
+    * `x` and id_b from `y` — split sides so the incremental arm (d13)
+    * can shrink the NEW side to the increment before the join.
+    */
+  private def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
+    x.as("x")
+      .join(y.as("y"), col("x.band") === col("y.band")
+        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
   /** Band-bucket candidate pairs (id_a < id_b) of a [[minhashSig]] frame:
     * [[Bands]] bands × 2 rows, equi-join on (band, bucket-key).
     */
   private def lshCandidates(sig: DataFrame): DataFrame = {
-    val bandCols = (1 to Bands).map(b => struct(lit(b).as("band"),
-      concat_ws("_", col(s"h${2 * b - 1}"), col(s"h${2 * b}")).as("bk")))
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bk"))
-    bands.as("x")
-      .join(bands.as("y"), col("x.band") === col("y.band")
-        && col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val bands = bandRows(sig)
+    bandJoin(bands, bands)
   }
 
   private def d02Sql =
@@ -490,8 +504,14 @@ object Dedup {
     * body, extracted so the d12 id-dependence contract can run the SAME
     * chain under both id assignments on any corpus.
     */
-  private[graft] def lshVerifiedPairs(ds: DataFrame): DataFrame = {
-    val cand = lshCandidates(minhashSig(ds))
+  private[graft] def lshVerifiedPairs(ds: DataFrame): DataFrame =
+    verifyCandidates(ds, lshCandidates(minhashSig(ds)))
+
+  /** Exact-Jaccard verify of a caller-supplied candidate pair frame —
+    * the tail of [[lshVerifiedPairs]], shared with the incremental arm
+    * (d13), whose candidate stage restricts the band join's new side.
+    */
+  private def verifyCandidates(ds: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
       .join(ds.as("p"), col("id_a") === col("p.doc_id"))
@@ -1159,7 +1179,78 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Increment cutoff — the latest tenth of the corpus by arrival id
+    * (doc_id IS arrival order, the d12 convention): one scalar row,
+    * broadcast into the filters so no driver collect happens.
+    */
+  private def incrementCutoff(docs: DataFrame): DataFrame =
+    docs.agg(expr("max(doc_id) * 9 div 10").as("cutoff"))
+
+  /** d13 — INCREMENTAL arrival dedup: the daily-crawl form of d12. The
+    * corpus before the cutoff is already ingested and decided; only the
+    * increment (doc_id ≥ cutoff, the latest tenth here) needs a verdict,
+    * and a verdict needs only pairs whose LATER member is in the
+    * increment. The cutoff predicate is pushed into the band join's NEW
+    * side — the y-side of the candidate equi-join shrinks from the
+    * corpus to the increment BEFORE the join, so the already-deduped
+    * old×old quadrant is never recomputed: per increment, cost is
+    * O(increment bands · bucket collision rate), not O(corpus²).
+    * Decisions are IDENTICAL to running d12 over the full corpus and
+    * reading the increment's rows (the arrival-order semantics make the
+    * old×old pairs irrelevant to new arrivals — Round12Spec pins the
+    * equality), which is exactly the property that lets a 100 TB corpus
+    * ingest a daily increment without touching its own history. Rides
+    * the d06 dictionary-free chain (xxhash64 ids — no dictionary to
+    * rebuild when the corpus grows, the point of d06 at ingest time);
+    * oracle: the dictionary-id chain at the gate SFs (d06's documented
+    * equivalence), the xxh64 --alt spelling in the certification sweeps.
+    */
+  def d13IncrementalArrivalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = incrementCutoff(docs.select(col("doc_id")))
+    val ds = capShingles(shingleRowsOf(docs).tracked)
+      .select(col("doc_id"),
+        (abs(xxhash64(col("s"))) % lit(P)).as("sid")).tracked
+    val bands = bandRows(minhashSig(ds)).tracked
+    val newSide = bands.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cutoff")).drop("cutoff")
+    val pairs = verifyCandidates(ds, bandJoin(bands, newSide))
+    val increment = docs.select(col("doc_id")).crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cutoff")).select("doc_id")
+    arrivalDecisionFromPairs(increment, pairs)
+  }
+
+  private def d13Sql = d13SqlOver(shingleIdsSql)
+
+  /** d13's mirror: the full-corpus chain with the verified pairs
+    * restricted to increment-owned rows (restriction commutes with the
+    * per-pair verify, so filtering after the verify is the same answer
+    * the engine gets by shrinking the join's new side before it).
+    */
+  private def d13SqlOver(ids: String) = {
+    val j = rSql("CAST(i.c AS DOUBLE) / (za.n + zb.n - i.c)", 4)
+    s"""WITH $ids,
+       |$lshCoreSql,
+       |cut AS (SELECT max(doc_id) * 9 // 10 AS cutoff FROM documents),
+       |pairs AS (
+       |  SELECT i.id_a, i.id_b, $j AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.id_a
+       |  JOIN sizes zb ON zb.doc_id = i.id_b
+       |  WHERE $j >= $JaccardT
+       |    AND i.id_b >= (SELECT cutoff FROM cut)),
+       |owners AS (
+       |  SELECT id_b AS doc_id, min(id_a) AS dup_of,
+       |    arg_min(jaccard, id_a) AS jaccard
+       |  FROM pairs GROUP BY 1)
+       |SELECT d.doc_id, o.dup_of IS NULL AS is_kept, o.dup_of, o.jaccard
+       |FROM documents d LEFT JOIN owners o ON o.doc_id = d.doc_id
+       |WHERE d.doc_id >= (SELECT cutoff FROM cut)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_arrival_dedup" -> (d13IncrementalArrivalDedup _),
     "d12_arrival_dedup" -> (d12ArrivalDedup _),
     "d10_lsh_evaluation" -> (d10LshEvaluation _),
     "d10b_lsh_evaluation_sampled" -> (d10bLshEvaluationSampled _),
@@ -1182,6 +1273,7 @@ object Dedup {
     * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
+    "d13_incremental_arrival_dedup" -> d13Sql,
     "d12_arrival_dedup" -> d12Sql,
     "d10_lsh_evaluation" -> d10Sql,
     "d10b_lsh_evaluation_sampled" -> d10bSql,
@@ -1208,5 +1300,6 @@ object Dedup {
     */
   val altOracles: Map[String, String] = Map(
     "d06_minhash_xxhash_scale" -> d06SqlOver(xxhashIdsSql),
-    "d12_arrival_dedup" -> d12SqlOver(xxhashIdsSql))
+    "d12_arrival_dedup" -> d12SqlOver(xxhashIdsSql),
+    "d13_incremental_arrival_dedup" -> d13SqlOver(xxhashIdsSql))
 }
