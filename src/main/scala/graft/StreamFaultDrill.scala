@@ -193,6 +193,88 @@ object StreamFaultDrill {
       s"faulted=${if (kmvFault == kmvClean) "bit-equal" else "DIVERGED"}, " +
       s"batch=${if (kmvClean == kmvBatch) "match" else "MISMATCH"}")
 
+    // ---- generic TimeMode.None append twins (Dedup / Embed / Phash) ----
+
+    /** Stage a frame as ordered json files: range-partitioned + sorted on
+      * its FIRST column (the arrival id) with the mtime staircase, so
+      * file-source arrival order is id order — the precondition for the
+      * arrival-ordered twins to equal their batch siblings across
+      * micro-batches.
+      */
+    def stageOrdered(df: DataFrame, dir: String, parts: Int): Unit = {
+      val idCol = col(df.columns.head)
+      df.repartitionByRange(parts, idCol).sortWithinPartitions(idCol)
+        .write.mode("overwrite").json(dir)
+      val fs = Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val t = System.currentTimeMillis()
+      fs.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(t + 2000L * i))
+      }
+    }
+
+    def runAppend(tag: String, inDir: String, schema: String,
+        mk: DataFrame => DataFrame, kill: Boolean): Seq[String] = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir)
+      val q = mk(in).writeStream.format("memory").queryName(tag)
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt_$tag")
+        .start()
+      if (kill) killer(tag, 2000)
+      q.processAllAvailable(); q.stop()
+      spark.table(tag).collect().map(_.toString).toSeq.sorted
+    }
+
+    def drillAppend(name: String, inDir: String, schema: String,
+        mk: DataFrame => DataFrame): Seq[String] = {
+      val clean = runAppend(s"${name}_clean", inDir, schema, mk, kill = false)
+      val fault = runAppend(s"${name}_fault", inDir, schema, mk, kill = true)
+      if (fault != clean)
+        failures ::= s"$name: faulted ${fault.size} rows != clean ${clean.size}"
+      println(s"[streamdrill] $name: clean=${clean.size} verdict rows, " +
+        s"faulted=${if (fault == clean) "bit-equal" else "DIVERGED"}")
+      clean
+    }
+
+    // DedupStream — text LSH verdicts; ordered arrival ⇒ the dupDocs
+    // fold must ALSO equal the batch d12 decision (the StreamDrill
+    // contract, now certified under executor loss)
+    val dedupIn = s"$work/dedup_in"
+    stageOrdered(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")), dedupIn, 6)
+    drillAppend("DedupStream", dedupIn, "doc_id LONG, text STRING",
+      df => streaming.DedupStream.lshVerdicts(df).toDF())
+    val dedupStreamDups = streaming.DedupStream.dupDocs(
+        spark.table("DedupStream_clean"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dedupBatch = operators.Dedup.d12ArrivalDedup(spark, sfDir)
+      .filter(!col("is_kept")).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (dedupStreamDups != dedupBatch)
+      failures ::= s"DedupStream: decision fold ${dedupStreamDups.size} != batch d12 ${dedupBatch.size}"
+    println(s"[streamdrill] DedupStream fold: ${dedupStreamDups.size} dups, " +
+      s"batch d12=${if (dedupStreamDups == dedupBatch) "match" else "MISMATCH"}")
+
+    // EmbedStream — embedding near-dup verdicts (d05d's twin)
+    val embIn = s"$work/emb_in"
+    stageOrdered(Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")), embIn, 5)
+    val dEmb = operators.Similarity.maxDim(spark, sfDir)
+    drillAppend("EmbedStream", embIn, "vec_id LONG, embedding ARRAY<FLOAT>",
+      df => streaming.EmbedStream.embVerdicts(df, dEmb).toDF())
+
+    // PhashStream — perceptual near-dup verdicts (mm04b's twin); payload
+    // round-trips json as base64 under the BINARY schema
+    val phIn = s"$work/ph_in"
+    stageOrdered(operators.Multimodal.mediaTable(spark, sfDir), phIn, 5)
+    drillAppend("PhashStream", phIn,
+      "doc_id LONG, media_type STRING, payload BINARY, width INT, " +
+        "height INT, sample_rate INT",
+      df => streaming.PhashStream.phVerdicts(df).toDF())
+
     if (failures.isEmpty) {
       println(s"STREAM DRILL PASS master=$master")
       spark.stop()
