@@ -64,7 +64,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(r => if (!r.isCheckpointed) r.unpersist(false))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // noop sink, NOT count(): count() lets Catalyst rewrite the plan
+        // under Aggregate[count(1)] — outer joins against unique keys are
+        // ELIMINATED (measured: d12's whole LSH chain vanished from its
+        // count plan — 0.56 s at sf1 for a query whose digest runs ~18 s)
+        // and projected-but-unreferenced expensive columns are pruned.
+        // The noop sink evaluates every output row in full, which is what
+        // a consumer of the query would pay.
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -744,27 +744,48 @@ object TextOps {
     * Each term is snapped to a scaled LONG (floor(pᵢ²·1e8 + 0.5)) and the
     * fold sums integers — order-independent, exact.
     *
-    * Scale: pure per-row array math (distinct chars ≤ alphabet, so the
-    * inner filter is O(len·|Σ|)); zero shuffle, stays in codegen.
+    * Scale: explode → (doc, char) count → one per-doc aggregate. The
+    * original spelling was per-row higher-order-function math ("zero
+    * shuffle, stays in codegen") — and a measured trap: per row it
+    * rescans the char array once per DISTINCT char (O(len·|Σ|), with the
+    * lambda filter outside vectorized codegen), which priced at 20.7 s
+    * at sf0.1 once the round-12 noop-sink bench stopped count() from
+    * pruning the whole projection. The explode spelling is O(len) rows
+    * through two hash aggregates (map-side partial combine collapses
+    * each partition to ≤ docs·|Σ| rows before the shuffle) and one
+    * count-table-sized window; empty-char docs rejoin via left join so
+    * the output contract (n_chars = 0, null ratios) is unchanged.
     */
   def t14CharDiversity(s: SparkSession, dir: String): DataFrame = {
     val chars = filter(split(col("text"), ""), c => c =!= "")
-    val nc = size(chars).cast("long")
-    val counts = transform(array_distinct(chars),
-      c => size(filter(chars, x => x === c)).cast("long"))
-    val scaled = transform(counts, x => {
-      val p = x.cast("double") / nc.cast("double")
-      floor(p * p * lit(1e8) + lit(0.5)).cast("long")
-    })
-    Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val cnt = docs
+      .select(col("doc_id"), explode(chars).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("x"))
+    // per-doc total BEFORE the final fold: a window over the count table
+    // (≤ |Σ| rows per doc), partitioned on the same key the aggregate
+    // below shuffles on — one exchange serves both
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val scaled = cnt.withColumn("n", sum(col("x")).over(w))
+      .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+      .withColumn("sc", floor(col("p") * col("p") * lit(1e8) + lit(0.5))
+        .cast("long"))
+    val per = scaled.groupBy("doc_id").agg(
+      max(col("n")).as("n_chars"),
+      count(lit(1)).as("n_distinct_chars"),
+      (sum(col("sc")).cast("double") / lit(1e8)).as("simpson"),
+      r(max(col("x")).cast("double") / max(col("n")), 4).as("top_char_share"))
+    // null-text docs keep NULL counts (size(null) semantics of the
+    // original spelling and the DuckDB mirror); empty-text docs get 0s
+    docs.select(col("doc_id"), col("text").isNotNull.as("has_text"))
+      .join(per, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        nc.as("n_chars"),
-        size(array_distinct(chars)).cast("long").as("n_distinct_chars"),
-        when(nc > 0,
-          aggregate(scaled, lit(0L), (acc, x) => acc + x).cast("double")
-            / lit(1e8)).otherwise(lit(null)).as("simpson"),
-        when(nc > 0, r(array_max(counts).cast("double") / nc, 4))
-          .otherwise(lit(null)).as("top_char_share"))
+        when(col("has_text"), coalesce(col("n_chars"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("n_chars"),
+        when(col("has_text"), coalesce(col("n_distinct_chars"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("n_distinct_chars"),
+        col("simpson"), col("top_char_share"))
       .orderBy("doc_id")
   }
 
