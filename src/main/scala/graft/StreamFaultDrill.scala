@@ -65,19 +65,45 @@ object StreamFaultDrill {
           _.contains("CoarseGrainedExecutorBackend")).orElse(false)
       }.toSeq
 
-    /** Fire-and-forget killer: murder one executor `delayMs` in. */
-    def killer(tag: String, delayMs: Long): Thread = {
-      val t = new Thread(() => {
+    /** Killer with a landing receipt (ADVICE r12): records WHEN the kill
+      * fired (-1 pending, -2 no executor found) so the drill can assert
+      * the executor died while the faulted query was still running — a
+      * stream that finishes before `delayMs` would otherwise silently
+      * test nothing, and an unjoined killer could murder an executor
+      * during a LATER clean run, making reference runs depend on fault
+      * recovery. `assertFiredBefore` joins the thread (no stray kills
+      * survive past it) and returns the failure, if any.
+      */
+    final class Killer(tag: String, delayMs: Long) {
+      private val killedAt = new java.util.concurrent.atomic.AtomicLong(-1L)
+      private val t = new Thread(() => {
         Thread.sleep(delayMs)
         executorPids().headOption match {
           case Some(p) =>
             System.err.println(s"[streamdrill] $tag: killing executor pid ${p.pid()}")
             p.destroyForcibly()
+            killedAt.set(System.currentTimeMillis())
           case None =>
             System.err.println(s"[streamdrill] $tag: no executor JVM found")
+            killedAt.set(-2L)
         }
       })
-      t.setDaemon(true); t.start(); t
+      t.setDaemon(true); t.start()
+
+      /** Join the killer, then fail unless the kill landed while the
+        * query was still running (`queryEndMs` = right after
+        * processAllAvailable returned).
+        */
+      def assertFiredBefore(queryEndMs: Long): Option[String] = {
+        t.join(delayMs + 60000)
+        killedAt.get() match {
+          case -1L => Some(s"$tag: killer thread never completed")
+          case -2L => Some(s"$tag: no executor JVM found — fault arm tested nothing")
+          case k if k > queryEndMs =>
+            Some(s"$tag: kill landed ${k - queryEndMs} ms AFTER query end — fault arm tested nothing")
+          case _ => None
+        }
+      }
     }
 
     val work = Files.createTempDirectory("streamfaultdrill").toString
@@ -133,8 +159,11 @@ object StreamFaultDrill {
         .outputMode("append")
         .option("checkpointLocation", s"$work/edge_ckpt_$tag")
         .start()
-      if (kill) killer(s"edge_$tag", 2000)
-      q.processAllAvailable(); q.stop()
+      val k = if (kill) Some(new Killer(s"edge_$tag", 2000)) else None
+      q.processAllAvailable()
+      val endMs = System.currentTimeMillis()
+      q.stop()
+      k.flatMap(_.assertFiredBefore(endMs)).foreach(f => failures ::= f)
       spark.table(s"edge_$tag")
         .select("hour_epoch", "src", "dst")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -174,8 +203,11 @@ object StreamFaultDrill {
         .outputMode("update")
         .option("checkpointLocation", s"$work/kmv_ckpt_$tag")
         .start()
-      if (kill) killer(s"kmv_$tag", 2000)
-      q.processAllAvailable(); q.stop()
+      val k = if (kill) Some(new Killer(s"kmv_$tag", 2000)) else None
+      q.processAllAvailable()
+      val endMs = System.currentTimeMillis()
+      q.stop()
+      k.flatMap(_.assertFiredBefore(endMs)).foreach(f => failures ::= f)
       streaming.KmvStream.overlapEstimates(
           streaming.KmvStream.latest(spark.table(s"kmv_$tag")))
         .collect().map(_.toString).toSeq.sorted
@@ -223,8 +255,11 @@ object StreamFaultDrill {
         .outputMode("append")
         .option("checkpointLocation", s"$work/ckpt_$tag")
         .start()
-      if (kill) killer(tag, 2000)
-      q.processAllAvailable(); q.stop()
+      val k = if (kill) Some(new Killer(tag, 2000)) else None
+      q.processAllAvailable()
+      val endMs = System.currentTimeMillis()
+      q.stop()
+      k.flatMap(_.assertFiredBefore(endMs)).foreach(f => failures ::= f)
       spark.table(tag).collect().map(_.toString).toSeq.sorted
     }
 

@@ -34,6 +34,21 @@ object Dedup {
   private val SimBits = 63 // SimHash signature width (fits a signed long)
   private[graft] val JaccardT = 0.5 // verify threshold (planted dups ≥ 0.5 on testdata)
   private val HammingT = 10 // SimHash near-dup radius (calibrated on testdata)
+
+  /** Dictionary-free shingle id: `abs(xxhash64(s)) % P`, with the abs
+    * lazily guarded at Long.MinValue (ADVICE r12). Under Spark 4's
+    * default ANSI mode a bare `abs(Long.MinValue)` ABORTS THE JOB — a
+    * 2^-64-per-shingle fail-stop hazard that a 100 TB corpus (~10^12
+    * shingles) should not carry. The guard passes the boundary value
+    * through un-negated (`%` keeps the dividend's sign, matching the
+    * oracle's CASE spelling in [[xxhashIdsSql]] exactly); every other
+    * hash value produces the same sid as before, so all certified
+    * outputs are unchanged.
+    */
+  private def xxhashSid(c: Column): Column = {
+    val h = xxhash64(c)
+    when(h === Long.MinValue, h).otherwise(abs(h)) % lit(P)
+  }
   /** Posting-list document-frequency cap for the inverted-index verifier:
     * a shingle occurring in more than this many DISTINCT documents is
     * boilerplate (site chrome, license headers) and is dropped before the
@@ -496,8 +511,7 @@ object Dedup {
   def d06MinhashXxhashScale(s: SparkSession, dir: String): DataFrame =
     lshVerifiedPairs(
       cappedShingleRows(s, dir) // same cap contract as every path
-        .select(col("doc_id"),
-          (abs(xxhash64(col("s"))) % lit(P)).as("sid")).tracked)
+        .select(col("doc_id"), xxhashSid(col("s")).as("sid")).tracked)
       .orderBy("id_a", "id_b")
 
   /** MinHash→band→exact-verify pairs of a (doc_id, sid) frame — d06's
@@ -586,10 +600,20 @@ object Dedup {
     * Under this spelling banded-LSH candidate membership is identical on
     * BOTH sides, so d06/d12 certify exact at EVERY SF — the sf≥1
     * "+500 borderline pairs" id-dependence contract retires.
+    *
+    * Long.MinValue boundary (ADVICE r12): a bare `abs(-2^63)` aborts in
+    * BOTH engines (Spark 4 default-ANSI overflow, DuckDB out-of-range) —
+    * fail-stop symmetric, but a 2^-64-per-shingle job-abort hazard at
+    * corpus scale. Both sides now guard identically: the engine via
+    * [[xxhashSid]]'s lazy `when`, the oracle via this CASE — the
+    * boundary value passes through un-negated on both (each engine's `%`
+    * keeps the dividend's sign), every other hash is unchanged.
     */
   private def xxhashIdsSql: String =
     s"""${cappedShingleRowsSql()},
-       |ds AS (SELECT doc_id, abs(xxh64(s)) % $P AS sid FROM sh)""".stripMargin
+       |ds AS (SELECT doc_id,
+       |  (CASE WHEN xxh64(s) = -9223372036854775807 - 1 THEN xxh64(s)
+       |        ELSE abs(xxh64(s)) END) % $P AS sid FROM sh)""".stripMargin
 
   /** CTE chain ending in `cc(doc_id, canonical_id)` — the near-dup cluster
     * closure over the d02 exact pair set that [[d07DedupClusters]]'s oracle
@@ -1153,7 +1177,7 @@ object Dedup {
     val ds =
       if (dictionaryIds) shingleIdsOf(s, docs)
       else capShingles(shingleRowsOf(docs).tracked)
-        .select(col("doc_id"), (abs(xxhash64(col("s"))) % lit(P)).as("sid"))
+        .select(col("doc_id"), xxhashSid(col("s")).as("sid"))
     arrivalDecisionFromPairs(docs.select(col("doc_id")),
       lshVerifiedPairs(ds.tracked))
   }
@@ -1209,8 +1233,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     val cut = incrementCutoff(docs.select(col("doc_id")))
     val ds = capShingles(shingleRowsOf(docs).tracked)
-      .select(col("doc_id"),
-        (abs(xxhash64(col("s"))) % lit(P)).as("sid")).tracked
+      .select(col("doc_id"), xxhashSid(col("s")).as("sid")).tracked
     val bands = bandRows(minhashSig(ds)).tracked
     val newSide = bands.crossJoin(broadcast(cut))
       .filter(col("doc_id") >= col("cutoff")).drop("cutoff")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ListState, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues}
@@ -112,10 +112,15 @@ object DedupStream {
     * caveat above).
     */
   def signatures(docs: DataFrame, stopSids: Seq[Long] = Nil): DataFrame = {
+    // lazy Long.MinValue guard = Dedup.xxhashSid's (shared boundary
+    // contract; a bare ANSI abs would abort the stream on a 2^-64 hash)
+    def sid(s: Column): Column = {
+      val h = xxhash64(s)
+      when(h === Long.MinValue, h).otherwise(abs(h)) % lit(TextFn.P)
+    }
     val raw =
       when(size(col("t")) >= 3,
-        array_distinct(transform(TextFn.shingles3(col("t")),
-          s => abs(xxhash64(s)) % lit(TextFn.P))))
+        array_distinct(transform(TextFn.shingles3(col("t")), sid(_))))
         .otherwise(array().cast("array<bigint>"))
     docs
       .withColumn("t", TextFn.tokens(col("text")))

@@ -91,8 +91,16 @@ def _xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-def xxh64_signed(s: str) -> int:
-    """Spark-compatible xxhash64(string): signed-int64 view of XXH64."""
+def xxh64_signed(s):
+    """Spark-compatible xxhash64(string): signed-int64 view of XXH64.
+
+    NULL-safe (ADVICE r12): Spark's xxhash64 is null-intolerant (NULL in,
+    NULL out); mirroring that here (plus null_handling='special' at
+    registration) means a NULL shingle produces a comparable NULL id on
+    both sides instead of a Python traceback killing the whole oracle.
+    """
+    if s is None:
+        return None
     h = _xxh64(s.encode("utf-8"))
     return h - (1 << 64) if h >= (1 << 63) else h
 
@@ -139,7 +147,15 @@ ULP_CONTRACTS = {
 
 
 def ulp_boundary_check(name, g_raw, g_cols, e_raw, e_cols):
-    """Returns (ok, detail) for a contracted query's value mismatch."""
+    """Returns (ok, detail) for a contracted query's value mismatch.
+
+    Duplicate-key rows (same non-float key on both sides) are paired by
+    repr-sort of the full row — deterministic, but an arbitrary pairing
+    when several rows share a key AND differ only in float columns; in
+    the worst case that inflates a delta and FAILs (the safe direction,
+    never a false pass). g08b's key columns are unique, so the contract
+    in force never hits this.
+    """
     c = ULP_CONTRACTS[name]
     tol = 10.0 ** (-c["decimals"]) * 1.5  # one snap-grid step, with slack
     if sorted(g_cols) != sorted(e_cols) or len(g_raw) != len(e_raw):
@@ -148,7 +164,13 @@ def ulp_boundary_check(name, g_raw, g_cols, e_raw, e_cols):
     order_e = [e_cols.index(x) for x in sorted(e_cols)]
     g = [[r[i] for i in order_g] for r in g_raw]
     e = [[r[i] for i in order_e] for r in e_raw]
-    is_f = [any(isinstance(r[i], float) for r in g[:50])
+    # Column floatness from the FULL column on BOTH sides (ADVICE r12): a
+    # float column that happened to be all-NULL in a prefix sample would
+    # otherwise be treated as a key column and degrade to a spurious FAIL.
+    # any() over a generator short-circuits on the first float, so this
+    # stays cheap on the real (non-null) case.
+    is_f = [any(isinstance(r[i], float) for r in g)
+            or any(isinstance(r[i], float) for r in e)
             for i in range(len(order_g))]
 
     def key(row):
@@ -227,7 +249,8 @@ def main():
     if alt:
         _xxh64_selftest()
         con.create_function("xxh64", xxh64_signed,
-                            [duckdb.typing.VARCHAR], duckdb.typing.BIGINT)
+                            [duckdb.typing.VARCHAR], duckdb.typing.BIGINT,
+                            null_handling="special")
         try:
             alts = json.load(open(f"{out_dir}/oracle_sql_alt.json"))
         except FileNotFoundError:
