@@ -36,10 +36,36 @@ object Bench {
     // SPARK_GRAFT_QUERIES: comma-separated subset for controlled re-measures
     // (driver runs the full headline list). SPARK_GRAFT_RUNS: best-of-N.
     val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
       case Some(csv) => csv.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq
       case None      => SparkEntry.headline
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val sinkMode = sys.env.getOrElse("SPARK_GRAFT_SINK", "noop")
+    // SPARK_GRAFT_DRILL_KILL_MS (drill-only, with a local-cluster master):
+    // force-kill one executor JVM that many ms into the timed loop — the
+    // bench-under-fault certification (SCALE.md round 13). The kill time
+    // is recorded so the drill runner can assert it landed mid-loop.
+    val killedAtMs = new java.util.concurrent.atomic.AtomicLong(-1L)
+    sys.env.get("SPARK_GRAFT_DRILL_KILL_MS").map(_.toLong).foreach { ms =>
+      val t = new Thread(() => {
+        Thread.sleep(ms)
+        import scala.jdk.CollectionConverters._
+        ProcessHandle.allProcesses().iterator().asScala.find { p =>
+          p.info().commandLine().map[Boolean](
+            _.contains("CoarseGrainedExecutorBackend")).orElse(false)
+        } match {
+          case Some(p) =>
+            System.err.println(s"[bench] drill: killing executor pid ${p.pid()}")
+            p.destroyForcibly()
+            killedAtMs.set(System.currentTimeMillis())
+          case None =>
+            System.err.println("[bench] drill: no executor JVM found")
+            killedAtMs.set(-2L)
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
     // best of N runs per query (default 3): the first run carries
     // codegen-compile and JIT cost plus container noise (measured variance
     // up to 3x on the iterative queries, and round-2 showed container-wide
@@ -71,8 +97,14 @@ object Bench {
         // and projected-but-unreferenced expensive columns are pruned.
         // The noop sink evaluates every output row in full, which is what
         // a consumer of the query would pay.
+        // SPARK_GRAFT_SINK=count is a DIAGNOSTIC mode only (the
+        // count-elimination sweep, SCALE.md round 13): it deliberately
+        // reinstates the eliminable Aggregate[count(1)] sink so a
+        // noop-vs-count ratio can flag plans Catalyst can hollow out
+        // under count. Every recorded artifact uses the noop default.
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          if (sinkMode == "count") fn(spark, sfDir).count()
+          else fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
         catch {
@@ -82,6 +114,23 @@ object Bench {
         }
       }
       name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+    }
+    // Drill audit line: whether the kill landed inside the timed loop and
+    // whether the per-query release sweep left anything behind (tracked
+    // registry entries, SQL cache, non-checkpointed persistent RDDs) —
+    // the two properties the bench-under-fault drill asserts.
+    if (sys.env.contains("SPARK_GRAFT_DRILL_KILL_MS")) {
+      // rdds_pending is the state the FINAL query left (bounded — one
+      // query's own caches); accumulation across queries would show up
+      // here as a large count, because the per-run sweep above is the
+      // only thing that drains it mid-loop.
+      val pending = spark.sparkContext.getPersistentRDDs.values
+        .count(!_.isCheckpointed)
+      val drained = Caches.release(spark)
+      spark.catalog.clearCache()
+      System.err.println(s"[bench] drill: killedAtMs=${killedAtMs.get()} " +
+        s"loopEndMs=${System.currentTimeMillis()} rdds_pending=$pending " +
+        s"tracked_drained=$drained failures=${results.count(_._2 < 0)}")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

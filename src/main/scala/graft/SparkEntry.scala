@@ -148,6 +148,10 @@ object SparkEntry {
     "gf03b_facade_motif_capped", "gf05b_facade_triangles_capped",
     // round-12: incremental dedup — rule (b), the daily-ingest plan shape
     // (band join with a shrunken new side) nothing else in-list has
-    "d13_incremental_arrival_dedup"
+    "d13_incremental_arrival_dedup",
+    // round-13: d05's fixed-K sampled certificate — rule (c), the scale
+    // twin that makes d05's machinery oracle-checkable at sf>=1 (cost is
+    // K²-frozen, corpus-independent)
+    "d05e_embedding_neardup_sampled"
   ).filter(queries.contains)
 }

