@@ -30,20 +30,20 @@ import graft.Tables
   * g03's (SCALE.md "oracle-side limits"), where the engine side keeps
   * running (Pregel peels phases in parallel per superstep).
   *
-  * The sf≥1 oracle skip is PERMANENT (round 13, closing VERDICT r12 item
-  * 5): unlike the CC/PageRank families, no staged temp-table spelling
-  * exists, because min-label propagation is not SOUND for SCC — a label
-  * reaching a vertex proves one-directional reachability only, and
-  * taking componentwise minima of (forward, backward) labels merges
-  * vertices that merely share an ancestor and a descendant without being
-  * mutually reachable (e.g. the DAG a→b, a→c, b→d, c→d: b and c get
-  * identical (min-ancestor, min-descendant) = (a, d) yet are in
-  * different SCCs). Any sound mirror must materialize per-vertex REACH
-  * SETS — the Σ|SCC|² pair table that is exactly what times out. The
-  * standing certificate is therefore: (1) the recursive-closure oracle,
-  * exact at sf0.01 AND sf0.1 every round, and (2) Round5bOpsSpec's
-  * independent Floyd–Warshall mutual-reachability check (third spelling,
-  * engine-independent) pinning labels, sizes, and the
+  * sf≥1 oracle (round 13): the SINGLE-PASS min-label spelling is not
+  * SOUND for SCC — a label reaching a vertex proves one-directional
+  * reachability only, and taking componentwise minima of (forward,
+  * backward) labels merges vertices that merely share an ancestor and a
+  * descendant without being mutually reachable (the DAG a→b, a→c, b→d,
+  * c→d: b and c get identical (min-ancestor, min-descendant) = (a, d)
+  * yet sit in different SCCs) — and the monolithic recursive `reach`
+  * closure is Σ|SCC|² pairs (225M at sf1, where the chain graph is ONE
+  * 15,000-vertex SCC). The SOUND staged mirror that replaced both is
+  * the FB/coloring decomposition ([[StagedOracles]] g23Prog — nested
+  * forward max-color fixpoint + backward within-class closure per peel
+  * round, V-row state, never a reach-pair table), exact at sf0.01 and
+  * sf1. Independent third spelling: Round5bOpsSpec's Floyd–Warshall
+  * mutual-reachability check pinning labels, sizes, and the
   * several-components/nontrivial-ring shape.
   *
   * Scale: the chain build is one bounded per-bucket window (rank within
@@ -216,20 +216,27 @@ object Scc {
           .otherwise(lit(null).cast("double")).as("reciprocity"))
   }
 
+  /** The chain-edge CTE chain (activity → seq → edges), shared verbatim
+    * by the g25 mirror, the monolithic g23 gate mirror, and the staged
+    * FB-coloring program — one spelling, no drift.
+    */
+  private[graph] val chainEdgesCte: String =
+    """activity AS (
+      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
+      |         min(ts) AS first_ts
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |seq AS (
+      |  SELECT h, user_id,
+      |         row_number() OVER (PARTITION BY h
+      |           ORDER BY first_ts, user_id) AS rk
+      |  FROM activity),
+      |edges AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM seq a JOIN seq b
+      |    ON a.h = b.h AND b.rk = a.rk + 1 AND a.user_id <> b.user_id)""".stripMargin
+
   val g25Sql: String =
-    s"""WITH activity AS (
-       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
-       |         min(ts) AS first_ts
-       |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
-       |seq AS (
-       |  SELECT h, user_id,
-       |         row_number() OVER (PARTITION BY h
-       |           ORDER BY first_ts, user_id) AS rk
-       |  FROM activity),
-       |edges AS (
-       |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-       |  FROM seq a JOIN seq b
-       |    ON a.h = b.h AND b.rk = a.rk + 1 AND a.user_id <> b.user_id),
+    s"""WITH $chainEdgesCte,
        |counts AS (
        |  SELECT
        |    (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
@@ -245,19 +252,7 @@ object Scc {
        |FROM counts""".stripMargin
 
   val qSql: String =
-    """WITH RECURSIVE activity AS (
-      |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id,
-      |         min(ts) AS first_ts
-      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
-      |seq AS (
-      |  SELECT h, user_id,
-      |         row_number() OVER (PARTITION BY h
-      |           ORDER BY first_ts, user_id) AS rk
-      |  FROM activity),
-      |edges AS (
-      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-      |  FROM seq a JOIN seq b
-      |    ON a.h = b.h AND b.rk = a.rk + 1 AND a.user_id <> b.user_id),
+    s"""WITH RECURSIVE $chainEdgesCte,
       |verts AS (SELECT DISTINCT src AS v FROM edges
       |          UNION SELECT DISTINCT dst FROM edges),
       |reach(s, d) AS (

@@ -298,23 +298,35 @@ def main():
             return None, None, was_timeout
         return res[0], res[1], False
 
-    def run_staged(prog):
-        """Execute a staged temp-table program (init / loop / until_zero /
-        swap / final) under the same watchdog; returns like
-        run_with_timeout. The full program — including the iteration —
-        counts against the one timeout budget."""
-        def body():
-            for sql in prog.get("init", []):
+    def exec_program(prog):
+        """init / loop / until_zero / swap, to the fixpoint or max_iter.
+        A loop entry may itself be a nested program object (same keys,
+        minus final) — a nested fixpoint run to completion inside each
+        outer iteration. Needed by decompositions whose peel round
+        contains its own propagation (g23's FB-coloring: a forward
+        max-color fixpoint and a backward within-class closure per
+        peeling round)."""
+        for sql in prog.get("init", []):
+            con.execute(sql)
+        until = prog.get("until_zero")
+        for _ in range(prog["max_iter"]):
+            for st in prog.get("loop", []):
+                if isinstance(st, dict):
+                    exec_program(st)
+                else:
+                    con.execute(st)
+            z = con.sql(until).fetchone()[0] if until else None
+            for sql in prog.get("swap", []):
                 con.execute(sql)
-            until = prog.get("until_zero")
-            for _ in range(prog["max_iter"]):
-                for sql in prog.get("loop", []):
-                    con.execute(sql)
-                z = con.sql(until).fetchone()[0] if until else None
-                for sql in prog.get("swap", []):
-                    con.execute(sql)
-                if until and z == 0:
-                    break
+            if until and z == 0:
+                break
+
+    def run_staged(prog):
+        """Execute a staged temp-table program under the same watchdog;
+        returns like run_with_timeout. The full program — including all
+        (nested) iteration — counts against the one timeout budget."""
+        def body():
+            exec_program(prog)
             rel = con.sql(prog["final"])
             return rel.fetchall(), rel.columns
         res, was_timeout = with_watchdog(body)
