@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The Jaro–Winkler kernel, shared verbatim by the interpreted `eval` path
@@ -122,6 +122,10 @@ object StringFunctions {
     GraftBridge.column(
       JaroWinkler(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Column-level API for the native fingerprint. */
+  def charFingerprint(c: Column): Column =
+    GraftBridge.column(CharFingerprint(GraftBridge.expression(c)))
+
   private val info = new ExpressionInfo(
     classOf[JaroWinkler].getName, null, "jaro_winkler",
     "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (byte-level, " +
@@ -137,4 +141,77 @@ object StringFunctions {
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaro_winkler"), info, builder)
+}
+
+/** The char-fingerprint kernel (polynomial rolling hash, base 31 mod
+  * 1e9+7 over Unicode CODE POINTS), shared verbatim by the interpreted
+  * `eval` path and the generated code — the [[JaroWinklerAlgo]] pattern.
+  *
+  * Semantics are pinned bit-exact to the HOF reference spelling
+  * `aggregate(transform(filter(split(text,'')), ascii), 0, (a,x) ->
+  * (a*31+x) % 1e9+7)` — measured identical on ASCII, BMP multibyte, AND
+  * supplementary-plane characters (Spark's split('')/ascii chain folds
+  * CODE POINTS, 😀 → 128512, matching DuckDB's string_split/ascii) — so
+  * the DuckDB `list_reduce` oracle mirror is untouched. The mod is
+  * applied per character, exactly like the lambda; acc < 1e9+7 keeps
+  * `acc*31 + cp` far inside Long range.
+  */
+object CharFingerprintAlgo {
+  final val Mod = 1000000007L
+
+  def fp(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xFF
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
+        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len && i + j < n) {
+          cp = (cp << 6) | (bytes(i + j) & 0x3F)
+          j += 1
+        }
+      }
+      acc = (acc * 31 + cp) % Mod
+      i += len
+    }
+    acc
+  }
+}
+
+/** Native Catalyst expression for the document fingerprint — the rolling
+  * hash every exact-dedup and corpus-snapshot operator keys on (13 call
+  * sites: d01, t04, t15, the Corpus family, the stream twin).
+  *
+  * Why custom: the HOF reference spelling pays one INTERPRETED lambda
+  * per character plus a per-character string allocation from
+  * `split('')` — measured as the whole cost of t04 (0.89 s at sf0.1 for
+  * a hash that should be memory-bandwidth-bound). This expression walks
+  * the raw UTF-8 bytes once inside whole-stage codegen (one static call,
+  * no boxing, no intermediate array), decoding code points inline.
+  */
+case class CharFingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_fingerprint expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_fingerprint"
+
+  override protected def nullSafeEval(s: Any): Any =
+    CharFingerprintAlgo.fp(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharFingerprintAlgo.fp($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharFingerprint = copy(child = newChild)
 }

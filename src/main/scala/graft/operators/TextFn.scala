@@ -62,7 +62,20 @@ object TextFn {
     * prepends a literal 0.
     */
   val FpMod = 1000000007L
+  /** Native codegen'd rolling hash (round 13) — one raw-byte walk inside
+    * whole-stage codegen instead of one interpreted lambda + one string
+    * allocation PER CHARACTER (the t04-class HOF cost; 13 call sites
+    * share this primitive). Bit-equal to [[charFingerprintHof]] — the
+    * reference HOF spelling kept below for the equality spec — and to
+    * the DuckDB `list_reduce` mirror, which is untouched.
+    */
   def charFingerprint(text: Column): Column =
+    graft.functions.StringFunctions.charFingerprint(text)
+
+  /** The HOF reference spelling (the signBit pattern: interpreted, kept
+    * only so Round13Spec can pin the native kernel bit-equal to it).
+    */
+  def charFingerprintHof(text: Column): Column =
     aggregate(
       transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -41,4 +41,27 @@ class Round13Spec extends AnyFunSuite with SparkTestSession {
   test("d05e == d05 restricted to the hash sample (sf0.01)") {
     checkSampledEqualsRestricted(SfMid)
   }
+
+  /** The native codegen'd fingerprint kernel must be bit-equal to the HOF
+    * reference spelling (the signBit discipline) — on golden strings
+    * covering ASCII, BMP multibyte, supplementary-plane code points, and
+    * edge shapes, AND on every real document at two SFs.
+    */
+  test("native char_fingerprint == HOF reference on goldens and testdata") {
+    import spark.implicits._
+    val goldens = Seq("", "a", "abc", "hello world", "héllo ünïcode ⚡",
+      "a😀b", "   spaces   ", "line\nbreak\ttab", "ÿ", "𝕌𝕟𝕚")
+    val g = goldens.toDF("text")
+      .select(operators.TextFn.charFingerprint(col("text")).as("n"),
+        operators.TextFn.charFingerprintHof(col("text")).as("h"))
+      .collect()
+    g.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    Seq(Sf, SfMid).foreach { dir =>
+      val bad = Tables.documents(spark, dir)
+        .select(operators.TextFn.charFingerprint(col("text")).as("n"),
+          operators.TextFn.charFingerprintHof(col("text")).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(bad == 0L, s"$dir: $bad fingerprint mismatches")
+    }
+  }
 }
