@@ -84,25 +84,29 @@ object TextOps {
     * token BPE budget). Narrow-only; `limit` bounds the verify dump.
     */
   def t01TokenStats(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
+    // tokens bound once (the t06 rule: four consumers below would each
+    // re-run split+trim+filter); n_regex_tokens counts matches without
+    // allocating the extract_all match array (the t06 alpha_ratio move)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_tokens", size(t).cast("long"))
-      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast("long"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct_tokens",
+        size(array_distinct(col("toks"))).cast("long"))
       .withColumn("sum_token_len",
-        aggregate(transform(t, x => length(x).cast("long")), lit(0L),
-          (acc, x) => acc + x))
+        aggregate(transform(col("toks"), x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x))
       .withColumn("mean_token_len",
         when(col("n_tokens") > 0,
           r(col("sum_token_len").cast("double") / col("n_tokens"), 4))
           .otherwise(lit(null))) // NULL like DuckDB's x/0, not NaN
       .withColumn("n_subwords",
-        aggregate(transform(t, x => ceil(length(x) / lit(4.0)).cast("long")),
+        aggregate(transform(col("toks"),
+          x => ceil(length(x) / lit(4.0)).cast("long")),
           lit(0L), (acc, x) => acc + x))
       .withColumn("n_regex_tokens",
-        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
-          .cast("long"))
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long"))
       .select("doc_id", "n_chars", "n_tokens", "n_distinct_tokens",
         "mean_token_len", "n_subwords", "n_regex_tokens")
       .orderBy("doc_id")
