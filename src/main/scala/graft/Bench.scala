@@ -47,11 +47,16 @@ object Bench {
     // bench-under-fault certification (SCALE.md round 13). The kill time
     // is recorded so the drill runner can assert it landed mid-loop.
     val killedAtMs = new java.util.concurrent.atomic.AtomicLong(-1L)
-    sys.env.get("SPARK_GRAFT_DRILL_KILL_MS").map(_.toLong).foreach { ms =>
+    // ADVICE r13: match only DESCENDANTS of this JVM (local-cluster
+    // executors are our children) — an allProcesses() scan could kill an
+    // executor of an unrelated Spark job sharing the host — and keep the
+    // thread handle so the audit line can JOIN it (bounded) instead of
+    // racing the kill and printing killedAtMs=-1.
+    val killer = sys.env.get("SPARK_GRAFT_DRILL_KILL_MS").map(_.toLong).map { ms =>
       val t = new Thread(() => {
         Thread.sleep(ms)
         import scala.jdk.CollectionConverters._
-        ProcessHandle.allProcesses().iterator().asScala.find { p =>
+        ProcessHandle.current().descendants().iterator().asScala.find { p =>
           p.info().commandLine().map[Boolean](
             _.contains("CoarseGrainedExecutorBackend")).orElse(false)
         } match {
@@ -64,7 +69,7 @@ object Bench {
             killedAtMs.set(-2L)
         }
       })
-      t.setDaemon(true); t.start()
+      t.setDaemon(true); t.start(); t
     }
     // best of N runs per query (default 3): the first run carries
     // codegen-compile and JIT cost plus container noise (measured variance
@@ -120,6 +125,13 @@ object Bench {
     // registry entries, SQL cache, non-checkpointed persistent RDDs) —
     // the two properties the bench-under-fault drill asserts.
     if (sys.env.contains("SPARK_GRAFT_DRILL_KILL_MS")) {
+      // join the killer (bounded) so killedAtMs below is the landed value,
+      // not a race; a still-alive killer past the bound is interrupted so
+      // it cannot fire into whatever runs next in this JVM
+      killer.foreach { t =>
+        t.join(10000)
+        if (t.isAlive) { t.interrupt(); killedAtMs.compareAndSet(-1L, -3L); () }
+      }
       // rdds_pending is the state the FINAL query left (bounded — one
       // query's own caches); accumulation across queries would show up
       // here as a large count, because the per-run sweep above is the
@@ -139,8 +151,23 @@ object Bench {
     // best-of-N and, when the g06 anchor ran in the same window, the
     // anchor time — so a cross-window diff can tell container-I/O drift
     // from a real regression without a separate calibration run.
+    // anchor_norm_total (VERDICT r13 item 6): totals rescaled to a PINNED
+    // reference anchor (g06 at sf0.1 in a calm window = 4.50 s, the middle
+    // of the 4.3–4.6 s band every calm round-10..13 artifact landed in) so
+    // round-over-round totals compare meaningfully even when one side was
+    // recorded in a hot container window. Only emitted when the anchor ran
+    // in the same window AND the run is at the anchor's own SF (sf0.1) —
+    // rescaling an sf1/sf10 total by an sf0.1 anchor would assume the
+    // noise is SF-independent, which container I/O spikes are not.
+    val anchorRef = 4.50
     val anchor = results.collectFirst {
-      case ("g06_pagerank_loop", v) if v >= 0 => s""","anchor_s":$v"""
+      case ("g06_pagerank_loop", v) if v >= 0 =>
+        val norm =
+          if (sfDir.contains("sf0.1")) {
+            val nt = results.map(_._2).filter(_ >= 0).sum * anchorRef / v
+            s""","anchor_ref_s":$anchorRef,"anchor_norm_total":$nt"""
+          } else ""
+        s""","anchor_s":$v$norm"""
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs$anchor,""" +

@@ -96,6 +96,12 @@ object StreamFaultDrill {
         */
       def assertFiredBefore(queryEndMs: Long): Option[String] = {
         t.join(delayMs + 60000)
+        // ADVICE r13: a killer still alive past the join bound is correctly
+        // reported as a failure below, but left running it could fire into
+        // a LATER clean arm — the exact hazard this receipt closes. Its
+        // only blocking point is the interruptible Thread.sleep, so
+        // interrupt() retires it before we return.
+        if (t.isAlive) t.interrupt()
         killedAt.get() match {
           case -1L => Some(s"$tag: killer thread never completed")
           case -2L => Some(s"$tag: no executor JVM found — fault arm tested nothing")

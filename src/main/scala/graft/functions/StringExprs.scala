@@ -155,6 +155,15 @@ object StringFunctions {
   * the DuckDB `list_reduce` oracle mirror is untouched. The mod is
   * applied per character, exactly like the lambda; acc < 1e9+7 keeps
   * `acc*31 + cp` far inside Long range.
+  *
+  * MALFORMED input (round 14, ADVICE r13): bit-equality now covers
+  * invalid UTF-8 too — the kernel reproduces the HOF's observable
+  * behavior (split('') steps by UTF8String.numBytesForFirstByte, where
+  * invalid leading bytes step 1; ascii() yields the first code point of
+  * each slice's Java replace-decode, i.e. U+FFFD for any malformed or
+  * truncated slice, with Java's overlong/surrogate/range checks).
+  * Round14Spec fuzzes the equality over 2000 malformation-biased random
+  * byte strings.
   */
 object CharFingerprintAlgo {
   final val Mod = 1000000007L
@@ -166,16 +175,51 @@ object CharFingerprintAlgo {
     var i = 0
     while (i < n) {
       val b0 = bytes(i) & 0xFF
-      var cp = b0
-      var len = 1
-      if (b0 >= 0x80) {
-        if ((b0 & 0xE0) == 0xC0) { cp = b0 & 0x1F; len = 2 }
-        else if ((b0 & 0xF0) == 0xE0) { cp = b0 & 0x0F; len = 3 }
-        else { cp = b0 & 0x07; len = 4 }
-        var j = 1
-        while (j < len && i + j < n) {
-          cp = (cp << 6) | (bytes(i + j) & 0x3F)
+      // Step width = Spark UTF8String.numBytesForFirstByte (what the HOF's
+      // split('') walks by): valid leads step their sequence length,
+      // INVALID leads (0x80–0xC1 continuations/overlong leads, 0xF5–0xFF)
+      // step 1. ADVICE r13: the old loop put 0xF8–0xFF in the 4-byte
+      // branch and folded partial code points on truncation, diverging
+      // from the HOF spelling on malformed input (strings cast from
+      // binary). Pinned by the malformed-byte fuzz in Round14Spec.
+      val len =
+        if (b0 < 0x80) 1
+        else if (b0 >= 0xC2 && b0 <= 0xDF) 2
+        else if (b0 >= 0xE0 && b0 <= 0xEF) 3
+        else if (b0 >= 0xF0 && b0 <= 0xF4) 4
+        else 1
+      // Folded value = first code point of the slice's Java replace-decode
+      // (ascii() semantics): the code point itself when the slice is a
+      // complete valid sequence (incl. the overlong/surrogate/range checks
+      // Java enforces), U+FFFD otherwise.
+      var cp = 0xFFFD
+      if (b0 < 0x80) cp = b0
+      else if (len > 1 && i + len <= n) {
+        val b1 = bytes(i + 1) & 0xFF
+        var ok =
+          if (len == 2) b1 >= 0x80 && b1 <= 0xBF
+          else if (len == 3) {
+            if (b0 == 0xE0) b1 >= 0xA0 && b1 <= 0xBF
+            else if (b0 == 0xED) b1 >= 0x80 && b1 <= 0x9F
+            else b1 >= 0x80 && b1 <= 0xBF
+          } else {
+            if (b0 == 0xF0) b1 >= 0x90 && b1 <= 0xBF
+            else if (b0 == 0xF4) b1 >= 0x80 && b1 <= 0x8F
+            else b1 >= 0x80 && b1 <= 0xBF
+          }
+        var j = 2
+        while (ok && j < len) {
+          val bj = bytes(i + j) & 0xFF
+          ok = bj >= 0x80 && bj <= 0xBF
           j += 1
+        }
+        if (ok) {
+          cp =
+            if (len == 2) ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+            else if (len == 3) ((b0 & 0x0F) << 12) |
+              ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+            else ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+              ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F)
         }
       }
       acc = (acc * 31 + cp) % Mod

@@ -149,7 +149,12 @@ object TextOps {
     // one substring allocation PER CHARACTER (measured 1.73 s vs 0.35 s
     // at sf0.1, zero differing rows; found by the round-13
     // count-elimination sweep).
-    val bigramRe = "(?=" + enBigrams.mkString("|") + ")"
+    // Each alternative is Pattern.quote'd (ADVICE r13): today's profile is
+    // letters-only, but a future bigram containing a regex metacharacter
+    // would otherwise silently change the count vs the DuckDB
+    // list_contains mirror.
+    val bigramRe =
+      "(?=" + enBigrams.map(java.util.regex.Pattern.quote).mkString("|") + ")"
     // Tokens bound as a REAL column, not a compound expression: the four
     // per-language filters (and size) each reference it, and
     // CollapseProject keeps multi-use non-cheap projections un-inlined,
