@@ -149,6 +149,9 @@ object SparkEntry {
     // round-12: incremental dedup — rule (b), the daily-ingest plan shape
     // (band join with a shrunken new side) nothing else in-list has
     "d13_incremental_arrival_dedup",
+    // rule (b): persisted-index probe — a plan shape nothing else has
+    // (parquet index scans + broadcast band probe, zero corpus text work)
+    "d14_indexed_incremental_dedup",
     // round-13: d05's fixed-K sampled certificate — rule (c), the scale
     // twin that makes d05's machinery oracle-checkable at sf>=1 (cost is
     // K²-frozen, corpus-independent)

@@ -525,8 +525,16 @@ object Dedup {
     * the tail of [[lshVerifiedPairs]], shared with the incremental arm
     * (d13), whose candidate stage restricts the band join's new side.
     */
-  private def verifyCandidates(ds: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private def verifyCandidates(ds: DataFrame, cand: DataFrame): DataFrame =
+    verifyCandidatesSized(ds,
+      ds.groupBy("doc_id").agg(count(lit(1)).as("n")), cand)
+
+  /** [[verifyCandidates]] with CALLER-SUPPLIED per-doc set sizes — the
+    * indexed incremental arm (d14) reads sizes from its persisted table
+    * instead of re-aggregating the whole corpus per probe.
+    */
+  private def verifyCandidatesSized(ds: DataFrame, sizes: DataFrame,
+      cand: DataFrame): DataFrame = {
     cand
       .join(ds.as("p"), col("id_a") === col("p.doc_id"))
       .join(ds.as("q"), col("id_b") === col("q.doc_id")
@@ -1228,6 +1236,14 @@ object Dedup {
     * rebuild when the corpus grows, the point of d06 at ingest time);
     * oracle: the dictionary-id chain at the gate SFs (d06's documented
     * equivalence), the xxh64 --alt spelling in the certification sweeps.
+    *
+    * SCOPE (round 14): d13 is the STATELESS spelling — one self-contained
+    * query, nothing persisted — so it still re-derives corpus shingles/
+    * signatures from raw text each run (honest sf10: 61.7 s vs d12's
+    * 58.8 s; the decision is O(increment) but the derivation is not).
+    * The production daily-ingest arm is [[d14IndexedIncrementalDedup]],
+    * which persists the signature/band index at write time and probes it
+    * — same decisions, probe cost O(increment + index scans).
     */
   def d13IncrementalArrivalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -1272,7 +1288,207 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d14 — INDEXED incremental arrival dedup (persisted signature/band
+  // index; VERDICT r13 item 1).
+  //
+  // d13 proved the DECISION is O(increment) — only pairs whose later
+  // member is new matter — but its honest sf10 bench (61.7 s vs d12's
+  // 58.8 s) exposed that it re-DERIVES the whole corpus's shingles,
+  // signatures and bands from raw text every run. A 100 TB daily ingest
+  // cannot pay corpus-wide text re-processing per day. d14 moves that
+  // work to WRITE time: ingest persists four parquet tables, and the
+  // daily job tokenizes ONLY the increment, probes the stored index, and
+  // appends. Per probe the corpus is touched only as columnar SCANS of
+  // longs (df/sids/bands), never as text.
+  //
+  // Index layout (all keyed by h = xxhash64(shingle), the full 64-bit
+  // value — sid = abs-guarded h % P is DERIVED on read, so the chain is
+  // bit-identical to d06/d12's dictionary-free spelling):
+  //   df    (h, df)            shingle document frequency over ingested docs
+  //   sids  (doc_id, h)        post-cap shingle rows AS OF WRITE TIME
+  //   sizes (doc_id, n)        per-doc post-cap set size as of write time
+  //   bands (doc_id, band, bk) LSH band rows as of write time
+  //
+  // THE CAP-CROSSING PROBLEM — why naive index reuse would be WRONG: the
+  // MaxShingleDf boilerplate cap is corpus-GLOBAL, so a growing corpus
+  // can push a shingle past the cap AFTER historical docs were signed
+  // with it; their stored signatures/bands go stale and the d12 equality
+  // breaks. d14's probe repairs this exactly, at bounded cost:
+  //   hotNow   = shingles hot under df_stored ⊕ df_increment
+  //   (a crossing shingle was under the cap when written, so it appears
+  //   in ≤ MaxShingleDf stored doc rows — the fix-up set is A PRIORI
+  //   BOUNDED at 64 docs per crossing shingle)
+  //   affected = stored docs holding a now-hot h  → re-sign/re-band from
+  //              their STORED sids (no text), sizes recomputed
+  //   dsCur    = sids ⟂ hotNow  ∪  increment sids  (⟂ = left_anti)
+  // Removal is keyed by h, not the shingle string: divergence from
+  // d12's string-keyed cap needs a same-doc 64-bit xxhash collision —
+  // the SAME documented 2^-64 class as the d06 id assignment itself.
+  //
+  // Plan shape at scale: the band probe joins corpus-sized stored bands
+  // against increment bands — AQE broadcasts the increment side (a real
+  // daily increment is ~0.1% of corpus), so the stored side is scan +
+  // broadcast-hash-join, NO corpus shuffle; hot/crosser/affected frames
+  // are capped-small and broadcast the same way (no hints — the
+  // capShingles AQE discipline). Verify joins stored sids against the
+  // candidate pairs (broadcast) with sizes from the persisted table —
+  // the ONE corpus-wide groupBy d13 paid per run is gone. A production
+  // deployment would additionally bucket sids/bands by their join keys
+  // (sinks/Bucketing.scala) to turn the probe scans into pruned reads,
+  // and compact df/bands epochs LSM-style; both are layout choices under
+  // the same probe algebra.
+  //
+  // Append rule (the ingest cycle): append increment sids/bands/sizes
+  // capped AS OF NOW, overwrite df with the merged counts. Stored rows
+  // are never rewritten on cap-crossing — the probe's hotNow/affected
+  // repair is self-healing against arbitrarily many epochs (stale band
+  // rows of affected docs are recomputed per probe until a compaction
+  // rewrites them). Round14Spec pins single-epoch AND two-epoch builds
+  // equal to d12-restricted-to-increment, plus a synthetic cap-crossing
+  // corpus where the naive (no-repair) reuse would flip decisions.
+  // ---------------------------------------------------------------------
+
+  /** Guarded-abs mod-P sid from a stored 64-bit shingle hash — EXACTLY
+    * [[xxhashSid]]'s arithmetic applied to its own xxhash64 value.
+    */
+  private def sidOfH(h: Column): Column =
+    (when(h === Long.MinValue, h).otherwise(abs(h)) % lit(P)).as("sid")
+
+  /** (doc_id, h) rows of a docs frame — per-doc-distinct shingles hashed
+    * to their full 64-bit ids (the index key space).
+    */
+  private def shingleHashRows(docs: DataFrame): DataFrame =
+    shingleRowsOf(docs).select(col("doc_id"), xxhash64(col("s")).as("h"))
+
+  private def d14Path(dir: String, table: String): String =
+    s"${sys.props("user.dir")}/target/graft-index/" +
+      s"${new java.io.File(dir).getName}/$table"
+
+  /** Build (overwrite) the persisted index over `docs` — the ingest-time
+    * cost, paid once per corpus (then amortized via [[d14AppendEpoch]]).
+    */
+  private[graft] def d14BuildIndex(docs: DataFrame, dir: String): Unit = {
+    val sh = shingleHashRows(docs).tracked
+    val dfT = sh.groupBy("h").agg(count(lit(1)).as("df")).tracked
+    dfT.write.mode("overwrite").parquet(d14Path(dir, "df"))
+    val sids = sh.join(dfT.filter(col("df") > MaxShingleDf).select("h"),
+      Seq("h"), "left_anti").tracked
+    sids.select("doc_id", "h").write.mode("overwrite")
+      .parquet(d14Path(dir, "sids"))
+    sids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(d14Path(dir, "sizes"))
+    bandRows(minhashSig(sids.select(col("doc_id"), sidOfH(col("h")))))
+      .write.mode("overwrite").parquet(d14Path(dir, "bands"))
+  }
+
+  /** Append one ingest epoch (docs already DECIDED by a prior probe) to
+    * the index: epoch rows are capped as of NOW (merged df); stored rows
+    * are left in place — later probes repair any rows this epoch's df
+    * growth staled (see the cap-crossing note above).
+    */
+  private[graft] def d14AppendEpoch(s: SparkSession, docs: DataFrame,
+      dir: String): Unit = {
+    val sh = shingleHashRows(docs).tracked
+    val dfInc = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val merged = s.read.parquet(d14Path(dir, "df"))
+      .unionByName(dfInc)
+      .groupBy("h").agg(sum(col("df")).as("df")).tracked
+    merged.count() // materialize BEFORE overwriting the table it reads
+    merged.write.mode("overwrite").parquet(d14Path(dir, "df_next"))
+    // atomic-enough swap for a local index dir (a real deployment writes
+    // epoch deltas + manifest); re-read from the swapped location
+    val fs = new java.io.File(d14Path(dir, "df"))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(fs)
+    new java.io.File(d14Path(dir, "df_next")).renameTo(fs)
+    val hotNow = s.read.parquet(d14Path(dir, "df"))
+      .filter(col("df") > MaxShingleDf).select("h")
+    val sids = sh.join(hotNow, Seq("h"), "left_anti").tracked
+    sids.select("doc_id", "h").write.mode("append")
+      .parquet(d14Path(dir, "sids"))
+    sids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(d14Path(dir, "sizes"))
+    bandRows(minhashSig(sids.select(col("doc_id"), sidOfH(col("h")))))
+      .write.mode("append").parquet(d14Path(dir, "bands"))
+  }
+
+  /** Probe the persisted index with an increment: arrival-order keep
+    * verdicts for `incDocs` given every stored doc plus earlier
+    * increment arrivals — IDENTICAL decisions to d12 over (stored ∪
+    * increment), by the d13 arrival-order argument plus the cap-crossing
+    * repair above.
+    */
+  private[graft] def d14ProbeIndex(s: SparkSession, incDocs: DataFrame,
+      dir: String): DataFrame = {
+    val shInc = shingleHashRows(incDocs).tracked
+    val dfInc = shInc.groupBy("h").agg(count(lit(1)).as("dfi"))
+    val dfStored = s.read.parquet(d14Path(dir, "df"))
+    // current hot set = hot under merged counts; only h present in the
+    // increment can CHANGE status, but stored-hot h must stay excluded
+    // from epoch-union sids rows written before they crossed
+    val hotNow = dfStored.join(dfInc, Seq("h"), "full_outer")
+      .select(col("h"), (coalesce(col("df"), lit(0L))
+        + coalesce(col("dfi"), lit(0L))).as("dft"))
+      .filter(col("dft") > MaxShingleDf)
+      .select("h").tracked
+    val incSids = shInc.join(hotNow, Seq("h"), "left_anti").tracked
+    val sidsStored = s.read.parquet(d14Path(dir, "sids"))
+    // stored rows holding a NOW-hot h were signed before the crossing:
+    // bounded at MaxShingleDf docs per crossing shingle by construction
+    val affected = sidsStored.join(hotNow, Seq("h"), "left_semi")
+      .select("doc_id").distinct().tracked
+    val sidsCurStored = sidsStored.join(hotNow, Seq("h"), "left_anti")
+    val sidsAff = sidsCurStored.join(affected, Seq("doc_id"), "left_semi")
+      .tracked
+    val bandsStored = s.read.parquet(d14Path(dir, "bands"))
+    val bandsInc =
+      bandRows(minhashSig(incSids.select(col("doc_id"), sidOfH(col("h")))))
+        .tracked
+    val bandsCur = bandsStored
+      .join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(
+        bandRows(minhashSig(sidsAff.select(col("doc_id"), sidOfH(col("h"))))))
+      .unionByName(bandsInc)
+    val cand = bandJoin(bandsCur, bandsInc)
+    val dsCur = sidsCurStored.unionByName(incSids.select("doc_id", "h"))
+      .select(col("doc_id"), sidOfH(col("h")))
+    val sizesCur = s.read.parquet(d14Path(dir, "sizes"))
+      .join(affected, Seq("doc_id"), "left_anti")
+      .unionByName(sidsAff.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      .unionByName(incSids.groupBy("doc_id").agg(count(lit(1)).as("n")))
+    val pairs = verifyCandidatesSized(dsCur, sizesCur, cand)
+    arrivalDecisionFromPairs(incDocs.select(col("doc_id")), pairs)
+  }
+
+  /** d14 — the registered query: build the index over the stored corpus
+    * (docs before the d13 cutoff — the "already ingested" 90%), then
+    * probe it with the latest tenth. Output ≡ d13 ≡ d12 restricted to
+    * the increment; the SPLIT of the cost is the point — build is
+    * write-time, probe is the daily cost, and the probe never touches
+    * corpus text. `SPARK_GRAFT_D14_REUSE_INDEX=1` skips a rebuild when
+    * the index dir already exists (how the bench isolates steady-state
+    * probe cost; the driver gate never sets it, so the gate row always
+    * exercises build+probe end-to-end).
+    */
+  def d14IndexedIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cut = incrementCutoff(docs.select(col("doc_id")))
+    val stored = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") < col("cutoff")).drop("cutoff")
+    val reuse = sys.env.get("SPARK_GRAFT_D14_REUSE_INDEX").contains("1") &&
+      new java.io.File(d14Path(dir, "bands")).exists()
+    if (!reuse) d14BuildIndex(stored, dir)
+    val inc = docs.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cutoff")).drop("cutoff")
+    d14ProbeIndex(s, inc, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_indexed_incremental_dedup" -> (d14IndexedIncrementalDedup _),
     "d13_incremental_arrival_dedup" -> (d13IncrementalArrivalDedup _),
     "d12_arrival_dedup" -> (d12ArrivalDedup _),
     "d10_lsh_evaluation" -> (d10LshEvaluation _),
@@ -1296,6 +1512,9 @@ object Dedup {
     * is id-assignment-independent (see [[d06MinhashXxhashScale]]).
     */
   val oracles: Map[String, String] = Map(
+    // d14 computes the SAME decisions as d13 (the defining equality, see
+    // d14ProbeIndex) — the oracle is d13's spelling verbatim
+    "d14_indexed_incremental_dedup" -> d13Sql,
     "d13_incremental_arrival_dedup" -> d13Sql,
     "d12_arrival_dedup" -> d12Sql,
     "d10_lsh_evaluation" -> d10Sql,
@@ -1324,5 +1543,6 @@ object Dedup {
   val altOracles: Map[String, String] = Map(
     "d06_minhash_xxhash_scale" -> d06SqlOver(xxhashIdsSql),
     "d12_arrival_dedup" -> d12SqlOver(xxhashIdsSql),
-    "d13_incremental_arrival_dedup" -> d13SqlOver(xxhashIdsSql))
+    "d13_incremental_arrival_dedup" -> d13SqlOver(xxhashIdsSql),
+    "d14_indexed_incremental_dedup" -> d13SqlOver(xxhashIdsSql))
 }

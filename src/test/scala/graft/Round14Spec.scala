@@ -38,4 +38,88 @@ class Round14Spec extends AnyFunSuite with SparkTestSession {
       .count()
     assert(bad == 0L, s"$bad fingerprint mismatches on malformed UTF-8")
   }
+
+  private def restrictTo(full: org.apache.spark.sql.DataFrame, cut: Long) =
+    full.filter(col("doc_id") >= cut)
+      .select("doc_id", "is_kept", "dup_of", "jaccard")
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"decision sets differ: a=${a.count()} b=${b.count()}")
+  }
+
+  /** d14's defining equality: the persisted-index probe reaches EXACTLY
+    * d12's decisions restricted to the increment (which is also d13's
+    * defining equality — one semantics, three cost profiles).
+    */
+  test("d14 == d12 restricted to the increment (sf0.001, sf0.01)") {
+    Seq(Sf, SfMid).foreach { dir =>
+      val cut = Tables.documents(spark, dir)
+        .agg(expr("max(doc_id) * 9 div 10")).head().getLong(0)
+      val d14 = operators.Dedup.queries(
+        "d14_indexed_incremental_dedup")(spark, dir)
+        .select("doc_id", "is_kept", "dup_of", "jaccard")
+      val d12 = operators.Dedup.queries("d12_arrival_dedup")(spark, dir)
+      assertSame(d14, restrictTo(d12, cut))
+    }
+  }
+
+  /** The ingest CYCLE: build at 80%, append the [80%,90%) epoch, probe
+    * the last tenth — decisions must still equal d12's. This is the
+    * multi-epoch form a daily pipeline actually runs (append-only sids/
+    * bands/sizes + merged df), exercising the self-healing cap-crossing
+    * repair across epoch boundaries.
+    */
+  test("d14 two-epoch append path == d12 restricted (sf0.001)") {
+    val docs = Tables.documents(spark, Sf)
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val c1 = mx * 8 / 10
+    val c2 = mx * 9 / 10
+    val dir = "/tmp/d14_twoepoch_sf0001"
+    operators.Dedup.d14BuildIndex(docs.filter(col("doc_id") < c1), dir)
+    operators.Dedup.d14AppendEpoch(spark,
+      docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), dir)
+    val probe = operators.Dedup.d14ProbeIndex(spark,
+      docs.filter(col("doc_id") >= c2), dir)
+      .select("doc_id", "is_kept", "dup_of", "jaccard")
+    val d12 = operators.Dedup.queries("d12_arrival_dedup")(spark, Sf)
+    assertSame(probe, restrictTo(d12, c2))
+  }
+
+  /** Synthetic cap-crossing corpus where NAIVE index reuse (no repair)
+    * would flip a decision: boilerplate shingle B sits at df 61 in the
+    * stored corpus (under MaxShingleDf=64) and crosses to df 72 once the
+    * increment lands. Doc X (stored) has sets {B,x1,x2,s1,s2} as written
+    * / {x1,x2,s1,s2} once B is hot; doc Y (increment) has {s1,s2}. With
+    * the repair, j(X,Y) = 2/(4+2-2) = 0.5 ≥ JaccardT → Y is a dup of X;
+    * with stale stored sets it would be 2/(5+2-2) = 0.4 → Y kept. The
+    * probe must match d12-over-everything AND actually find the pair.
+    */
+  test("d14 cap-crossing repair flips the decision it must flip") {
+    import spark.implicits._
+    val boilStored = (1L to 60L).map(i => (i, "b1 b2 b3"))
+    val x = Seq((61L, "b1 b2 b3 p q r s"))
+    val boilInc = (101L to 110L).map(i => (i, "b1 b2 b3"))
+    val y = Seq((111L, "p q r s"))
+    val all = (boilStored ++ x ++ boilInc ++ y).toDF("doc_id", "text")
+    val stored = all.filter(col("doc_id") < 100)
+    val inc = all.filter(col("doc_id") >= 100)
+    val dir = "/tmp/d14_capcross"
+    operators.Dedup.d14BuildIndex(stored, dir)
+    val probe = operators.Dedup.d14ProbeIndex(spark, inc, dir)
+      .select("doc_id", "is_kept", "dup_of", "jaccard")
+    val d12 = operators.Dedup.arrivalDecisionOn(spark, all,
+      dictionaryIds = false)
+    assertSame(probe, restrictTo(d12, 100L))
+    // the decision the repair exists for: Y dropped as a dup of X at
+    // exactly-threshold jaccard 0.5 (stale sets would read 0.4 → kept)
+    val yRow = probe.filter(col("doc_id") === 111L).head()
+    assert(!yRow.getBoolean(1) && yRow.getLong(2) == 61L
+      && yRow.getDouble(3) == 0.5, yRow.toString)
+    // and the 10 boilerplate arrivals are all KEPT: B is hot corpus-wide,
+    // their sets are empty, no bands — exactly d12's verdict
+    assert(probe.filter(col("doc_id") =!= 111L && !col("is_kept"))
+      .count() == 0L)
+  }
 }
