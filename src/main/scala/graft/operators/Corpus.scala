@@ -1061,10 +1061,17 @@ object Corpus {
 
   def c15bCorpusOverlapKmv(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.GroupedTopK
-    val u = shingleHashes(Tables.documents(s, dir)).distinct()
+    // distinctValues bottom-k (round 14): the KMV fold's distinct-set
+    // semantics live INSIDE the operator, so the plan is scan → partial
+    // local-distinct-bottom-k → k-bounded exchange → final, replacing the
+    // corpus-wide distinct() exchange that was c15b's whole shuffle cost
+    // (the one superlinear-looking stage in the sf10 audit: the sketch
+    // estimate tail is pairs-bounded and was never the problem)
+    val u = shingleHashes(Tables.documents(s, dir))
     val sk = GroupedTopK.rank(
         u.withColumn("hd", col("h").cast("double")),
-        Seq("source"), "hd", KmvK, descending = false)
+        Seq("source"), "hd", KmvK, descending = false,
+        distinctValues = true)
       .select(col("source"), col("h"))
       .tracked
     kmvPairEstimates(sk)

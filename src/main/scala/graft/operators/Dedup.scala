@@ -1429,12 +1429,22 @@ object Dedup {
     val dfStored = s.read.parquet(d14Path(dir, "df"))
     // current hot set = hot under merged counts; only h present in the
     // increment can CHANGE status, but stored-hot h must stay excluded
-    // from epoch-union sids rows written before they crossed
-    val hotNow = dfStored.join(dfInc, Seq("h"), "full_outer")
-      .select(col("h"), (coalesce(col("df"), lit(0L))
-        + coalesce(col("dfi"), lit(0L))).as("dft"))
-      .filter(col("dft") > MaxShingleDf)
-      .select("h").tracked
+    // from epoch-union sids rows written before they crossed. NOT spelled
+    // as a full-outer df merge — that planned as a SortMergeJoin with TWO
+    // corpus-sized exchanges on h (the round-14 plan audit's one corpus
+    // shuffle). Equivalent set, shuffle-free on the stored side:
+    //   histHot       df > cap            — a filter SCAN of the df table
+    //   crossMatched  df + dfi > cap      — inner join, increment side
+    //                                       broadcast (AQE)
+    //   crossNew      dfi > cap, h unseen — increment-only arithmetic
+    val matched = dfInc.join(dfStored, Seq("h"), "inner")
+      .select(col("h"), col("df"), col("dfi")).tracked
+    val hotNow = dfStored.filter(col("df") > MaxShingleDf).select("h")
+      .unionByName(matched
+        .filter(col("df") + col("dfi") > MaxShingleDf).select("h"))
+      .unionByName(dfInc.join(matched.select("h"), Seq("h"), "left_anti")
+        .filter(col("dfi") > MaxShingleDf).select("h"))
+      .tracked // consumers are anti/semi joins — duplicate h rows benign
     val incSids = shInc.join(hotNow, Seq("h"), "left_anti").tracked
     val sidsStored = s.read.parquet(d14Path(dir, "sids"))
     // stored rows holding a NOW-hot h were signed before the crossing:

@@ -101,7 +101,8 @@ object GroupedTopK {
     * exceed k rows per group; that is rank's contract). Value-only order.
     */
   def rank(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      k: Int, descending: Boolean = true): DataFrame = {
+      k: Int, descending: Boolean = true,
+      distinctValues: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(groupCols.nonEmpty,
       "grouped top-k needs group columns; use orderBy+limit for global top-k")
@@ -110,7 +111,7 @@ object GroupedTopK {
     val v = resolveAttr(df, valueCol)
     require(v.dataType == DoubleType, s"$valueCol must be double")
     GraftBridge.ofRows(s, RankTopKNode(groupCols.map(resolveAttr(df, _)),
-      v, k, descending, df.queryExecution.analyzed))
+      v, k, descending, df.queryExecution.analyzed, distinctValues))
   }
 
   /** w13 — registered query: top-3 orders by total per priority through
@@ -218,9 +219,22 @@ case class GroupedTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
   * whose count of strictly-stronger rows is < k — boundary ties admitted
   * whole, so output can exceed k rows per group (that IS rank's return
   * set; `row_number`'s exactly-k is [[GroupedTopKNode]]).
+  *
+  * `distinctValues = true` additionally collapses equal-VALUED rows
+  * within a group to one (keep-first): per group, the k smallest/largest
+  * DISTINCT values. Only meaningful when (group, value) determines the
+  * row — the KMV sketch build (c15b) is the caller, where rows are
+  * exactly (source, hash). The win is in the PARTIAL pass: local
+  * distinct-bottom-k makes the pre-shuffle volume k-bounded per (input
+  * partition × group) instead of requiring a corpus-wide distinct()
+  * exchange before the operator (a value in the global distinct bottom-k
+  * is locally distinct in every partition holding it, with local
+  * distinct-rank <= its global distinct-rank, so no survivor is dropped —
+  * the same associativity argument as plain rank-top-k).
   */
 case class RankTopKNode(groupAttrs: Seq[Attribute], valueAttr: Attribute,
-    k: Int, descending: Boolean, child: LogicalPlan) extends UnaryNode {
+    k: Int, descending: Boolean, child: LogicalPlan,
+    distinctValues: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): RankTopKNode =
     copy(child = newChild)
@@ -239,10 +253,10 @@ object GroupedTopKStrategy extends SparkStrategy {
       GroupedTopKExec(g, v, t, k, desc, partial = false,
         GroupedTopKExec(g, v, t, k, desc, partial = true,
           planLater(child))) :: Nil
-    case RankTopKNode(g, v, k, desc, child) =>
+    case RankTopKNode(g, v, k, desc, child, dv) =>
       RankTopKExec(g, v, k, desc, partial = false,
         RankTopKExec(g, v, k, desc, partial = true,
-          planLater(child))) :: Nil
+          planLater(child), distinctValues = dv), distinctValues = dv) :: Nil
     case _ => Nil
   }
 }
@@ -377,7 +391,7 @@ case class GroupedTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
   */
 case class RankTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
     k: Int, descending: Boolean, partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, distinctValues: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -392,6 +406,7 @@ case class RankTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val (g, v, kk, desc, part) = (groupAttrs, valueAttr, k, descending, partial)
+    val dv = distinctValues
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       val vBound = BindReferences.bindReference(v: Expression, childOutput)
@@ -406,6 +421,11 @@ case class RankTopKExec(groupAttrs: Seq[Attribute], valueAttr: Attribute,
         def weakKey: java.lang.Double =
           if (desc) buckets.firstKey() else buckets.lastKey()
         def add(value: Double, row: InternalRow): Unit = {
+          // distinct-values mode: a value already held is a duplicate row
+          // (keep-first) — this is what makes the PARTIAL pass a local
+          // distinct-bottom-k and spares the caller a corpus-wide
+          // distinct() exchange (see the node scaladoc)
+          if (dv && buckets.containsKey(value)) return
           // reject only rows strictly weaker than the weakest kept value
           // once >= k rows are held — equal-valued rows share a rank, so
           // they are admitted (tie-admitting)

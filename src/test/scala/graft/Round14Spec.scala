@@ -122,4 +122,42 @@ class Round14Spec extends AnyFunSuite with SparkTestSession {
     assert(probe.filter(col("doc_id") =!= 111L && !col("is_kept"))
       .count() == 0L)
   }
+
+  /** distinctValues rank-top-k ≡ distinct() THEN rank-top-k — the c15b
+    * plan fix (the corpus-wide distinct exchange moves inside the
+    * operator's partial pass). Pinned on a dup-heavy synthetic frame
+    * where the naive partial WOULD drop survivors (one partition holding
+    * k copies of a small value before a larger global-bottom-k member),
+    * and on the real c15b output at two SFs.
+    */
+  test("rank distinctValues == distinct-then-rank (synthetic + c15b)") {
+    import spark.implicits._
+    val k = 3
+    // partition 0: 3 copies of 1.0 then 2.0 — a plain partial bottom-3
+    // would keep [1,1,1] and drop 2.0, which IS in the distinct bottom-3
+    val df = Seq.fill(3)(("g", 1.0)) ++ Seq(("g", 2.0), ("g", 5.0),
+      ("g", 0.5), ("g", 0.5), ("g", 9.0))
+    val base = df.toDF("source", "hd").repartition(2)
+    val got = plans.GroupedTopK.rank(base, Seq("source"), "hd", k,
+      descending = false, distinctValues = true)
+      .select("source", "hd")
+    val want = plans.GroupedTopK.rank(base.distinct(), Seq("source"), "hd",
+      k, descending = false)
+      .select("source", "hd")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 3 &&
+      got.agg(max("hd")).head().getDouble(0) == 2.0)
+    Seq(Sf, SfMid).foreach { dir =>
+      val now = operators.Corpus.queries("c15b_corpus_overlap_kmv")(
+        spark, dir)
+      val old = operators.Corpus.kmvPairEstimates(
+        plans.GroupedTopK.rank(
+          operators.Corpus.shingleHashes(Tables.documents(spark, dir))
+            .distinct().withColumn("hd", col("h").cast("double")),
+          Seq("source"), "hd", operators.Corpus.KmvK, descending = false)
+          .select(col("source"), col("h")))
+      assert(now.exceptAll(old).isEmpty && old.exceptAll(now).isEmpty,
+        s"$dir: c15b distinct-inside != distinct-before")
+    }
+  }
 }
