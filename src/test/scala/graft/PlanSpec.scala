@@ -374,4 +374,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("hashpartitioning(user_id"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("c15b sketch build: distinct lives in the partial pass, one k-bounded exchange") {
+    import graft.plans.{GroupedTopK, RankTopKExec}
+    // the round-14 distinctValues mode: the KMV fold's distinct-set
+    // semantics collapse equal values BEFORE the shuffle, so the only
+    // exchange in the sketch build carries ≤ k rows per (source) group —
+    // the old spelling's corpus-wide distinct() pair (HashAggregate /
+    // Exchange / HashAggregate over every (source, h)) must be gone
+    val u = operators.Corpus.shingleHashes(Tables.documents(spark, Sf))
+    val sk = GroupedTopK.rank(u.withColumn("hd", col("h").cast("double")),
+      Seq("source"), "hd", 128, descending = false, distinctValues = true)
+    val ranks = sk.queryExecution.sparkPlan.collect { case r: RankTopKExec => r }
+    assert(ranks.length == 2 && ranks.forall(_.distinctValues),
+      sk.queryExecution.sparkPlan.toString)
+    // exchange placement is EnsureRequirements' work — read the prepared
+    // plan (sparkPlan predates it and shows the two passes adjacent)
+    val s = sk.queryExecution.executedPlan.toString()
+    assert(!s.contains("HashAggregate"), s)
+    assert(s.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s)
+  }
 }
