@@ -27,7 +27,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,13 +35,20 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B experiments without recompiling: "k=v;k=v" applied on top of the
+    // Bench baseline config.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     final case class JobRow(jobId: Int, desc: String, started: Long,
         var ended: Long = -1L, var nStages: Int = 0, var nTasks: Int = 0,
         var inputBytes: Long = 0, var shReadB: Long = 0, var shWriteB: Long = 0,
-        var spillB: Long = 0, var rows: Long = 0)
+        var spillB: Long = 0, var rows: Long = 0,
+        var names: List[String] = Nil)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRow]
     val stageToJob = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
@@ -68,6 +75,7 @@ object Profile {
             j.shWriteB += m.shuffleWriteMetrics.bytesWritten
             j.spillB += m.diskBytesSpilled
             j.rows += m.outputMetrics.recordsWritten
+            j.names ::= si.name.take(90)
           }
         }
     }
@@ -80,8 +88,26 @@ object Profile {
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains)
       else Seq("g06_pagerank_loop")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // SPARK_GRAFT_EXPLAIN_DIR: also write <dir>/<query>.txt with the
+    // formatted physical plan — the plans/r14 before/after evidence.
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      explainDir.foreach { d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        try {
+          val txt = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$d/$name.txt"),
+            txt.getBytes("UTF-8"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[profile] explain $name failed: ${e.getMessage}")
+        }
+        Caches.release(spark)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(rdd => if (!rdd.isCheckpointed) rdd.unpersist(false))
+      }
       (1 to runs).foreach { r =>
         Caches.release(spark)
         spark.catalog.clearCache()
@@ -103,7 +129,7 @@ object Profile {
             println(f"  job ${j.jobId}%3d ${dur}%7.3f s stages=${j.nStages}%2d " +
               f"tasks=${j.nTasks}%4d in=${mb(j.inputBytes)}%8s MB " +
               f"shR=${mb(j.shReadB)}%8s MB shW=${mb(j.shWriteB)}%8s MB " +
-              f"spill=${mb(j.spillB)}%6s MB")
+              f"spill=${mb(j.spillB)}%6s MB | ${j.names.reverse.mkString("; ")}")
           }
         }
       }
