@@ -66,6 +66,17 @@ object Centrality {
     */
   val HyperBallLgK = 12
 
+  /** Broadcast-hint ceiling for g27b's sketch side, in VERTICES (rows).
+    * A sketch row is an id + ~1.1 KiB HLL at lgK=12, so the ceiling is
+    * ~1.1 GiB broadcast — inside driver/executor headroom wherever this
+    * runs, and far under Spark's 8 GiB broadcast cap. Like
+    * [[Components.TrussBroadcastMaxRows]] the hint is gated on the
+    * MATERIALIZED vertex count, never assumed: an out-of-envelope graph
+    * falls back to the planner's shuffled join instead of OOMing the
+    * driver.
+    */
+  private[graph] val HyperballBroadcastMaxVerts: Long = 1000000L
+
   /** Distinct vertex set of the (symmetric) directed edge relation —
     * src side suffices because both orientations are materialized.
     */
@@ -163,19 +174,48 @@ object Centrality {
   def g27bHyperball(s: SparkSession, dir: String): DataFrame = {
     val edges = CoGraph.cappedEdges(s, dir).repartition(col("src")).tracked
     val verts = endpointVertices(edges)
+    // r14 optimization (guide §2.4/§3.1, profiled with graft.Profile):
+    // the planner broadcast the EDGE side of the per-round union join —
+    // edges are the byte-small relation — which streamed the sketch
+    // frame on the 1-2 partitions AQE's byte-based coalescing had left
+    // it with, serializing the CPU-heavy HLL unions (two 1-task jobs =
+    // 8.2 s of the query's 11 s at sf0.1; sketch rows are few BYTES but
+    // kilobytes of register-merge CPU each, the case byte-based
+    // coalescing always misprices). Two deliberate moves, both gated /
+    // conf-derived so they stay scale-honest:
+    //  (1) pin the iterate's partitioning: explicit conf-derived
+    //      partition count on the round-0 sketch frame (AQE never
+    //      coalesces an explicit repartition), which every later round
+    //      inherits through the broadcast joins;
+    //  (2) broadcast the SKETCH side of both per-round joins, gated on
+    //      the materialized vertex count like Components.
+    //      TrussBroadcastMaxRows — the union aggregate then streams the
+    //      src-partitioned edge cache and the heavy register merges run
+    //      map-side at full parallelism, with the final merge touching
+    //      one partial per vertex. Out-of-envelope graphs degrade to
+    //      the planner's shuffled choice, never a driver OOM.
+    // Measured: 8.9 s -> 2.6 s at sf0.1 (before/after plans in
+    // plans/r14/), output bit-identical (lgK=12 keeps certification-SF
+    // balls in the order-insensitive sparse-exact range — see
+    // [[HyperBallLgK]]).
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hint = verts.count() <= HyperballBroadcastMaxVerts
+    def sketchSide(d: DataFrame): DataFrame = if (hint) broadcast(d) else d
     var sk = verts
       .groupBy("id").agg(hll_sketch_agg(col("id"), lit(HyperBallLgK)).as("sk"))
+      .repartition(nParts, col("id"))
       .transform(graft.Cut.cut)
     val rounds = ArrayBuffer[DataFrame](
       sk.agg(sum(hll_sketch_estimate(col("sk"))).as("est"))
         .select(lit(0L).as("r"), col("est")))
     for (k <- 1 to NfRadius) {
       val nb = edges.alias("e")
-        .join(sk.alias("s"), col("e.dst") === col("s.id"))
+        .join(sketchSide(sk.alias("s")), col("e.dst") === col("s.id"))
         .groupBy(col("e.src").as("id"))
         .agg(hll_union_agg(col("s.sk")).as("nb"))
       sk = sk.alias("s")
-        .join(nb.alias("n"), col("s.id") === col("n.id"), "left_outer")
+        .join(sketchSide(nb.alias("n")), col("s.id") === col("n.id"),
+          "left_outer")
         .select(col("s.id").as("id"),
           when(col("n.nb").isNull, col("s.sk"))
             .otherwise(hll_union(col("s.sk"), col("n.nb"))).as("sk"))

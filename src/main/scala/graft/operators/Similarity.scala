@@ -54,9 +54,15 @@ object Similarity {
     withNormOf(Tables.embeddings(s, dir))
 
   /** [[withNorm]] over a caller-supplied (vec_id, embedding) frame — the
-    * builder the streaming twin shares. */
+    * builder the streaming twin shares. [[graft.Par.spread]] floors the
+    * scan parallelism (r14): the vector family's heavy compute — norms,
+    * pair dot products under broadcast joins, PQ sub-space encoding —
+    * is all NARROW above this frame, so a one-partition scan serialized
+    * it end-to-end; metadata-gated, no-op for streaming frames and
+    * production scan sizes.
+    */
   private[graft] def withNormOf(emb: DataFrame): DataFrame =
-    emb
+    graft.Par.spread(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
@@ -1052,6 +1058,12 @@ object Similarity {
     // The n·M·K distance rows are never materialized (no cache): encoding
     // consumes them inside one combine and the query-side table below is
     // rebuilt from the pre-filtered query vectors — |Q|·M·K rows.
+    // r14 measured negative result: caching codes/dt (.tracked) to share
+    // them across v14's arms made the standalone variants ~1.8x SLOWER
+    // (the cache materialization is a serializing barrier ahead of
+    // otherwise-concurrent broadcast builds) and bought v14 nothing
+    // (its arms' identical exchanges already reuse within the one union
+    // plan). Left uncached deliberately.
     val codes = distsOf(subs)
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist"), col("clabel"))).getField("clabel")
