@@ -44,10 +44,24 @@ object Tables {
       case _ => raw
     }
   }
+  /** The two payload tables (text, vectors) carry a parallelism FLOOR at
+    * load (r14, guide §2.5): their consumers all run heavy NARROW compute
+    * directly on the scan — tokenize/shingle explosion, fingerprints,
+    * vector norms and pair dot products, PQ encoding, perceptual hashes —
+    * so a scan that cannot split (the bench corpora are single-row-group
+    * files; production gzip or consolidated files hit the same wall)
+    * serializes entire query families on one core. [[Par.spread]] is
+    * metadata-gated: it fires only when the file sizes prove the scan
+    * cannot reach the session's parallelism, so at production scan sizes
+    * the loaders still return the bare scan (and filter pushdown/column
+    * pruning pass through the repartition unchanged either way).
+    */
   def documents(s: SparkSession, dir: String): DataFrame =
-    t("documents")(s, dir)
+    Par.spread(t("documents")(s, dir),
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    t("embeddings")(s, dir)
+    Par.spread(t("embeddings")(s, dir),
+      org.apache.spark.sql.functions.col("vec_id"))
 
   /** Name → loader dispatch — the ONE place that knows which tables need
     * load-time normalization (events' nanos timestamp); view registration

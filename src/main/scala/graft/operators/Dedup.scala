@@ -65,14 +65,12 @@ object Dedup {
   private[graft] val MaxShingleDf = 64
 
   /** doc_id → exploded (doc_id, shingle) rows, docs with ≥3 tokens.
-    * [[graft.Par.spread]] floors the tokenizer's parallelism when the
-    * document scan is too small to split (r14: the single-row-group
-    * bench files ran every shingle build on one core; no-op at
-    * production scan sizes by the metadata gate).
+    * (Tokenizer parallelism for tiny scans comes from the
+    * [[graft.Tables.documents]] load-time floor — r14.)
     */
   private def shingleRowsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    graft.Par.spread(docs, col("doc_id"))
+    docs
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))

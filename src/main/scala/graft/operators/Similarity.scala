@@ -54,15 +54,12 @@ object Similarity {
     withNormOf(Tables.embeddings(s, dir))
 
   /** [[withNorm]] over a caller-supplied (vec_id, embedding) frame — the
-    * builder the streaming twin shares. [[graft.Par.spread]] floors the
-    * scan parallelism (r14): the vector family's heavy compute — norms,
-    * pair dot products under broadcast joins, PQ sub-space encoding —
-    * is all NARROW above this frame, so a one-partition scan serialized
-    * it end-to-end; metadata-gated, no-op for streaming frames and
-    * production scan sizes.
+    * builder the streaming twin shares. (Scan parallelism for tiny
+    * embedding files comes from the [[graft.Tables.embeddings]]
+    * load-time floor — r14.)
     */
   private[graft] def withNormOf(emb: DataFrame): DataFrame =
-    graft.Par.spread(emb, col("vec_id"))
+    emb
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)

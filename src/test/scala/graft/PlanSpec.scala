@@ -392,6 +392,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // plan (sparkPlan predates it and shows the two passes adjacent)
     val s = sk.queryExecution.executedPlan.toString()
     assert(!s.contains("HashAggregate"), s)
-    assert(s.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s)
+    // exactly one exchange keyed by the GROUP key (the k-bounded one the
+    // distinct-partial mode exists to produce). The r14 load-time
+    // parallelism floor (Tables.documents -> Par.spread) may add one
+    // doc_id-keyed repartition BELOW the sketch build on tiny scans —
+    // metadata-gated, absent at production scan sizes — so the pin counts
+    // group-key exchanges, not all exchanges.
+    assert(s.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(source")) == 1, s)
   }
 }
