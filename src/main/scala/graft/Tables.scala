@@ -44,24 +44,19 @@ object Tables {
       case _ => raw
     }
   }
-  /** The two payload tables (text, vectors) carry a parallelism FLOOR at
-    * load (r14, guide §2.5): their consumers all run heavy NARROW compute
-    * directly on the scan — tokenize/shingle explosion, fingerprints,
-    * vector norms and pair dot products, PQ encoding, perceptual hashes —
-    * so a scan that cannot split (the bench corpora are single-row-group
-    * files; production gzip or consolidated files hit the same wall)
-    * serializes entire query families on one core. [[Par.spread]] is
-    * metadata-gated: it fires only when the file sizes prove the scan
-    * cannot reach the session's parallelism, so at production scan sizes
-    * the loaders still return the bare scan (and filter pushdown/column
-    * pruning pass through the repartition unchanged either way).
+  /** documents/embeddings return the BARE scan like every other loader.
+    * r14 measured both placements of the tiny-scan parallelism floor
+    * ([[Par.spread]]): at the loader it taxed every LIGHT consumer with
+    * an extra exchange (t04's codegen fingerprint pass went 2.6× slower
+    * while heavy tokenizers won 2×), so the floor lives at the
+    * compute-heavy BUILDERS instead (shingle/tokenize entries in
+    * Dedup/TextOps/LmOps, pair/PQ entries in Similarity) — consumers
+    * whose per-row work dwarfs one narrow exchange.
     */
   def documents(s: SparkSession, dir: String): DataFrame =
-    Par.spread(t("documents")(s, dir),
-      org.apache.spark.sql.functions.col("doc_id"))
+    t("documents")(s, dir)
   def embeddings(s: SparkSession, dir: String): DataFrame =
-    Par.spread(t("embeddings")(s, dir),
-      org.apache.spark.sql.functions.col("vec_id"))
+    t("embeddings")(s, dir)
 
   /** Name → loader dispatch — the ONE place that knows which tables need
     * load-time normalization (events' nanos timestamp); view registration

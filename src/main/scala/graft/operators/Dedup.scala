@@ -65,12 +65,14 @@ object Dedup {
   private[graft] val MaxShingleDf = 64
 
   /** doc_id → exploded (doc_id, shingle) rows, docs with ≥3 tokens.
-    * (Tokenizer parallelism for tiny scans comes from the
-    * [[graft.Tables.documents]] load-time floor — r14.)
+    * [[graft.Par.spread]] floors the tokenizer's parallelism when the
+    * document scan is too small to split (r14: the single-row-group
+    * bench files ran every shingle build on one core; no-op at
+    * production scan sizes by the metadata gate).
     */
   private def shingleRowsOf(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    docs
+    graft.Par.spread(docs, col("doc_id"))
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))
@@ -679,7 +681,12 @@ object Dedup {
     val canon = Tables.documents(s, dir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val t = tokens(col("text"))
-    canon
+    // spread (r14): the canonical groupBy's output is byte-tiny, so AQE
+    // coalesces it to 1-2 partitions and the shingle explosion above it
+    // would run near-serial — same fix as shingleRowsOf (d08 measured
+    // 2.0 -> 1.24 s; c09/c14 readings fluctuate with their GraphX CC
+    // stage's timing either way)
+    graft.Par.spread(canon, col("doc_id"))
       .select(col("doc_id"), t.as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("s"))

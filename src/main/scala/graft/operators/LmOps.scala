@@ -69,7 +69,7 @@ object LmOps {
     * `count(DISTINCT doc_id)`.
     */
   def t10LineDedup(s: SparkSession, dir: String): DataFrame = {
-    val pages = Tables.documents(s, dir)
+    val pages = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), pageLines.as("lines"))
       .withColumn("n_lines", size(col("lines")).cast("long"))
       .tracked
@@ -297,7 +297,7 @@ object LmOps {
   def t15NoveltyRate(s: SparkSession, dir: String): DataFrame = {
     // cached: the tokenize+shingle explode feeds base, novel AND perDoc —
     // without the cache the corpus scan runs three times
-    val shingled = Tables.documents(s, dir)
+    val shingled = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("t"))).as("sh"))
@@ -391,7 +391,7 @@ object LmOps {
     * not corpus.
     */
   def t16BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+    val words = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(concat(lit(" "),
@@ -506,7 +506,7 @@ object LmOps {
     * window partitions by doc_id — per-task state is one doc's dup starts.
     */
   def t17SpanDedup(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .tracked

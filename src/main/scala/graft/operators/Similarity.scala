@@ -51,7 +51,15 @@ object Similarity {
     * throw DIVIDE_BY_ZERO mid-scan (caught by EdgeCaseSpec).
     */
   private def withNorm(s: SparkSession, dir: String): DataFrame =
-    withNormOf(Tables.embeddings(s, dir))
+    // spread (r14): the full-corpus vector family's heavy compute —
+    // pair dot products under broadcast/BNLJ joins, PQ sub-space
+    // encoding, hyperplane bucketing, SQ quantization — is all NARROW
+    // above this frame, so a one-partition scan serialized it end to
+    // end (d05 ran its whole all-pairs cosine as two 1-task jobs).
+    // Metadata-gated: no-op at production scan sizes. Deliberately NOT
+    // in withNormOf — the sampled/streaming twins that route there are
+    // K-bounded and would only pay the exchange.
+    graft.Par.spread(withNormOf(Tables.embeddings(s, dir)), col("vec_id"))
 
   /** [[withNorm]] over a caller-supplied (vec_id, embedding) frame — the
     * builder the streaming twin shares. (Scan parallelism for tiny

@@ -43,6 +43,9 @@ object TextOps {
   def qualitySignals(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val en = langProfiles.head._2
+    // r14 measured: a Par.spread floor here TAXED the c05/c08/c12 class
+    // (their cost is the window/fingerprint stages after the signals,
+    // not the tokenize passes) - left on the caller's partitioning
     df
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("distinct_ratio",
@@ -159,7 +162,7 @@ object TextOps {
     // per-language filters (and size) each reference it, and
     // CollapseProject keeps multi-use non-cheap projections un-inlined,
     // so split+trim+filter runs once per row instead of five times.
-    val base = Tables.documents(s, dir)
+    val base = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("lang").as("declared_lang"), col("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -409,7 +412,7 @@ object TextOps {
     */
   def t21FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
-    val grams = Tables.documents(s, dir)
+    val grams = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("source"), t.as("t"))
       .filter(size(col("t")) >= ContamK)
       .select(col("doc_id"), col("source"),
@@ -740,7 +743,7 @@ object TextOps {
     * is a `TakeOrderedAndProject`, never a global sort.
     */
   def t13BpePairs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
@@ -787,7 +790,7 @@ object TextOps {
     */
   def t14CharDiversity(s: SparkSession, dir: String): DataFrame = {
     val chars = filter(split(col("text"), ""), c => c =!= "")
-    val docs = Tables.documents(s, dir)
+    val docs = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
     val cnt = docs
       .select(col("doc_id"), explode(chars).as("c"))
       .groupBy(col("doc_id"), col("c"))
@@ -940,7 +943,7 @@ object TextOps {
     */
   def t18ZipfCheck(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, dir)
+    val counts = graft.Par.spread(Tables.documents(s, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .tracked // total scalar + top-k both read it
