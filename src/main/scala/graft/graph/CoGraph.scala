@@ -26,14 +26,29 @@ import graft.Tables
   */
 object CoGraph {
 
-  /** Distinct (hour_epoch, user_id) pairs with a fraud signal. */
-  def activity(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  /** Distinct (hour_epoch, user_id) pairs with a fraud signal.
+    *
+    * `spreadScan` (r14): the filter + hour-truncate + partial distinct
+    * run on the events scan, which at bench file sizes is ONE partition
+    * — the UNCAPPED consumers (self-join edge builds) pass true and get
+    * the metadata-gated [[graft.Par.spread]] floor (no-op at production
+    * scan sizes). The CAPPED family keeps the default false, measured:
+    * it feeds this straight into GroupedTopK, whose single-partition
+    * PARTIAL heap is already the cheap plan — it emits ≤ cap rows per
+    * bucket into the exchange, and spreading the scan multiplied the
+    * partial outputs by the partition count (every capped twin
+    * regressed 1.3-1.8× under a blanket floor).
+    */
+  def activity(s: SparkSession, dir: String,
+      spreadScan: Boolean = false): DataFrame = {
+    val ev = Tables.events(s, dir)
+    (if (spreadScan) graft.Par.spread(ev, col("user_id")) else ev)
       .filter(col("event_type") === "error")
       .select(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("user_id"))
       .distinct()
+  }
 
   /** G1/J1 — directed co-occurrence edge set (both orientations, like the
     * reference's `V1 != V1` predicate), distinct.
@@ -44,7 +59,7 @@ object CoGraph {
     // "trivially true equals predicate" self-join ambiguity and survives
     // only by the resolver's rescue heuristic — one optimizer change away
     // from a per-hour cross product.
-    val act = activity(s, dir)
+    val act = activity(s, dir, spreadScan = true)
     act.as("a").join(act.as("b"),
         col("a.hour_epoch") === col("b.hour_epoch")
           && col("a.user_id") =!= col("b.user_id"))
@@ -217,7 +232,7 @@ object CoGraph {
     * (src, dst).
     */
   def weightedEdges(s: SparkSession, dir: String): DataFrame =
-    weightedEdgesOn(hourValue(s, dir))
+    weightedEdgesOn(hourValue(s, dir, spreadScan = true))
 
   /** [[weightedEdges]] over the bucket-capped (hour, user) activity —
     * the rounded-amount edge relation g17b's Bellman–Ford twin runs on.
@@ -244,7 +259,7 @@ object CoGraph {
 
   /** Unrounded (src, dst, weight) for PageRank iteration. */
   def normalizedWeights(s: SparkSession, dir: String): DataFrame =
-    normalizedWeightsOn(hourValue(s, dir))
+    normalizedWeightsOn(hourValue(s, dir, spreadScan = true))
 
   /** [[normalizedWeights]] with g22's per-hour-bucket co-activity cap
     * applied BEFORE the self-join: each hour bucket keeps its `cap`
@@ -275,14 +290,19 @@ object CoGraph {
   /** Per-(hour, user) exact fraud value — the self-join input shared by
     * the uncapped and bucket-capped weight builds.
     */
-  private def hourValue(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  private def hourValue(s: SparkSession, dir: String,
+      spreadScan: Boolean = false): DataFrame = {
+    // same spreadScan split as [[activity]] — uncapped weight builds
+    // floor the scan, the GroupedTopK-capped ones stay bare
+    val ev = Tables.events(s, dir)
+    (if (spreadScan) graft.Par.spread(ev, col("user_id")) else ev)
       .filter(col("event_type") === "error")
       .select(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("user_id"), col("value"))
       .groupBy(col("hour_epoch"), col("user_id"))
       .agg(sum(col("value")).as("hour_value"))
+  }
 
   /** (src, dst, amount) — the per-edge fraud value before normalization.
     * Same alias discipline as [[edges]]; the summed `hour_value` is the
