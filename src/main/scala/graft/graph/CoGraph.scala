@@ -52,14 +52,27 @@ object CoGraph {
 
   /** G1/J1 — directed co-occurrence edge set (both orientations, like the
     * reference's `V1 != V1` predicate), distinct.
+    *
+    * `spreadScan` (r15, VERDICT r14 item 1): r14 floored this scan for
+    * EVERY consumer, which regressed the cheap ones — the driver measured
+    * g01 1.17→5.86 s, g02 1.06→3.51 s, g03 1.60→4.15 s, the
+    * tiny-partition tax on consumers that do little per-row work above
+    * the edge list. The floor is now PER-CONSUMER: heavy downstream
+    * compute (triangle enumeration, LPA supersteps, modularity, hop
+    * aggregations) keeps it; the bare edge listing, degree counts, the
+    * degree histogram and the GraphX CC conversion pass false and get
+    * the bare scan (their whole post-scan pipeline is one distinct +
+    * one cheap aggregate — the exchange the floor adds costs more than
+    * the one-task partial it parallelizes).
     */
-  def edges(s: SparkSession, dir: String): DataFrame = {
+  def edges(s: SparkSession, dir: String,
+      spreadScan: Boolean = true): DataFrame = {
     // Explicit string aliases, not plan-derived column refs (`a(...) ===
     // b(...)` where b derives from a): the latter trips Spark's
     // "trivially true equals predicate" self-join ambiguity and survives
     // only by the resolver's rescue heuristic — one optimizer change away
     // from a per-hour cross product.
-    val act = activity(s, dir, spreadScan = true)
+    val act = activity(s, dir, spreadScan = spreadScan)
     act.as("a").join(act.as("b"),
         col("a.hour_epoch") === col("b.hour_epoch")
           && col("a.user_id") =!= col("b.user_id"))
@@ -86,7 +99,7 @@ object CoGraph {
 
   /** g01 query — edge list, deterministically ordered. */
   def q(s: SparkSession, dir: String): DataFrame =
-    edges(s, dir).orderBy(col("src"), col("dst"))
+    edges(s, dir, spreadScan = false).orderBy(col("src"), col("dst"))
 
   private val activityCte: String =
     """activity AS (
@@ -130,7 +143,7 @@ object CoGraph {
     * combine; no join.
     */
   def degrees(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    val e = edges(s, dir, spreadScan = false)
     e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy(col("id"))
@@ -175,7 +188,8 @@ object CoGraph {
   private def degreeDistributionOf(s: SparkSession, dir: String,
       capped: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = if (capped) cappedEdges(s, dir) else edges(s, dir)
+    val e = if (capped) cappedEdges(s, dir)
+            else edges(s, dir, spreadScan = false)
     val deg = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy(col("id"))

@@ -37,7 +37,10 @@ object Components {
     val session = s
     import session.implicits._
     val vtx = vertices(s, dir)
-    val edgeRdd = CoGraph.edges(s, dir)
+    // bare scan (spreadScan=false, r15): GraphX CC does a long-compare
+    // per row — the r14 floor multiplied its per-iteration partition
+    // count for no compute win (driver: g03 1.60→4.15 s, reverted here)
+    val edgeRdd = CoGraph.edges(s, dir, spreadScan = false)
       .select(col("src"), col("dst")).as[(Long, Long)]
       .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
     val vtxRdd = vtx.select(col("id")).as[Long].rdd.map(id => (id, ()))
@@ -213,7 +216,10 @@ object Components {
     * charge and the oracle exact.
     */
   def fraudDistance(s: SparkSession, dir: String): DataFrame = {
-    val edges = CoGraph.edges(s, dir).repartition(col("src")).tracked
+    // bare scan: the explicit repartition(src) right here is already the
+    // parallelism floor — the r14 spread added a redundant exchange
+    val edges = CoGraph.edges(s, dir, spreadScan = false)
+      .repartition(col("src")).tracked
     var dist = PageRankOps.confirmedOffenders(s, dir)
       .select(col("id"), lit(0L).as("hops"))
     for (k <- 1 to MaxHops) {
