@@ -2,7 +2,7 @@ package graft.graph
 
 import graft.Caches.Tracked
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
@@ -565,6 +565,19 @@ object Components {
       else CoGraph.cappedEdges(s, dir)
         .filter(col("src") < col("dst")).select("src", "dst")
     var und = base.repartition(col("src")).tracked
+    // r15 id-domain gate for the packed support round (guide §2.3): when
+    // every endpoint id fits in 31 bits, each triangle side packs into
+    // ONE long — the support shuffle's grouping key halves and the ac
+    // probe's hashed relation keys on a single long. Checked on the
+    // MATERIALIZED edge set (ids never grow inside the loop: each round's
+    // edge set is a subset), falls back to the two-long spelling
+    // out-of-envelope. The agg doubles as the cache materializer the
+    // loop's first count() needed anyway.
+    val idb = und.agg(min(col("src")), max(col("src")),
+      min(col("dst")), max(col("dst"))).head()
+    val packable = !idb.isNullAt(0) &&
+      idb.getLong(0) >= 0L && idb.getLong(2) >= 0L &&
+      idb.getLong(1) < (1L << 31) && idb.getLong(3) < (1L << 31)
     var kept: DataFrame = null
     var prev = -1L
     var fixed = false
@@ -586,7 +599,8 @@ object Components {
         prev = n
         // inner join drops zero-support edges (absent from the count) —
         // exactly the threshold semantics for t >= 1
-        kept = und.join(trussSupport(und, hint = n <= TrussBroadcastMaxRows),
+        kept = und.join(trussSupport(und, hint = n <= TrussBroadcastMaxRows,
+            packed = packable),
             Seq("src", "dst"))
           .filter(col("support") >= t)
           .transform(graft.Cut.cut)
@@ -638,18 +652,43 @@ object Components {
     *     enumeration itself; 27 s → 11 s for the query).
     */
   private[graft] def trussSupport(und: DataFrame,
-      hint: Boolean = true): DataFrame = {
+      hint: Boolean = true, packed: Boolean = false): DataFrame = {
     def probe(d: DataFrame): DataFrame = if (hint) broadcast(d) else d
-    und.alias("ab")
-      .join(probe(und.alias("bc")), col("ab.dst") === col("bc.src"))
-      .join(probe(und.alias("ac")),
-        col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
-      .select(explode(array(
-        struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
-        struct(col("ab.dst").as("src"), col("bc.dst").as("dst")),
-        struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
-      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-      .agg(count(lit(1)).as("support"))
+    if (packed) {
+      // (3) r15 (§2.3): with both id domains gated to [0, 2^31) by the
+      // caller, (src, dst) packs injectively into one long
+      // (src << 32 | dst). The explode ships one long per triangle side
+      // instead of a two-long struct (half the grouping-key bytes
+      // through the support exchange) and the ac probe joins on the
+      // packed key, so its broadcast hashed relation is a
+      // LongHashedRelation (primitive-key probes, no row hashing).
+      // Unpack (shift/mask) is exact on the gated domain, so the
+      // (src, dst, support) rows are identical to the struct spelling.
+      def pk(a: Column, b: Column): Column = shiftleft(a, 32).bitwiseOR(b)
+      und.alias("ab")
+        .join(probe(und.alias("bc")), col("ab.dst") === col("bc.src"))
+        .join(probe(und.select(pk(col("src"), col("dst")).as("e")).alias("ac")),
+          col("ac.e") === pk(col("ab.src"), col("bc.dst")))
+        .select(explode(array(
+          pk(col("ab.src"), col("ab.dst")),
+          pk(col("ab.dst"), col("bc.dst")),
+          pk(col("ab.src"), col("bc.dst")))).as("e"))
+        .groupBy(col("e"))
+        .agg(count(lit(1)).as("support"))
+        .select(shiftright(col("e"), 32).as("src"),
+          col("e").bitwiseAND(lit(0xFFFFFFFFL)).as("dst"), col("support"))
+    } else {
+      und.alias("ab")
+        .join(probe(und.alias("bc")), col("ab.dst") === col("bc.src"))
+        .join(probe(und.alias("ac")),
+          col("ac.src") === col("ab.src") && col("ac.dst") === col("bc.dst"))
+        .select(explode(array(
+          struct(col("ab.src").as("src"), col("ab.dst").as("dst")),
+          struct(col("ab.dst").as("src"), col("bc.dst").as("dst")),
+          struct(col("ab.src").as("src"), col("bc.dst").as("dst")))).as("e"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("support"))
+    }
   }
 
   /** g30 query. */
