@@ -88,10 +88,22 @@ object Scc {
     val session = s
     import session.implicits._
     val e = chainEdges(s, dir).tracked
+    // r15 (guide §2.2): size the Pregel graph's partitions by EDGE
+    // VOLUME, not by spark.sql.shuffle.partitions — SCC runs dozens of
+    // supersteps (forward+backward coloring per peel round), and every
+    // superstep pays per-partition scheduling/serialization on what are
+    // byte-tiny frontiers for most of the run. Data-derived, so a
+    // 100 TB chain graph still gets thousands of partitions while the
+    // certification SFs stop paying 32-way overhead per superstep.
+    // Row target: ~250k edges/partition (~4 MB packed; GraphX's in-mem
+    // expansion keeps the working set per task in the tens of MB).
+    val parts = math.max(1, math.min((e.count() / 250000L).toInt + 1,
+      s.sparkContext.defaultParallelism * 32))
     val edgeRdd = e.select(col("src"), col("dst")).as[(Long, Long)]
-      .rdd.map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
+      .rdd.coalesce(parts)
+      .map { case (a, b) => Edge(a: VertexId, b: VertexId, 1) }
     val vtxRdd = e.select(col("src")).unionAll(e.select(col("dst")))
-      .distinct().as[Long].rdd.map(id => (id, ()))
+      .distinct().as[Long].rdd.coalesce(parts).map(id => (id, ()))
     val labels = Graph(vtxRdd, edgeRdd)
       .stronglyConnectedComponents(SccIters)
       .vertices.toDF("id", "scc")
