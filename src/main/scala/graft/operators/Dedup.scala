@@ -1045,10 +1045,21 @@ object Dedup {
     // evaluation grades exactly the scheme that runs, by construction
     val truePairs = exactJaccardPairs(ds).select("id_a", "id_b")
     val cand = lshCandidates(minhashSig(ds)).tracked
-    val common = truePairs.join(cand, Seq("id_a", "id_b"))
-    val stats = truePairs.agg(count(lit(1)).as("n_true"))
-      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_cand_true"))))
+    // r15 (§2.4): ONE union-aggregate computes all three counts. The
+    // r14 spelling joined truth×candidates and ran three separate
+    // count() aggregates stitched with two broadcast cross-joins — five
+    // sequential barrier jobs to assemble a single row. Both inputs are
+    // per-pair distinct (grouped truth, distinct band join), so
+    // tag-and-max ≡ the join: t·c = 1 exactly for pairs in both.
+    val tagged = truePairs
+      .select(col("id_a"), col("id_b"), lit(1L).as("t"), lit(0L).as("c"))
+      .unionAll(cand
+        .select(col("id_a"), col("id_b"), lit(0L).as("t"), lit(1L).as("c")))
+    val stats = tagged.groupBy("id_a", "id_b")
+      .agg(max(col("t")).as("t"), max(col("c")).as("c"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("t") * col("c")), lit(0L)).as("n_cand_true"))
     stats.select(
       col("n_true"), col("n_cand"), col("n_cand_true"),
       when(col("n_true") > 0,
