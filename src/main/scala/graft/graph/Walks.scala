@@ -69,16 +69,22 @@ object Walks {
     var frontier = verts.select(col("id").as("walk"), col("id").as("cur"))
     var out = frontier.select(col("walk"), lit(0).as("step"),
       col("cur").as("vertex"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("walk").orderBy("h", "dst")
     for (k <- 1 to WalkLen) {
+      // argmin via min(struct(h, dst)) — struct ordering IS the
+      // (h asc, dst asc) tie-break the row_number window spelled, and
+      // the groupBy partially aggregates map-side: each step's shuffle
+      // carries ONE row per walk instead of sorting the whole frontier
+      // fan-out per partition (r15, §2.3 "aggregate before you
+      // shuffle"; the pqParts argmin pattern). (h, dst) pairs are
+      // unique per walk — edges are distinct — so min(struct) selects
+      // exactly the window's rn = 1 row.
       frontier = frontier.alias("f")
         .join(edges.alias("e"), col("f.cur") === col("e.src"))
-        .select(col("f.walk").as("walk"), col("e.dst").as("dst"),
-          hopHash(col("f.walk"), k, col("e.dst")).as("h"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("walk"), col("dst").as("cur"))
+        .select(col("f.walk").as("walk"),
+          struct(hopHash(col("f.walk"), k, col("e.dst")).as("h"),
+            col("e.dst").as("dst")).as("hd"))
+        .groupBy("walk").agg(min(col("hd")).as("hd"))
+        .select(col("walk"), col("hd.dst").as("cur"))
         .transform(graft.Cut.cut)
       out = out.unionAll(frontier.select(col("walk"), lit(k).as("step"),
         col("cur").as("vertex")))
